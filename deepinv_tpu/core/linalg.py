@@ -1,0 +1,102 @@
+"""Vector-space operations over arbitrary pytrees.
+
+The reference's Krylov solvers (deepinv/optim/linear/least_squares.py) and
+power method (deepinv/physics/functional/matrix.py:44) implement dot/norm by
+special-casing ``TensorList``. Here every solver works on *any pytree* of
+arrays (single array, TensorList, nested dicts), because inner products and
+axpy are defined tree-wide. This is what lets the same CG run on stacked
+physics, complex MRI k-space, or multi-leaf model states unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "tree_add",
+    "tree_sub",
+    "tree_scale",
+    "tree_axpy",
+    "tree_vdot",
+    "tree_norm",
+    "tree_zeros_like",
+    "tree_conj",
+    "tree_real_vdot",
+    "power_method",
+]
+
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def tree_sub(a, b):
+    return jax.tree_util.tree_map(jnp.subtract, a, b)
+
+
+def tree_scale(alpha, a):
+    return jax.tree_util.tree_map(lambda x: alpha * x, a)
+
+
+def tree_axpy(alpha, x, y):
+    """y + alpha * x, leafwise (alpha scalar)."""
+    return jax.tree_util.tree_map(lambda xi, yi: yi + alpha * xi, x, y)
+
+
+def tree_vdot(a, b):
+    """Sum of <a_i, b_i> with complex conjugation on ``a`` (like jnp.vdot)."""
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+
+
+def tree_real_vdot(a, b):
+    """Real part of the tree inner product (the Hilbert-space pairing)."""
+    return jnp.real(tree_vdot(a, b))
+
+
+def tree_norm(a):
+    return jnp.sqrt(tree_real_vdot(a, a))
+
+
+def tree_zeros_like(a):
+    return jax.tree_util.tree_map(jnp.zeros_like, a)
+
+
+def tree_conj(a):
+    return jax.tree_util.tree_map(jnp.conj, a)
+
+
+def power_method(op, x0, max_iter: int = 100, tol: float = 1e-6):
+    """Largest eigenvalue of a PSD operator ``op`` by power iteration.
+
+    TPU-native port of the reference power method
+    (deepinv/physics/functional/matrix.py:44, used by
+    ``LinearPhysics.compute_norm`` deepinv/physics/forward.py:605).
+    Runs as a ``lax.while_loop`` so it compiles to one XLA program; the
+    tolerance check is carried in the loop state instead of Python control
+    flow.
+
+    Returns the spectral norm estimate ``lambda_max`` (scalar array).
+    """
+    x0 = jax.tree_util.tree_map(
+        lambda v: v / jnp.maximum(tree_norm(x0), 1e-30), x0
+    )
+
+    def cond(state):
+        _, lam, lam_prev, it = state
+        rel = jnp.abs(lam - lam_prev) / jnp.maximum(jnp.abs(lam), 1e-30)
+        return jnp.logical_and(it < max_iter, rel > tol)
+
+    def body(state):
+        x, lam, _, it = state
+        y = op(x)
+        lam_new = tree_real_vdot(x, y)
+        ny = tree_norm(y)
+        x_new = jax.tree_util.tree_map(lambda v: v / jnp.maximum(ny, 1e-30), y)
+        return (x_new, lam_new, lam, it + 1)
+
+    init = (x0, jnp.asarray(0.0), jnp.asarray(jnp.inf), jnp.asarray(0))
+    _, lam, _, _ = jax.lax.while_loop(cond, body, init)
+    return lam

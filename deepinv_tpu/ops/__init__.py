@@ -1,0 +1,15 @@
+from .conv import (
+    conv2d,
+    conv_transpose2d,
+    conv2d_fft,
+    conv_transpose2d_fft,
+    conv3d_fft,
+    conv_transpose3d_fft,
+    filter_fft_2d,
+    gaussian_blur,
+    bilinear_filter,
+    bicubic_filter,
+    sinc_filter,
+    kaiser_window,
+)
+from .fourier import dct2, idct2, dct1d, idct1d, dst1, fftc, ifftc

@@ -1,0 +1,220 @@
+"""Blur / super-resolution physics (reference deepinv/physics/blur.py, 1300 LoC).
+
+Operators: :class:`Blur` (spatial conv, 5 padding modes), :class:`BlurFFT`
+(circular blur diagonalized in Fourier — a :class:`DecomposablePhysics` with
+closed-form prox/dagger), :class:`Downsampling` (filter + decimate, with the
+Zhu-2014 FFT polyphase closed-form prox), :class:`Upsampling`.
+
+All filters are pytree leaves: a batch of blurs is just a physics with a
+batched filter leaf (the reference needs generator machinery + buffer
+mutation for this), and ``jax.vmap`` over the physics gives per-sample PSFs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import (
+    conv2d,
+    conv_transpose2d,
+    conv2d_fft,
+    conv_transpose2d_fft,
+    filter_fft_2d,
+    gaussian_blur,
+    bilinear_filter,
+    bicubic_filter,
+    sinc_filter,
+)
+from .base import LinearPhysics, DecomposablePhysics
+
+__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling"]
+
+
+def _resolve_filter(filter, factor: int = 2):
+    """Map a filter name to its kernel (reference Downsampling.get_filter_parameters)."""
+    if isinstance(filter, str):
+        if filter == "gaussian":
+            return gaussian_blur(sigma=(factor, factor))
+        if filter == "bilinear":
+            return bilinear_filter(factor)
+        if filter == "bicubic":
+            return bicubic_filter(factor)
+        if filter == "sinc":
+            return sinc_filter(factor)
+        raise ValueError(f"unknown filter {filter!r}")
+    if filter is None:
+        return None
+    return jnp.asarray(filter)
+
+
+class Blur(LinearPhysics):
+    r"""Blur operator ``y = h * x`` (reference blur.py:443).
+
+    :param filter: kernel of shape (b, c, h, w) with b in {1, B}, c in {1, C}
+    :param padding: 'valid', 'circular', 'replicate', 'reflect', 'constant'
+    """
+
+    def __init__(self, filter=None, padding: str = "circular", **kwargs):
+        super().__init__(**kwargs)
+        self.filter = _resolve_filter(filter)
+        self.padding = padding
+
+    def A(self, x, filter=None, **params):
+        f = self.filter if filter is None else jnp.asarray(filter)
+        return conv2d(x, f, padding=self.padding)
+
+    def A_adjoint(self, y, filter=None, **params):
+        f = self.filter if filter is None else jnp.asarray(filter)
+        return conv_transpose2d(y, f, padding=self.padding)
+
+
+class BlurFFT(DecomposablePhysics):
+    r"""Circular blur diagonalized by the FFT (reference blur.py:564).
+
+    ``A = F^* diag(Fh) F`` with orthonormal FFTs, so prox_l2 / A_dagger are
+    closed-form elementwise operations in Fourier space — the fast path used
+    by DPIR-style PnP on deblurring.
+
+    :param img_size: (C, H, W) image size (needed to embed the PSF).
+    :param filter: PSF kernel (b, c, h, w).
+    """
+
+    def __init__(self, img_size, filter=None, **kwargs):
+        super().__init__(**kwargs)
+        self.img_size = tuple(img_size)
+        self.filter = _resolve_filter(filter)
+        self.mask = self._compute_mask(self.filter)
+
+    def _compute_mask(self, filt):
+        if filt is None:
+            return 1.0
+        m = filter_fft_2d(filt, self.img_size, real_fft=False)
+        return m
+
+    def update(self, **params):
+        if "filter" in params and params["filter"] is not None:
+            f = jnp.asarray(params.pop("filter"))
+            new = self.replace(filter=f, mask=self._compute_mask(f))
+            return new.update(**params) if params else new
+        return super().update(**params)
+
+    def V_adjoint(self, x):
+        return jnp.fft.fft2(x, norm="ortho")
+
+    def V(self, x):
+        return jnp.real(jnp.fft.ifft2(x, norm="ortho"))
+
+    def U(self, x):
+        return jnp.real(jnp.fft.ifft2(x, norm="ortho"))
+
+    def U_adjoint(self, x):
+        return jnp.fft.fft2(x, norm="ortho")
+
+
+class Downsampling(LinearPhysics):
+    r"""``y = S(h * x)``: anti-aliasing filter then decimation
+    (reference blur.py:15).
+
+    :param img_size: (C, H, W) high-resolution image size.
+    :param filter: None | 'gaussian' | 'bilinear' | 'bicubic' | 'sinc' | kernel
+    :param factor: integer decimation factor.
+    :param padding: conv padding mode.
+    """
+
+    def __init__(
+        self,
+        img_size=None,
+        filter=None,
+        factor: int = 2,
+        padding: str = "circular",
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.factor = int(factor)
+        self.imsize = tuple(img_size) if img_size is not None else None
+        self.padding = padding
+        self.filter = _resolve_filter(filter, self.factor)
+
+    def A(self, x, filter=None, **params):
+        f = self.filter if filter is None else _resolve_filter(filter, self.factor)
+        if f is not None:
+            x = conv2d(x, f, padding=self.padding)
+        return x[:, :, :: self.factor, :: self.factor]
+
+    def A_adjoint(self, y, filter=None, **params):
+        f = self.filter if filter is None else _resolve_filter(filter, self.factor)
+        if self.imsize is not None:
+            C, H, W = self.imsize
+        else:
+            C = y.shape[1]
+            H, W = y.shape[-2] * self.factor, y.shape[-1] * self.factor
+        if f is not None and self.padding == "valid":
+            Hc, Wc = H - f.shape[-2] + 1, W - f.shape[-1] + 1
+        else:
+            Hc, Wc = H, W
+        x = jnp.zeros((y.shape[0], C, Hc, Wc), dtype=y.dtype)
+        x = x.at[:, :, :: self.factor, :: self.factor].set(y)
+        if f is not None:
+            x = conv_transpose2d(x, f, padding=self.padding)
+        return x
+
+    def prox_l2(self, z, y, gamma, use_fft: bool = True, **kwargs):
+        r"""Closed-form FFT polyphase prox for circular padding
+        (Zhu & Milanfar 2014; reference blur.py:336-360)."""
+        if not (use_fft and self.padding == "circular" and self.filter is not None):
+            return LinearPhysics.prox_l2(self, z, y, gamma, **kwargs)
+
+        if z is None or isinstance(z, (int, float)):
+            fill = 0.0 if z is None else float(z)
+            z = jnp.full_like(self.A_adjoint(y), fill)
+
+        if z.shape[-2] % self.factor or z.shape[-1] % self.factor:
+            # FFT polyphase split needs H, W divisible by the factor
+            return LinearPhysics.prox_l2(self, z, y, gamma, **kwargs)
+
+        sf = self.factor
+        H, W = z.shape[-2:]
+        Fh = filter_fft_2d(self.filter, (z.shape[1], H, W), real_fft=False)
+        Fhc = jnp.conj(Fh)
+        Fh2 = jnp.real(Fhc * Fh)
+
+        g = jnp.asarray(gamma)
+        if g.ndim > 0:
+            g = g.reshape(g.shape + (1,) * (z.ndim - g.ndim))
+
+        z_hat = self.A_adjoint(y) + z / g
+        Fz_hat = jnp.fft.fft2(z_hat)
+
+        def splits(a):
+            # (B, C, H, W) -> (B, C, H/sf, W/sf, sf*sf) distinct polyphase blocks
+            B, C, Hh, Ww = a.shape
+            b = a.reshape(B, C, sf, Hh // sf, Ww)
+            b = jnp.moveaxis(b, 2, -1)  # (B,C,H/sf,W,sf)
+            b = b.reshape(B, C, Hh // sf, sf, Ww // sf, b.shape[-1])
+            b = jnp.moveaxis(b, 3, -1)  # (B,C,H/sf,W/sf,sf,sf)
+            return b.reshape(B, C, Hh // sf, Ww // sf, sf * sf)
+
+        top = jnp.mean(splits(Fh * Fz_hat), axis=-1)
+        below = jnp.mean(splits(jnp.broadcast_to(Fh2, Fz_hat.shape)), axis=-1) + 1.0 / g
+        ratio = top / below
+        rc = Fhc * jnp.tile(ratio, (1, 1, sf, sf))
+        r = jnp.real(jnp.fft.ifft2(rc))
+        return (z_hat - r) * g
+
+
+class Upsampling(Downsampling):
+    r"""Adjoint roles of :class:`Downsampling` swapped (reference blur.py:392):
+    ``A`` = zero-fill upsample + transpose filter; ``A_adjoint`` = filter +
+    decimate."""
+
+    def A(self, x, **params):
+        return Downsampling.A_adjoint(self, x, **params)
+
+    def A_adjoint(self, y, **params):
+        return Downsampling.A(self, y, **params)
+
+    def prox_l2(self, z, y, gamma, **kwargs):
+        return LinearPhysics.prox_l2(self, z, y, gamma, **kwargs)

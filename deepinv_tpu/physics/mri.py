@@ -1,0 +1,211 @@
+"""MRI physics family (reference deepinv/physics/mri.py, 695 LoC, built on
+MRIMixin utils/mixins.py:118-289).
+
+Conventions preserved from the reference:
+
+- images/measurements are real arrays of shape (B, 2, ..., H, W): channel 0 =
+  real part, channel 1 = imaginary part;
+- k-space transform is the centered orthonormal FFT
+  ``fftshift . fftn(norm='ortho') . ifftshift``;
+- :class:`MRI` is a :class:`DecomposablePhysics` (mask = singular values), so
+  prox / dagger are closed-form — the hot path of MoDL/VarNet-style unrolled
+  recon compiles to pure FFT + elementwise XLA ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .base import DecomposablePhysics, LinearPhysics
+
+__all__ = ["MRI", "MultiCoilMRI", "DynamicMRI", "SequentialMRI", "MRIMixin"]
+
+
+class MRIMixin:
+    """FFT helpers shared by MRI physics and models (utils/mixins.py:118)."""
+
+    @staticmethod
+    def to_complex(x):
+        """(B, 2, ..., H, W) real -> (B, 1, ..., H, W) complex."""
+        return x[:, 0:1] + 1j * x[:, 1:2]
+
+    @staticmethod
+    def from_complex(x):
+        """(B, 1, ..., H, W) complex -> (B, 2, ..., H, W) real."""
+        return jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=1)
+
+    @staticmethod
+    def fft(x, axes=(-2, -1)):
+        return jnp.fft.fftshift(
+            jnp.fft.fftn(jnp.fft.ifftshift(x, axes=axes), axes=axes, norm="ortho"),
+            axes=axes,
+        )
+
+    @staticmethod
+    def ifft(x, axes=(-2, -1)):
+        return jnp.fft.fftshift(
+            jnp.fft.ifftn(jnp.fft.ifftshift(x, axes=axes), axes=axes, norm="ortho"),
+            axes=axes,
+        )
+
+    @classmethod
+    def im_to_kspace(cls, x, three_d: bool = False):
+        axes = (-3, -2, -1) if three_d else (-2, -1)
+        return cls.from_complex(cls.fft(cls.to_complex(x), axes=axes))
+
+    @classmethod
+    def kspace_to_im(cls, y, three_d: bool = False):
+        axes = (-3, -2, -1) if three_d else (-2, -1)
+        return cls.from_complex(cls.ifft(cls.to_complex(y), axes=axes))
+
+    @staticmethod
+    def rss(x, multicoil: bool = True, keepdim: bool = True):
+        """Root-sum-of-squares magnitude (utils/mixins.py:250)."""
+        mag = jnp.sqrt(jnp.sum(x**2, axis=1, keepdims=keepdim))
+        if multicoil and mag.ndim >= 5:
+            mag = jnp.sqrt(jnp.sum(mag**2, axis=2, keepdims=keepdim))
+        return mag
+
+    @staticmethod
+    def crop_center(x, shape):
+        """Center-crop last two dims to ``shape`` (utils/mixins.py:208)."""
+        H, W = x.shape[-2:]
+        h, w = shape
+        top, left = (H - h) // 2, (W - w) // 2
+        return x[..., top : top + h, left : left + w]
+
+
+def _check_mask(mask, img_size=None, three_d=False):
+    if mask is None:
+        mask = jnp.ones(img_size)
+    mask = jnp.asarray(mask, dtype=jnp.float32)
+    # normalize to (B, C, ..., H, W)
+    target_nd = 5 if three_d else 4
+    while mask.ndim < target_nd:
+        mask = mask[None]
+    if mask.shape[1] == 1:
+        mask = jnp.concatenate([mask, mask], axis=1)
+    return mask
+
+
+class MRI(MRIMixin, DecomposablePhysics):
+    r"""Single-coil accelerated MRI ``y = M F x`` (reference mri.py:11).
+
+    :param mask: sampling mask (H,W), (C,H,W), (B,C,H,W) or (B,C,D,H,W).
+    :param img_size: used to build an all-ones mask when ``mask`` is None.
+    :param three_d: FFT over 3 dims for (B,C,D,H,W) data.
+    """
+
+    def __init__(self, mask=None, img_size=(320, 320), three_d: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.three_d = three_d
+        self.mask = _check_mask(mask, img_size, three_d)
+
+    def update(self, **params):
+        if "mask" in params and params["mask"] is not None:
+            m = _check_mask(params.pop("mask"), three_d=self.three_d)
+            new = self.replace(mask=m)
+            return new.update(**params) if params else new
+        return super().update(**params)
+
+    def V_adjoint(self, x):
+        return self.im_to_kspace(x, three_d=self.three_d)
+
+    def V(self, y):
+        return self.kspace_to_im(y, three_d=self.three_d)
+
+    def A_adjoint(self, y, mask=None, mag: bool = False, crop=None, **kwargs):
+        phys = self.update(mask=mask)
+        x = DecomposablePhysics.A_adjoint(phys, y)
+        if mag:
+            x = self.rss(x, multicoil=False)
+        if crop is not None:
+            x = self.crop_center(x, crop)
+        return x
+
+    def noise(self, y, key=None):
+        if self.noise_model is None:
+            return y
+        return self.noise_model(y, key=key) * self.mask
+
+
+class MultiCoilMRI(MRIMixin, LinearPhysics):
+    r"""Multi-coil Cartesian MRI ``y_n = M F (s_n . x)`` (reference mri.py:166).
+
+    :param mask: sampling mask, see :class:`MRI`.
+    :param coil_maps: complex coil sensitivity maps of shape (B, N, H, W) (or
+        int N for simulated constant maps).
+    :param img_size: used when mask is None.
+    """
+
+    def __init__(self, mask=None, coil_maps=1, img_size=(320, 320), three_d: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.three_d = three_d
+        self.mask = _check_mask(mask, img_size, three_d)
+        if isinstance(coil_maps, int):
+            H, W = self.mask.shape[-2:]
+            coil_maps = jnp.ones((1, coil_maps, H, W), dtype=jnp.complex64)
+        self.coil_maps = jnp.asarray(coil_maps)
+
+    def A(self, x, mask=None, coil_maps=None, **params):
+        phys = self.update(mask=mask, coil_maps=coil_maps)
+        xc = self.to_complex(x)  # (B,1,H,W)
+        sx = xc * phys.coil_maps[:, :, ...]  # (B,N,H,W)
+        axes = (-3, -2, -1) if self.three_d else (-2, -1)
+        y = self.fft(sx, axes=axes)
+        # mask: (B,2,H,W) -> use channel 0 for complex masking
+        m = phys.mask[:, 0:1]
+        yk = y * m
+        # to real channels: (B,2,N,H,W)
+        return jnp.stack([jnp.real(yk), jnp.imag(yk)], axis=1)
+
+    def A_adjoint(self, y, mask=None, coil_maps=None, rss: bool = False, crop=None, **params):
+        phys = self.update(mask=mask, coil_maps=coil_maps)
+        yk = y[:, 0] + 1j * y[:, 1]  # (B,N,H,W)
+        m = phys.mask[:, 0:1]
+        axes = (-3, -2, -1) if self.three_d else (-2, -1)
+        imgs = self.ifft(yk * m, axes=axes)  # (B,N,H,W)
+        out = jnp.sum(jnp.conj(phys.coil_maps) * imgs, axis=1, keepdims=True)
+        x = jnp.concatenate([jnp.real(out), jnp.imag(out)], axis=1)
+        if rss:
+            x = jnp.sqrt(jnp.sum(jnp.abs(imgs) ** 2, axis=1, keepdims=True))
+        if crop is not None:
+            x = self.crop_center(x, crop)
+        return x
+
+    def noise(self, y, key=None):
+        if self.noise_model is None:
+            return y
+        return self.noise_model(y, key=key) * self.mask[:, :, None]
+
+
+class DynamicMRI(MRI):
+    r"""k-t dynamic MRI: per-frame masked FFT (reference mri.py:499).
+
+    Data shape (B, C, T, H, W); the mask may vary over time (B, C, T, H, W).
+    """
+
+    def __init__(self, mask=None, img_size=(8, 320, 320), **kwargs):
+        super().__init__(mask=mask, img_size=img_size, three_d=False, **kwargs)
+
+    def V_adjoint(self, x):
+        # FFT over spatial dims only, applied per time frame
+        return self.im_to_kspace(x, three_d=False)
+
+    def V(self, y):
+        return self.kspace_to_im(y, three_d=False)
+
+
+class SequentialMRI(DynamicMRI):
+    r"""Sequential sampling MRI: time-varying masks whose union gives a single
+    static image (reference mri.py:627)."""
+
+    def average(self, y, mask=None):
+        """Average the time dim weighted by the mask (TimeMixin.average)."""
+        m = self.mask if mask is None else mask
+        num = jnp.sum(y, axis=2)
+        den = jnp.clip(jnp.sum(m, axis=2), 1e-6, None)
+        return num / den

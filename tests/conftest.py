@@ -1,0 +1,50 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Mirrors the reference's CI strategy (deepinv/tests/conftest.py:120-190):
+odd-sized images to catch shape bugs, seeded rngs, and — instead of
+``torch.multiprocessing.spawn`` distributed workers
+(test_distributed.py:50-302) — a *virtual 8-device mesh* via
+``xla_force_host_platform_device_count`` so every sharding test runs
+single-process.
+"""
+
+import os
+
+# must run before jax initializes its backends
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)
+
+
+@pytest.fixture
+def imsize():
+    # odd sizes on purpose, like the reference (conftest.py:129)
+    return (3, 37, 31)
+
+
+@pytest.fixture
+def imsize_2c():
+    return (2, 37, 31)
+
+
+@pytest.fixture
+def x(key, imsize):
+    return jax.random.normal(key, (2,) + imsize)
+
+
+def assert_close(a, b, rtol=1e-4, atol=1e-5, msg=""):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol, err_msg=msg)

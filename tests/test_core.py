@@ -1,0 +1,118 @@
+"""Core module/pytree/TensorList tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinv_tpu.core import (
+    Module,
+    TensorList,
+    tree_vdot,
+    tree_norm,
+    power_method,
+    randn_like,
+)
+from conftest import assert_close
+
+
+class Toy(Module):
+    def __init__(self, w, name="toy"):
+        self.w = jnp.asarray(w)
+        self.name = name
+        self.scale = 2.0
+
+
+def test_module_pytree_roundtrip():
+    m = Toy([1.0, 2.0])
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    assert len(leaves) == 1
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert m2.name == "toy" and m2.scale == 2.0
+    assert_close(m2.w, m.w)
+
+
+def test_module_jit_cache():
+    m = Toy([1.0, 2.0])
+    calls = []
+
+    @jax.jit
+    def f(mod, x):
+        calls.append(1)
+        return mod.w @ x + mod.scale
+
+    x = jnp.ones(2)
+    f(m, x)
+    f(Toy([3.0, 4.0]), x)  # same static aux, new leaves -> no retrace
+    assert len(calls) == 1
+    f(Toy([1.0, 2.0], name="other"), x)  # different static -> retrace
+    assert len(calls) == 2
+
+
+def test_module_grad():
+    m = Toy([1.0, 2.0])
+
+    def loss(mod):
+        return jnp.sum(mod.w**2)
+
+    g = jax.grad(loss)(m)
+    assert_close(g.w, 2 * m.w)
+    assert g.name == "toy"
+
+
+def test_module_replace():
+    m = Toy([1.0, 2.0])
+    m2 = m.replace(w=jnp.zeros(2))
+    assert_close(m2.w, jnp.zeros(2))
+    assert_close(m.w, jnp.array([1.0, 2.0]))
+    with pytest.raises(AttributeError):
+        m.replace(nonexistent=1)
+
+
+def test_tensorlist_arithmetic():
+    a = TensorList([jnp.ones((2, 3)), jnp.ones((4,))])
+    b = TensorList([jnp.full((2, 3), 2.0), jnp.full((4,), 3.0)])
+    c = a + b
+    assert_close(c[0], jnp.full((2, 3), 3.0))
+    d = 2 * a - b / b + a * 3
+    assert_close(d[1], jnp.full((4,), 4.0))
+    assert_close((-a)[0], -jnp.ones((2, 3)))
+    assert float(a.sum()) == 10.0
+    assert a.flatten().shape == (10,)
+
+
+def test_tensorlist_pytree():
+    a = TensorList([jnp.ones((2, 3)), jnp.ones((4,))])
+    doubled = jax.tree_util.tree_map(lambda v: v * 2, a)
+    assert isinstance(doubled, TensorList)
+    assert_close(doubled[1], jnp.full((4,), 2.0))
+
+    @jax.jit
+    def f(tl):
+        return tl + 1
+
+    out = f(a)
+    assert isinstance(out, TensorList)
+
+
+def test_tree_linalg():
+    t1 = {"a": jnp.array([1.0, 2.0]), "b": jnp.array([[3.0]])}
+    t2 = {"a": jnp.array([4.0, 5.0]), "b": jnp.array([[6.0]])}
+    assert float(tree_vdot(t1, t2)) == 1 * 4 + 2 * 5 + 3 * 6
+    assert abs(float(tree_norm(t1)) - np.sqrt(14)) < 1e-6
+
+
+def test_power_method():
+    key = jax.random.key(0)
+    M = jax.random.normal(key, (8, 8))
+    S = M @ M.T  # PSD
+    lam = power_method(lambda v: S @ v, jnp.ones(8), max_iter=500, tol=1e-10)
+    lam_ref = float(np.linalg.eigvalsh(np.asarray(S)).max())
+    assert abs(float(lam) - lam_ref) / lam_ref < 1e-4
+
+
+def test_randn_like_complex():
+    y = {"r": jnp.zeros((2, 3)), "c": jnp.zeros((4,), jnp.complex64)}
+    out = randn_like(jax.random.key(0), y)
+    assert out["c"].dtype == jnp.complex64
+    assert out["r"].shape == (2, 3)

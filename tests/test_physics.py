@@ -1,0 +1,280 @@
+"""Property tests over the physics operator registry.
+
+Mirrors the reference's universal parametrized checks
+(deepinv/tests/test_physics.py:21-120,713,803-880): adjointness, operator
+norm vs power method, pseudo-inverse residual, prox_l2 optimality — plus a
+JAX-only invariant: A_adjoint must agree with ``jax.linear_transpose`` of A.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import deepinv_tpu as dinv
+from deepinv_tpu.physics import (
+    Denoising,
+    Blur,
+    BlurFFT,
+    Downsampling,
+    Upsampling,
+    Inpainting,
+    Demosaicing,
+    MRI,
+    MultiCoilMRI,
+    DynamicMRI,
+    CompressedSensing,
+    GaussianNoise,
+    compose,
+    stack,
+)
+from deepinv_tpu.ops import gaussian_blur
+from conftest import assert_close
+
+IMSIZE = (3, 37, 31)
+
+OPERATORS = [
+    "denoising",
+    "blur_valid",
+    "blur_circular",
+    "blur_reflect",
+    "blur_replicate",
+    "blur_constant",
+    "blur_fft",
+    "downsampling_circular",
+    "downsampling_valid",
+    "upsampling",
+    "inpainting",
+    "demosaicing",
+    "mri",
+    "dynamic_mri",
+    "multicoil_mri",
+    "cs_dense",
+    "cs_fast",
+    "composed",
+    "stacked",
+]
+
+
+def find_operator(name):
+    """Factory like the reference's find_operator (test_physics.py:120)."""
+    key = jax.random.key(42)
+    imsize = IMSIZE
+    if name == "denoising":
+        return Denoising(), imsize
+    if name.startswith("blur_") and name != "blur_fft":
+        padding = name.split("_")[1]
+        return Blur(filter=gaussian_blur(sigma=(1.5, 0.7), angle=10.0), padding=padding), imsize
+    if name == "blur_fft":
+        return BlurFFT(img_size=imsize, filter=gaussian_blur(sigma=1.1)), imsize
+    if name == "downsampling_circular":
+        return Downsampling(img_size=imsize, filter="bicubic", factor=2, padding="circular"), imsize
+    if name == "downsampling_valid":
+        return Downsampling(img_size=imsize, filter="bilinear", factor=2, padding="valid"), imsize
+    if name == "upsampling":
+        return Upsampling(img_size=(3, 36, 32), filter="bilinear", factor=2, padding="circular"), (3, 18, 16)
+    if name == "inpainting":
+        return Inpainting(img_size=imsize, mask=0.7, key=key), imsize
+    if name == "demosaicing":
+        return Demosaicing(img_size=imsize), imsize
+    if name == "mri":
+        mask = (jax.random.uniform(key, (37, 31)) > 0.5).astype(jnp.float32)
+        return MRI(mask=mask), (2, 37, 31)
+    if name == "dynamic_mri":
+        mask = (jax.random.uniform(key, (1, 2, 4, 37, 31)) > 0.5).astype(jnp.float32)
+        return DynamicMRI(mask=mask), (2, 4, 37, 31)
+    if name == "multicoil_mri":
+        mask = (jax.random.uniform(key, (37, 31)) > 0.5).astype(jnp.float32)
+        kc = jax.random.key(7)
+        maps = jax.random.normal(kc, (1, 4, 37, 31)) + 1j * jax.random.normal(
+            jax.random.key(8), (1, 4, 37, 31)
+        )
+        return MultiCoilMRI(mask=mask, coil_maps=maps), (2, 37, 31)
+    if name == "cs_dense":
+        return CompressedSensing(m=250, img_size=(1, 17, 19)), (1, 17, 19)
+    if name == "cs_fast":
+        return CompressedSensing(m=100, img_size=(1, 17, 19), fast=True), (1, 17, 19)
+    if name == "composed":
+        blur = Blur(filter=gaussian_blur(sigma=1.0), padding="circular")
+        down = Downsampling(img_size=imsize, filter=None, factor=2)
+        return compose(blur, down), imsize
+    if name == "stacked":
+        p1 = Blur(filter=gaussian_blur(sigma=1.0), padding="circular")
+        p2 = Inpainting(img_size=imsize, mask=0.5, key=key)
+        return stack(p1, p2), imsize
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("name", OPERATORS)
+def test_adjointness(name):
+    """<Au, v> == <u, A^T v> (reference adjointness_test, forward.py:696)."""
+    physics, imsize = find_operator(name)
+    u = jax.random.normal(jax.random.key(1), (2,) + imsize)
+    err = physics.adjointness_test(u, key=jax.random.key(2))
+    assert abs(complex(err)) < 1e-3, f"adjointness error {err} for {name}"
+
+
+@pytest.mark.parametrize("name", OPERATORS)
+def test_operator_norm(name):
+    """Power-method norm is consistent: ||A x|| <= ||A|| ||x||."""
+    physics, imsize = find_operator(name)
+    x = jax.random.normal(jax.random.key(3), (1,) + imsize)
+    norm2 = physics.compute_norm(x, max_iter=200, tol=1e-7)
+    Ax = physics.A(x)
+    num = np.sqrt(float(sum(jnp.sum(jnp.abs(v) ** 2) for v in jax.tree_util.tree_leaves(Ax))))
+    den = np.sqrt(float(jnp.sum(x**2)))
+    assert num / den <= np.sqrt(float(norm2)) * 1.01 + 1e-6
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in OPERATORS if n not in ("cs_fast",)],
+)
+def test_pseudoinverse(name):
+    """A(A^dagger(A x)) == A x (reference test_physics.py:803)."""
+    physics, imsize = find_operator(name)
+    x = jax.random.normal(jax.random.key(4), (2,) + imsize)
+    y = physics.A(x)
+    x_dag = physics.A_dagger(y, max_iter=1000, tol=1e-8) if hasattr(physics, "A_dagger") else None
+    y2 = physics.A(x_dag)
+    err = float(
+        sum(jnp.sum(jnp.abs(a - b) ** 2) for a, b in zip(jax.tree_util.tree_leaves(y), jax.tree_util.tree_leaves(y2)))
+    )
+    ynorm = float(sum(jnp.sum(jnp.abs(a) ** 2) for a in jax.tree_util.tree_leaves(y)))
+    assert err / ynorm < 1e-3, f"pseudoinverse residual {err/ynorm} for {name}"
+
+
+@pytest.mark.parametrize("name", ["denoising", "blur_fft", "inpainting", "mri", "blur_circular", "downsampling_circular"])
+def test_prox_l2(name):
+    """prox_l2 satisfies the optimality condition
+    gamma A^T(A x - y) + (x - z) = 0 (reference test_physics.py:942)."""
+    physics, imsize = find_operator(name)
+    z = jax.random.normal(jax.random.key(5), (2,) + imsize)
+    xg = jax.random.normal(jax.random.key(6), (2,) + imsize)
+    y = physics.A(xg)
+    gamma = 0.7
+    xp = physics.prox_l2(z, y, gamma, max_iter=200, tol=1e-7)
+    resid = jax.tree_util.tree_map(
+        lambda a, b: gamma * a + b,
+        physics.A_adjoint(jax.tree_util.tree_map(jnp.subtract, physics.A(xp), y)),
+        jax.tree_util.tree_map(jnp.subtract, xp, z),
+    )
+    rnorm = float(sum(jnp.sum(v**2) for v in jax.tree_util.tree_leaves(resid)))
+    assert rnorm < 1e-4, f"prox_l2 optimality residual {rnorm} for {name}"
+
+
+@pytest.mark.parametrize("name", ["blur_circular", "mri", "inpainting"])
+def test_linear_transpose_consistency(name):
+    """JAX-only invariant: A_adjoint == jax.linear_transpose(A)."""
+    physics, imsize = find_operator(name)
+    x_spec = jax.ShapeDtypeStruct((2,) + imsize, jnp.float32)
+    y = physics.A(jax.random.normal(jax.random.key(7), (2,) + imsize))
+    (xt,) = jax.linear_transpose(physics.A, x_spec)(y)
+    ref = physics.A_adjoint(y)
+    assert_close(xt, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_decomposable_consistency():
+    """U diag(m) V^* structure: A == U.m.V* explicitly (forward.py:990)."""
+    physics, imsize = find_operator("blur_fft")
+    x = jax.random.normal(jax.random.key(8), (2,) + imsize)
+    a1 = physics.A(x)
+    a2 = physics.U(physics.mask * physics.V_adjoint(x))
+    assert_close(a1, a2, rtol=1e-4, atol=1e-5)
+
+
+def test_physics_vmap():
+    """vmap over a batch of physics (batched filters) — impossible in the
+    reference without generator loops."""
+    filters = jnp.stack(
+        [gaussian_blur(sigma=s)[0] for s in (1.0, 1.0, 1.0)]
+    )  # (3, 1, h, w) same size
+    base = Blur(filter=filters[0][None], padding="circular")
+    xs = jax.random.normal(jax.random.key(9), (3, 1) + IMSIZE)
+
+    def apply(f, x):
+        return base.update(filter=f[None]).A(x)
+
+    out = jax.vmap(apply)(filters, xs)
+    assert out.shape == xs.shape
+
+
+def test_noise_models(key):
+    from deepinv_tpu.physics import (
+        GaussianNoise,
+        PoissonNoise,
+        PoissonGaussianNoise,
+        UniformNoise,
+        GammaNoise,
+        LogPoissonNoise,
+        SaltPepperNoise,
+        RicianNoise,
+        LaplaceNoise,
+        UniformGaussianNoise,
+        ZeroNoise,
+        FisherTippettNoise,
+    )
+
+    x = jnp.ones((4, 3, 16, 16)) * 0.5
+    for noise in [
+        ZeroNoise(),
+        GaussianNoise(0.1),
+        UniformGaussianNoise(0.05, 0.2),
+        PoissonNoise(0.1),
+        GammaNoise(10.0),
+        PoissonGaussianNoise(0.1, 0.05),
+        UniformNoise(0.1),
+        LogPoissonNoise(),
+        SaltPepperNoise(),
+        FisherTippettNoise(10.0),
+        RicianNoise(0.1),
+        LaplaceNoise(0.1),
+    ]:
+        y = noise(x, key=key)
+        assert y.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(y)))
+        # determinism with the same key
+        y2 = noise(x, key=key)
+        assert_close(y, y2)
+
+    # batched sigma
+    sig = jnp.array([0.01, 0.1, 0.5, 1.0])
+    y = GaussianNoise(sig)(x, key=key)
+    stds = jnp.std(y - x, axis=(1, 2, 3))
+    assert jnp.all(jnp.diff(stds) > 0)
+
+
+def test_gaussian_noise_algebra():
+    n1 = GaussianNoise(0.3)
+    n2 = GaussianNoise(0.4)
+    assert abs(float((n1 * n2).sigma) - 0.5) < 1e-6
+
+
+def test_update_functional():
+    phys = Inpainting(img_size=IMSIZE, mask=0.5)
+    new_mask = jnp.ones((1,) + IMSIZE)
+    p2 = phys.update(mask=new_mask)
+    assert p2 is not phys
+    x = jnp.ones((1,) + IMSIZE)
+    assert_close(p2.A(x), x)
+
+
+def test_jit_physics():
+    """physics as pytree argument of a jitted function."""
+    phys = BlurFFT(img_size=IMSIZE, filter=gaussian_blur(sigma=1.0))
+
+    @jax.jit
+    def fwd(p, x):
+        return p.A(x)
+
+    x = jax.random.normal(jax.random.key(10), (2,) + IMSIZE)
+    assert_close(fwd(phys, x), phys.A(x), rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_tensorlist():
+    physics, imsize = find_operator("stacked")
+    x = jax.random.normal(jax.random.key(11), (2,) + imsize)
+    y = physics.A(x)
+    assert len(y) == 2
+    at = physics.A_adjoint(y)
+    assert at.shape == x.shape
