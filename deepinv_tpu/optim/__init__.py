@@ -1,1 +1,65 @@
 from .linear import least_squares, conjugate_gradient, bicgstab, minres, lsqr
+from .potential import Potential
+from .distance import (
+    Distance,
+    L2Distance,
+    IndicatorL2Distance,
+    PoissonLikelihoodDistance,
+    L1Distance,
+    AmplitudeLossDistance,
+    LogPoissonLikelihoodDistance,
+    ZeroDistance,
+)
+from .data_fidelity import (
+    DataFidelity,
+    StackedPhysicsDataFidelity,
+    L2,
+    IndicatorL2,
+    PoissonLikelihood,
+    L1,
+    AmplitudeLoss,
+    LogPoissonLikelihood,
+    ZeroFidelity,
+)
+from .prior import (
+    Prior,
+    Zero,
+    PnP,
+    RED,
+    ScorePrior,
+    Tikhonov,
+    L1Prior,
+    L12Prior,
+    TVPrior,
+    WaveletPrior,
+)
+from .bregman import Bregman, BregmanL2, BurgEntropy, NegEntropy
+from .iterators import (
+    OptimIterator,
+    GDIteration,
+    PGDIteration,
+    FISTAIteration,
+    HQSIteration,
+    ADMMIteration,
+    DRSIteration,
+    CPIteration,
+    MDIteration,
+    SIRTIteration,
+    MLEMIteration,
+)
+from .fixed_point import FixedPoint
+from .optimizers import (
+    BaseOptim,
+    optim_builder,
+    create_iterator,
+    ADMM,
+    DRS,
+    GD,
+    HQS,
+    PGD,
+    FISTA,
+    MD,
+    CP,
+    MLEM,
+    SIRT,
+)

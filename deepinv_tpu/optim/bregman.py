@@ -1,0 +1,65 @@
+"""Bregman potentials for mirror descent (reference deepinv/optim/bregman.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .potential import Potential
+
+__all__ = ["Bregman", "BregmanL2", "BurgEntropy", "NegEntropy"]
+
+
+class Bregman(Potential):
+    """Base Bregman potential h (bregman.py:7): needs grad and grad_conj."""
+
+    def grad_conj(self, xi, *args, **kwargs):
+        raise NotImplementedError
+
+    def div(self, x, y):
+        """Bregman divergence D_h(x, y) = h(x) - h(y) - <grad h(y), x-y>."""
+        return (
+            jnp.sum(self.fn(x))
+            - jnp.sum(self.fn(y))
+            - jnp.vdot(self.grad(y), x - y).real
+        )
+
+
+class BregmanL2(Bregman):
+    """h(x) = 0.5||x||^2; mirror descent reduces to GD (bregman.py:50)."""
+
+    def fn(self, x, *args, **kwargs):
+        return 0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=1)
+
+    def grad(self, x, *args, **kwargs):
+        return x
+
+    def grad_conj(self, xi, *args, **kwargs):
+        return xi
+
+
+class BurgEntropy(Bregman):
+    """h(x) = -sum log x (positive orthant geometry, bregman.py:107)."""
+
+    def fn(self, x, *args, **kwargs):
+        return -jnp.sum(jnp.log(x.reshape(x.shape[0], -1)), axis=1)
+
+    def grad(self, x, *args, **kwargs):
+        return -1.0 / x
+
+    def grad_conj(self, xi, *args, **kwargs):
+        return -1.0 / xi
+
+
+class NegEntropy(Bregman):
+    """h(x) = sum x log x (simplex geometry, bregman.py:158)."""
+
+    def fn(self, x, *args, **kwargs):
+        v = x.reshape(x.shape[0], -1)
+        return jnp.sum(v * jnp.log(jnp.clip(v, 1e-30, None)), axis=1)
+
+    def grad(self, x, *args, **kwargs):
+        return jnp.log(jnp.clip(x, 1e-30, None)) + 1
+
+    def grad_conj(self, xi, *args, **kwargs):
+        return jnp.exp(xi - 1)

@@ -1,0 +1,196 @@
+"""Data-fidelity terms f(x) = d(A(x), y)
+(reference deepinv/optim/data_fidelity.py, 10 classes, 843 LoC).
+
+Chain rule through the physics: ``grad f = A_vjp(x, grad_d(A x, y))``
+(data_fidelity.py:26). For :class:`L2`, prox routes to
+``physics.prox_l2`` — closed form for DecomposablePhysics, implicit-vjp
+Krylov otherwise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import TensorList
+from .potential import Potential
+from .distance import (
+    Distance,
+    L2Distance,
+    IndicatorL2Distance,
+    PoissonLikelihoodDistance,
+    L1Distance,
+    AmplitudeLossDistance,
+    LogPoissonLikelihoodDistance,
+    ZeroDistance,
+)
+
+__all__ = [
+    "DataFidelity",
+    "StackedPhysicsDataFidelity",
+    "L2",
+    "IndicatorL2",
+    "PoissonLikelihood",
+    "L1",
+    "AmplitudeLoss",
+    "LogPoissonLikelihood",
+    "ZeroFidelity",
+]
+
+
+class DataFidelity(Potential):
+    r"""Base data fidelity ``f(x) = d(A(x), y)`` (data_fidelity.py:26)."""
+
+    def __init__(self, d: Distance = None):
+        self.d = d if d is not None else L2Distance()
+
+    def fn(self, x, y, physics, *args, **kwargs):
+        Ax = physics.A(x)
+        if isinstance(Ax, TensorList):
+            return sum(self.d.fn(a, b) for a, b in zip(Ax, y))
+        return self.d.fn(Ax, y, *args, **kwargs)
+
+    def grad(self, x, y, physics, *args, **kwargs):
+        Ax = physics.A(x)
+        if isinstance(Ax, TensorList):
+            gd = TensorList([self.d.grad(a, b) for a, b in zip(Ax, y)])
+        else:
+            gd = self.d.grad(Ax, y, *args, **kwargs)
+        return physics.A_vjp(x, gd)
+
+    def grad_d(self, u, y, *args, **kwargs):
+        return self.d.grad(u, y, *args, **kwargs)
+
+    def prox_d(self, u, y, *args, gamma=1.0, **kwargs):
+        return self.d.prox(u, y, *args, gamma=gamma, **kwargs)
+
+    def prox(self, x, y, physics, *args, gamma=1.0, stepsize_inter=1.0,
+             max_iter_inter: int = 50, **kwargs):
+        """Default prox by inner gradient descent (data_fidelity.py:172)."""
+
+        def obj_grad(u):
+            g = self.grad(u, y, physics)
+            return jax.tree_util.tree_map(lambda gi, ui, xi: gamma * gi + (ui - xi), g, u, x)
+
+        def body(_, u):
+            g = obj_grad(u)
+            return jax.tree_util.tree_map(lambda ui, gi: ui - stepsize_inter * gi, u, g)
+
+        return jax.lax.fori_loop(0, max_iter_inter, body, x)
+
+    def prox_conjugate(self, x, y, physics, *args, gamma=1.0, lamb=1.0, **kwargs):
+        """Moreau decomposition on the measurement-space distance d."""
+        return x - gamma * self.prox_d(x / gamma, y, *args, gamma=lamb / gamma, **kwargs)
+
+
+class StackedPhysicsDataFidelity(DataFidelity):
+    r"""Sum of per-operator fidelities for stacked physics
+    (data_fidelity.py:113)."""
+
+    def __init__(self, data_fidelity_list):
+        self.data_fidelity_list = list(data_fidelity_list)
+        self.d = None
+
+    def fn(self, x, y, physics, *args, **kwargs):
+        return sum(
+            f.fn(x, yi, p)
+            for f, yi, p in zip(self.data_fidelity_list, y, physics.physics_list)
+        )
+
+    def grad(self, x, y, physics, *args, **kwargs):
+        grads = [
+            f.grad(x, yi, p)
+            for f, yi, p in zip(self.data_fidelity_list, y, physics.physics_list)
+        ]
+        tot = grads[0]
+        for g in grads[1:]:
+            tot = jax.tree_util.tree_map(jnp.add, tot, g)
+        return tot
+
+
+class L2(DataFidelity):
+    r"""``f(x) = 1/(2 sigma^2)||Ax-y||^2`` with closed/Krylov prox via
+    ``physics.prox_l2`` (data_fidelity.py:237)."""
+
+    def __init__(self, sigma: float = 1.0):
+        super().__init__(d=L2Distance(sigma=sigma))
+        self.norm = 1 / (sigma**2)
+
+    def prox(self, x, y, physics, *args, gamma=1.0, **kwargs):
+        return physics.prox_l2(x, y, self.norm * gamma, **kwargs)
+
+
+class IndicatorL2(DataFidelity):
+    r"""Indicator of ||Ax - y|| <= r (data_fidelity.py:585)."""
+
+    def __init__(self, radius: float = 0.0):
+        super().__init__(d=IndicatorL2Distance(radius=radius))
+        self.radius = radius
+
+    def prox(
+        self, x, y, physics, *args, radius=None, gamma=None,
+        stepsize=None, crit_conv=1e-5, max_iter: int = 100, **kwargs,
+    ):
+        """Projection onto {x : ||Ax - y|| <= r} by dual ascent
+        (data_fidelity.py:620)."""
+        radius = self.radius if radius is None else radius
+        norm_AtA = physics.compute_norm(x, max_iter=30)
+        stepsize_val = 1.0 / norm_AtA if stepsize is None else stepsize
+
+        def body(_, carry):
+            u, x_cur = carry
+            Ax = physics.A(x_cur)
+            t = Ax - self.d.prox(Ax, y, radius=radius)
+            u_new = u + stepsize_val * t
+            x_new = x - physics.A_adjoint(u_new)
+            return (u_new, x_new)
+
+        u0 = jax.tree_util.tree_map(jnp.zeros_like, physics.A(x))
+        _, x_out = jax.lax.fori_loop(0, max_iter, body, (u0, x))
+        return x_out
+
+
+class PoissonLikelihood(DataFidelity):
+    r"""Poisson NLL fidelity (data_fidelity.py:663)."""
+
+    def __init__(self, gain: float = 1.0, bkg: float = 0.0, denormalize: bool = True):
+        super().__init__(
+            d=PoissonLikelihoodDistance(gain=gain, bkg=bkg, denormalize=denormalize)
+        )
+
+
+class L1(DataFidelity):
+    r"""l1 fidelity (data_fidelity.py:692)."""
+
+    def __init__(self):
+        super().__init__(d=L1Distance())
+
+
+class AmplitudeLoss(DataFidelity):
+    r"""Amplitude loss for phase retrieval (data_fidelity.py:757)."""
+
+    def __init__(self):
+        super().__init__(d=AmplitudeLossDistance())
+
+
+class LogPoissonLikelihood(DataFidelity):
+    r"""Log-Poisson NLL (data_fidelity.py:776)."""
+
+    def __init__(self, N0: float = 1024.0, mu: float = 1 / 50.0):
+        super().__init__(d=LogPoissonLikelihoodDistance(N0=N0, mu=mu))
+
+
+class ZeroFidelity(DataFidelity):
+    r"""Identically zero fidelity (data_fidelity.py:798)."""
+
+    def __init__(self):
+        super().__init__(d=ZeroDistance())
+
+    def fn(self, x, y, physics, *args, **kwargs):
+        return jnp.zeros(x.shape[0], x.dtype)
+
+    def grad(self, x, y, physics, *args, **kwargs):
+        return jax.tree_util.tree_map(jnp.zeros_like, x)
+
+    def prox(self, x, y, physics, *args, gamma=1.0, **kwargs):
+        return x

@@ -1,0 +1,155 @@
+"""Distances d(u, y) between estimated and observed measurements
+(reference deepinv/optim/distance.py, 8 classes, 415 LoC)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .potential import Potential
+
+__all__ = [
+    "Distance",
+    "L2Distance",
+    "IndicatorL2Distance",
+    "PoissonLikelihoodDistance",
+    "L1Distance",
+    "AmplitudeLossDistance",
+    "LogPoissonLikelihoodDistance",
+    "ZeroDistance",
+]
+
+
+def _batch_sum(v):
+    """Sum over all dims except batch: returns shape (B,)."""
+    return jnp.sum(v.reshape(v.shape[0], -1), axis=1)
+
+
+class Distance(Potential):
+    """Base distance (reference distance.py:8)."""
+
+    def fn(self, u, y, *args, **kwargs):
+        raise NotImplementedError
+
+    def __call__(self, u, y, *args, **kwargs):
+        return self.fn(u, y, *args, **kwargs)
+
+    def grad(self, u, y, *args, **kwargs):
+        return jax.grad(lambda v: jnp.sum(self.fn(v, y, *args, **kwargs)))(u)
+
+
+class L2Distance(Distance):
+    r"""``d(u,y) = 1/(2 sigma^2) ||u-y||^2`` (distance.py:47)."""
+
+    def __init__(self, sigma: float = 1.0):
+        self.norm = 1.0 / (sigma**2)
+
+    def fn(self, u, y, *args, **kwargs):
+        return 0.5 * self.norm * _batch_sum(jnp.abs(u - y) ** 2)
+
+    def grad(self, u, y, *args, **kwargs):
+        return (u - y) * self.norm
+
+    def prox(self, u, y, *args, gamma=1.0, **kwargs):
+        return (u + self.norm * gamma * y) / (1 + gamma * self.norm)
+
+
+class IndicatorL2Distance(Distance):
+    r"""Indicator of the l2 ball ||u-y|| <= r (distance.py:118)."""
+
+    def __init__(self, radius: float = 1.0):
+        self.radius = radius
+
+    def fn(self, u, y, *args, radius=None, **kwargs):
+        radius = self.radius if radius is None else radius
+        dist = jnp.sqrt(_batch_sum(jnp.abs(u - y) ** 2))
+        return jnp.where(dist > radius, jnp.inf, 0.0)
+
+    def prox(self, u, y, *args, radius=None, gamma=None, **kwargs):
+        radius = self.radius if radius is None else radius
+        diff = u - y
+        dist = jnp.sqrt(_batch_sum(jnp.abs(diff) ** 2))
+        dist = dist.reshape(dist.shape + (1,) * (u.ndim - 1))
+        scale = jnp.clip(radius / (dist + 1e-12), None, 1.0)
+        return y + diff * scale
+
+
+class PoissonLikelihoodDistance(Distance):
+    r"""Poisson negative log-likelihood (distance.py:196):
+    ``d(u,y) = sum(u/gain + bkg) - sum(y log(u/gain + bkg))``."""
+
+    def __init__(self, gain: float = 1.0, bkg: float = 0.0, denormalize: bool = False):
+        self.gain = gain
+        self.bkg = bkg
+        self.denormalize = denormalize
+
+    def fn(self, u, y, *args, **kwargs):
+        if self.denormalize:
+            y = y / self.gain
+        return _batch_sum(-y * jnp.log(u / self.gain + self.bkg)) + _batch_sum(
+            u / self.gain + self.bkg
+        )
+
+    def grad(self, u, y, *args, **kwargs):
+        if self.denormalize:
+            y = y / self.gain
+        return self.gain * (1 - y / (u / self.gain + self.bkg))
+
+    def prox(self, u, y, *args, gamma: float = 1.0, **kwargs):
+        if self.denormalize:
+            y = y / self.gain
+        out = u - (1 / (self.gain * gamma)) * jnp.sqrt(
+            (u - 1 / (self.gain * gamma)) ** 2 + 4 * y / gamma
+        )
+        return out / 2
+
+
+class L1Distance(Distance):
+    r"""``d(u,y) = ||u-y||_1`` with soft-threshold prox (distance.py:266)."""
+
+    def fn(self, u, y, *args, **kwargs):
+        return _batch_sum(jnp.abs(u - y))
+
+    def grad(self, u, y, *args, **kwargs):
+        return jnp.sign(u - y)
+
+    def prox(self, u, y, *args, gamma: float = 1.0, **kwargs):
+        d = u - y
+        return y + jnp.sign(d) * jnp.maximum(jnp.abs(d) - gamma, 0.0)
+
+
+class AmplitudeLossDistance(Distance):
+    r"""Phase-retrieval amplitude loss ``||sqrt(u) - sqrt(y)||^2``
+    (distance.py:326)."""
+
+    def fn(self, u, y, *args, **kwargs):
+        return _batch_sum((jnp.sqrt(u) - jnp.sqrt(y)) ** 2)
+
+    def grad(self, u, y, *args, epsilon: float = 1e-12, **kwargs):
+        return 1 - jnp.sqrt(y / (u + epsilon))
+
+
+class LogPoissonLikelihoodDistance(Distance):
+    r"""Log-Poisson NLL for CT (distance.py:372)."""
+
+    def __init__(self, N0: float = 1024.0, mu: float = 1 / 50.0):
+        self.N0 = N0
+        self.mu = mu
+
+    def fn(self, u, y, *args, **kwargs):
+        out1 = jnp.exp(-u * self.mu) * self.N0
+        out2 = jnp.exp(-y * self.mu) * self.N0 * (u * self.mu)
+        return _batch_sum(out1 + out2)
+
+
+class ZeroDistance(Distance):
+    """Identically zero (distance.py:398)."""
+
+    def fn(self, u, y, *args, **kwargs):
+        return jnp.zeros(u.shape[0], u.dtype)
+
+    def grad(self, u, y, *args, **kwargs):
+        return jnp.zeros_like(u)
+
+    def prox(self, u, y, *args, gamma=1.0, **kwargs):
+        return u

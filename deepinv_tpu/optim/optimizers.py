@@ -1,0 +1,240 @@
+"""BaseOptim orchestration + named optimizer classes
+(reference deepinv/optim/optimizers.py, 2425 LoC).
+
+``BaseOptim`` is a *Reconstructor*: ``model(y, physics) -> x``. It assembles
+an iterator, a data fidelity, a prior and a per-iteration parameter schedule
+into a single jittable program. ``params_algo`` values may be scalars (shared
+across iterations) or arrays/lists with leading dim ``max_iter`` — the
+reference's list-per-iteration convention (optimizers.py:136-138) becomes a
+stacked pytree consumed by ``lax.scan``.
+
+Because BaseOptim is a pytree Module, *unfolded networks are free*: the
+stacked ``params_algo`` arrays and the prior's denoiser weights are leaves,
+so ``jax.grad(loss)(model)`` trains them — the reference needs
+``unfold=True`` machinery turning lists into ``nn.ParameterList``
+(optimizers.py:250-258, 855-858).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+from .data_fidelity import DataFidelity, L2
+from .prior import Prior, Zero
+from .fixed_point import FixedPoint
+from .iterators import (
+    OptimIterator,
+    GDIteration,
+    PGDIteration,
+    FISTAIteration,
+    HQSIteration,
+    ADMMIteration,
+    DRSIteration,
+    CPIteration,
+    MDIteration,
+    SIRTIteration,
+    MLEMIteration,
+    objective_function,
+)
+
+__all__ = [
+    "BaseOptim",
+    "optim_builder",
+    "create_iterator",
+    "ADMM",
+    "DRS",
+    "GD",
+    "HQS",
+    "PGD",
+    "FISTA",
+    "MD",
+    "CP",
+    "MLEM",
+    "SIRT",
+]
+
+_ITERATORS = {
+    "GD": GDIteration,
+    "PGD": PGDIteration,
+    "FISTA": FISTAIteration,
+    "HQS": HQSIteration,
+    "ADMM": ADMMIteration,
+    "DRS": DRSIteration,
+    "CP": CPIteration,
+    "MD": MDIteration,
+    "SIRT": SIRTIteration,
+    "MLEM": MLEMIteration,
+}
+
+_DEFAULT_PARAMS = {
+    "stepsize": 1.0,
+    "g_param": 0.05,
+    "lambda": 1.0,
+    "beta": 1.0,
+    "stepsize_dual": 1.0,
+    "a": 3.0,
+}
+
+
+def create_iterator(iteration, prior=None, cost_fn=None, g_first=False, **kwargs):
+    """Map an iteration name to an OptimIterator (reference optimizers.py:877)."""
+    if isinstance(iteration, OptimIterator):
+        return iteration
+    cls = _ITERATORS.get(str(iteration).upper())
+    if cls is None:
+        raise ValueError(
+            f"unknown iteration {iteration!r}; choose from {sorted(_ITERATORS)}"
+        )
+    if cls is MDIteration:
+        return cls(g_first=g_first, bregman_potential=kwargs.get("bregman_potential"))
+    return cls(g_first=g_first)
+
+
+class BaseOptim(Module):
+    """Optimization-algorithm reconstructor (reference optimizers.py:87).
+
+    :param iterator: OptimIterator or iteration name.
+    :param data_fidelity: DataFidelity term.
+    :param prior: Prior term.
+    :param params_algo: dict of scalars or per-iteration arrays.
+    :param max_iter: iteration budget.
+    :param early_stop: stop on residual convergence (while_loop mode).
+    :param crit_conv / thres_conv: convergence criterion.
+    :param custom_init: ``f(y, physics) -> x0`` or ``f(y, physics) -> dict``.
+        Default init is ``A_adjoint(y)`` (reference doc optimizers.py:140).
+    :param anderson_acceleration: enable Anderson mixing.
+    :param compute_cost: track objective values.
+    """
+
+    def __init__(
+        self,
+        iterator,
+        data_fidelity: DataFidelity = None,
+        prior: Prior = None,
+        params_algo: dict = None,
+        max_iter: int = 100,
+        early_stop: bool = False,
+        crit_conv: str = "residual",
+        thres_conv: float = 1e-5,
+        custom_init: Optional[Callable] = None,
+        anderson_acceleration: bool = False,
+        history_size: int = 5,
+        g_first: bool = False,
+        unfold: bool = False,
+        verbose: bool = False,
+        **kwargs,
+    ):
+        self.iterator = create_iterator(iterator, g_first=g_first, **kwargs)
+        self.data_fidelity = data_fidelity if data_fidelity is not None else L2()
+        self.prior = prior if prior is not None else Zero()
+        self.max_iter = max_iter
+        self.custom_init = custom_init
+        self.unfold = unfold
+        self.verbose = verbose
+
+        pa = dict(_DEFAULT_PARAMS)
+        pa.update(params_algo or {})
+        # stack every param to shape (max_iter, ...) for the scan
+        self.params_algo = {
+            k: self._stack_param(v, max_iter) for k, v in pa.items()
+        }
+
+        self.fixed_point = FixedPoint(
+            self.iterator,
+            max_iter=max_iter,
+            early_stop=early_stop,
+            crit_conv=crit_conv,
+            thres_conv=thres_conv,
+            anderson_acceleration=anderson_acceleration,
+            history_size=history_size,
+        )
+
+    @staticmethod
+    def _stack_param(v, max_iter):
+        if isinstance(v, (list, tuple)):
+            v = jnp.asarray(v, jnp.float32)
+            if v.shape[0] != max_iter:
+                reps = -(-max_iter // v.shape[0])
+                v = jnp.tile(v, reps)[:max_iter]
+            return v
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 0:
+            return jnp.broadcast_to(v, (max_iter,))
+        if v.shape[0] == max_iter:
+            return v
+        return jnp.broadcast_to(v[None], (max_iter,) + v.shape)
+
+    def init_iterate(self, y, physics, x_init=None):
+        """x0 = A_adjoint(y) by default (reference init, optimizers.py:140)."""
+        if x_init is not None:
+            return x_init
+        if self.custom_init is not None:
+            return self.custom_init(y, physics)
+        if hasattr(physics, "A_adjoint"):
+            return physics.A_adjoint(y)
+        return y
+
+    def __call__(self, y, physics, x_init=None, **kwargs):
+        x0 = self.init_iterate(y, physics, x_init)
+        X = self.fixed_point(
+            x0, self.data_fidelity, self.prior, self.params_algo, y, physics
+        )
+        return self.iterator.get_output(X)
+
+    forward = __call__
+
+    def objective(self, x, y, physics):
+        """Objective F(x) at the *final* parameter values."""
+        cur = jax.tree_util.tree_map(lambda v: v[-1], self.params_algo)
+        return objective_function(x, self.data_fidelity, self.prior, cur, y, physics)
+
+
+def optim_builder(
+    iteration,
+    data_fidelity=None,
+    prior=None,
+    params_algo=None,
+    max_iter: int = 100,
+    **kwargs,
+) -> BaseOptim:
+    """Build a reconstruction algorithm (reference optimizers.py:967)."""
+    return BaseOptim(
+        iteration,
+        data_fidelity=data_fidelity,
+        prior=prior,
+        params_algo=params_algo,
+        max_iter=max_iter,
+        **kwargs,
+    )
+
+
+def _named(iteration):
+    def build(data_fidelity=None, prior=None, params_algo=None, max_iter=100, **kwargs):
+        return BaseOptim(
+            iteration,
+            data_fidelity=data_fidelity,
+            prior=prior,
+            params_algo=params_algo,
+            max_iter=max_iter,
+            **kwargs,
+        )
+
+    build.__name__ = iteration
+    build.__doc__ = f"{iteration} reconstructor (reference optimizers.py named class)."
+    return build
+
+
+ADMM = _named("ADMM")
+DRS = _named("DRS")
+GD = _named("GD")
+HQS = _named("HQS")
+PGD = _named("PGD")
+FISTA = _named("FISTA")
+MD = _named("MD")
+CP = _named("CP")
+MLEM = _named("MLEM")
+SIRT = _named("SIRT")

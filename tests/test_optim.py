@@ -1,0 +1,303 @@
+"""Optimization tests: each algorithm converges to the known minimizer
+(mirrors reference tests/test_optim.py strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinv_tpu.physics import Denoising, Inpainting, BlurFFT, Blur, GaussianNoise
+from deepinv_tpu.ops import gaussian_blur
+from deepinv_tpu.optim import (
+    L2,
+    L1,
+    PoissonLikelihood,
+    Tikhonov,
+    L1Prior,
+    TVPrior,
+    WaveletPrior,
+    PnP,
+    RED,
+    Zero,
+    BaseOptim,
+    optim_builder,
+    HQS,
+    PGD,
+    FISTA,
+    ADMM,
+    DRS,
+    GD,
+    CP,
+    SIRT,
+    MLEM,
+    conjugate_gradient,
+    bicgstab,
+    minres,
+    lsqr,
+    least_squares,
+)
+from conftest import assert_close
+
+IMSIZE = (1, 16, 16)
+
+
+def _tikhonov_solution(physics, y, lam):
+    """Closed form argmin 0.5||Ax-y||^2 + lam*0.5||x||^2 for small problems."""
+    n = int(np.prod(IMSIZE))
+    eye = jnp.eye(n)
+    cols = jax.vmap(lambda e: physics.A(e.reshape((1,) + IMSIZE)).reshape(-1))(eye)
+    A = cols.T  # (m, n)
+    rhs = A.T @ y.reshape(-1)
+    sol = jnp.linalg.solve(A.T @ A + lam * jnp.eye(n), rhs)
+    return sol.reshape((1,) + IMSIZE)
+
+
+@pytest.fixture
+def problem():
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (1,) + IMSIZE)
+    physics = Inpainting(img_size=IMSIZE, mask=0.7, key=jax.random.key(1))
+    y = physics.A(x)
+    return x, physics, y
+
+
+def test_hqs_fixed_point(problem):
+    """HQS converges to x = prox_g(prox_f(x)) — the Moreau-envelope
+    surrogate, not argmin f + lam g (reference hqs.py:24 docstring)."""
+    x, physics, y = problem
+    lam, step = 0.3, 0.9
+    model = optim_builder(
+        "HQS",
+        data_fidelity=L2(),
+        prior=Tikhonov(),
+        params_algo={"stepsize": step, "lambda": lam},
+        max_iter=300,
+    )
+    xhat = model(y, physics)
+    fp = Tikhonov().prox(
+        L2().prox(xhat, y, physics, gamma=step), gamma=lam * step
+    )
+    assert float(jnp.max(jnp.abs(fp - xhat))) < 1e-4
+
+
+@pytest.mark.parametrize("algo", ["GD", "PGD", "FISTA", "ADMM", "DRS", "CP"])
+def test_algorithms_converge_tikhonov(problem, algo):
+    """All splitting algorithms minimize f + lambda*Tikhonov to the same
+    closed-form solution."""
+    x, physics, y = problem
+    lam = 0.3
+    xstar = _tikhonov_solution(physics, y, lam)
+    params = {"stepsize": 0.9, "lambda": lam, "g_param": 0.1, "stepsize_dual": 0.9}
+    model = optim_builder(
+        algo,
+        data_fidelity=L2(),
+        prior=Tikhonov(),
+        params_algo=params,
+        max_iter=300,
+    )
+    xhat = model(y, physics)
+    err = float(jnp.max(jnp.abs(xhat - xstar)))
+    assert err < 1e-3, f"{algo} error {err}"
+
+
+def test_early_stop(problem):
+    x, physics, y = problem
+    model = optim_builder(
+        "PGD",
+        data_fidelity=L2(),
+        prior=Tikhonov(),
+        params_algo={"stepsize": 0.9, "lambda": 0.3},
+        max_iter=1000,
+        early_stop=True,
+        thres_conv=1e-6,
+    )
+    xhat = model(y, physics)
+    xstar = _tikhonov_solution(physics, y, 0.3)
+    assert float(jnp.max(jnp.abs(xhat - xstar))) < 1e-3
+
+
+def test_anderson_acceleration(problem):
+    x, physics, y = problem
+    xstar = _tikhonov_solution(physics, y, 0.3)
+    model = optim_builder(
+        "PGD",
+        data_fidelity=L2(),
+        prior=Tikhonov(),
+        params_algo={"stepsize": 0.2, "lambda": 0.3},
+        max_iter=8,
+        anderson_acceleration=True,
+    )
+    model_plain = optim_builder(
+        "PGD",
+        data_fidelity=L2(),
+        prior=Tikhonov(),
+        params_algo={"stepsize": 0.2, "lambda": 0.3},
+        max_iter=8,
+    )
+    err_aa = float(jnp.max(jnp.abs(model(y, physics) - xstar)))
+    err_plain = float(jnp.max(jnp.abs(model_plain(y, physics) - xstar)))
+    assert err_aa < err_plain, (err_aa, err_plain)
+
+
+def test_l1_prior_sparsity():
+    """PGD with L1 prior on denoising = soft thresholding of y."""
+    key = jax.random.key(3)
+    x = jax.random.normal(key, (2,) + IMSIZE)
+    physics = Denoising()
+    y = physics.A(x)
+    lam = 0.2
+    model = optim_builder(
+        "PGD",
+        data_fidelity=L2(),
+        prior=L1Prior(),
+        params_algo={"stepsize": 1.0, "lambda": lam},
+        max_iter=100,
+    )
+    xhat = model(y, physics)
+    expected = jnp.sign(y) * jnp.maximum(jnp.abs(y) - lam, 0.0)
+    assert_close(xhat, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_tv_prior_prox():
+    """TV prox reduces total variation while staying close to input."""
+    key = jax.random.key(4)
+    x = jax.random.normal(key, (1, 1, 32, 32))
+    tv = TVPrior(n_it_max=200)
+    out = tv.prox(x, gamma=0.5)
+    assert float(tv.fn(out)[0]) < float(tv.fn(x)[0])
+    # gamma -> 0 returns input
+    out0 = tv.prox(x, gamma=1e-8)
+    assert_close(out0, x, rtol=1e-3, atol=1e-3)
+
+
+def test_wavelet_prior_prox():
+    key = jax.random.key(5)
+    x = jax.random.normal(key, (1, 1, 32, 32))
+    wp = WaveletPrior(wv="db4", level=3)
+    out = wp.prox(x, gamma=0.5)
+    assert float(wp.fn(out)[0]) < float(wp.fn(x)[0])
+    out0 = wp.prox(x, gamma=0.0)
+    assert_close(out0, x, rtol=1e-4, atol=1e-5)
+
+
+def test_pnp_hqs_runs(problem):
+    """PnP with a (dummy) denoiser plugged as prox."""
+    x, physics, y = problem
+
+    class BoxDenoiser:
+        def __call__(self, u, sigma):
+            return jnp.clip(u, 0.0, 1.0)
+
+    model = optim_builder(
+        "HQS",
+        data_fidelity=L2(),
+        prior=PnP(BoxDenoiser()),
+        params_algo={"stepsize": 1.0, "g_param": 0.05},
+        max_iter=10,
+    )
+    xhat = model(y, physics)
+    # observed pixels are data-consistent; output respects the box constraint
+    mask = physics.mask
+    err_obs = float(jnp.max(jnp.abs((xhat - x) * mask)))
+    assert err_obs < 0.05, err_obs
+    assert xhat.min() >= 0 and xhat.max() <= 1
+
+
+def test_sirt_mlem():
+    key = jax.random.key(6)
+    x = jax.random.uniform(key, (1,) + IMSIZE) + 0.1
+    physics = Blur(filter=gaussian_blur(sigma=1.0), padding="circular")
+    y = physics.A(x)
+    sirt = optim_builder("SIRT", data_fidelity=L2(), prior=Zero(),
+                         params_algo={"stepsize": 1.0}, max_iter=100)
+    xs = sirt(y, physics)
+    assert float(jnp.mean((physics.A(xs) - y) ** 2)) < float(jnp.mean((y - physics.A(physics.A_adjoint(y))) ** 2))
+    mlem = optim_builder("MLEM", data_fidelity=PoissonLikelihood(), prior=Zero(),
+                         params_algo={"lambda": 0.0}, max_iter=50)
+    xm = mlem(y, physics, x_init=jnp.ones_like(x))
+    assert float(jnp.mean((physics.A(xm) - y) ** 2)) < 1e-3
+
+
+def test_unfolded_gradient_flow(problem):
+    """Gradients flow through the scan to params_algo and prior weights —
+    the unfolded-network mechanism (reference optimizers.py:250)."""
+    x, physics, y = problem
+    model = optim_builder(
+        "PGD",
+        data_fidelity=L2(),
+        prior=Tikhonov(),
+        params_algo={"stepsize": 0.5, "lambda": 0.3},
+        max_iter=5,
+    )
+
+    def loss(m):
+        xhat = m(y, physics)
+        return jnp.sum((xhat - x) ** 2)
+
+    g = jax.grad(loss)(model)
+    gs = g.params_algo["stepsize"]
+    assert gs.shape == (5,)
+    assert float(jnp.sum(jnp.abs(gs))) > 0
+
+
+def test_jit_recon(problem):
+    x, physics, y = problem
+    model = optim_builder(
+        "HQS", data_fidelity=L2(), prior=Tikhonov(),
+        params_algo={"stepsize": 0.9, "lambda": 0.3}, max_iter=50,
+    )
+
+    @jax.jit
+    def recon(m, y, p):
+        return m(y, p)
+
+    assert_close(recon(model, y, physics), model(y, physics), rtol=1e-5, atol=1e-5)
+
+
+# -- solver unit tests -------------------------------------------------------
+
+
+def test_solvers_small_system():
+    key = jax.random.key(7)
+    M = jax.random.normal(key, (12, 12))
+    S = M @ M.T + 5 * jnp.eye(12)
+    xtrue = jax.random.normal(jax.random.key(8), (2, 12))
+    b = xtrue @ S.T  # batched
+
+    H = lambda v: v @ S.T
+    for solver in (conjugate_gradient, bicgstab, minres):
+        xh = solver(H, b, max_iter=200, tol=1e-9)
+        assert_close(xh, xtrue, rtol=1e-3, atol=1e-4)
+
+
+def test_lsqr_overdetermined():
+    key = jax.random.key(9)
+    A = jax.random.normal(key, (20, 8))
+    xtrue = jax.random.normal(jax.random.key(10), (3, 8))
+    y = xtrue @ A.T
+    Af = lambda v: v @ A.T
+    At = lambda u: u @ A
+    xh = lsqr(Af, At, y, max_iter=100, tol=1e-10)
+    assert_close(xh, xtrue, rtol=1e-3, atol=1e-4)
+
+
+def test_least_squares_implicit_grad():
+    """Gradient of the implicit prox solve matches finite differences."""
+    physics = BlurFFT(img_size=(1, 8, 8), filter=gaussian_blur(sigma=0.8))
+    # use a generic LinearPhysics wrapper to exercise the Krylov path
+    from deepinv_tpu.physics import LinearPhysics
+
+    wrapped = LinearPhysics(A=physics.A, A_adjoint=physics.A_adjoint)
+    z = jax.random.normal(jax.random.key(11), (1, 1, 8, 8))
+    y = jax.random.normal(jax.random.key(12), (1, 1, 8, 8))
+
+    def f(yv):
+        out = wrapped.prox_l2(z, yv, 2.0, max_iter=100, tol=1e-8)
+        return jnp.sum(out**2)
+
+    g = jax.grad(f)(y)
+    eps = 1e-3
+    d = jax.random.normal(jax.random.key(13), y.shape)
+    fd = (f(y + eps * d) - f(y - eps * d)) / (2 * eps)
+    ad = jnp.vdot(g, d)
+    assert abs(float(fd - ad)) / (abs(float(fd)) + 1e-9) < 1e-2
