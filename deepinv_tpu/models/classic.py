@@ -1,0 +1,195 @@
+"""Classic (training-free) denoisers
+(reference deepinv/models/{tv.py, wavdict.py, median.py, tgv.py}).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import Denoiser
+
+__all__ = [
+    "TVDenoiser",
+    "TGVDenoiser",
+    "WaveletDenoiser",
+    "WaveletDictDenoiser",
+    "MedianFilter",
+    "BilateralFilter",
+    "AnscombeDenoiser",
+]
+
+
+class TVDenoiser(Denoiser):
+    """Isotropic TV denoiser (reference models/tv.py:239): the prox of
+    ``ths * TV`` computed with Chambolle's dual algorithm."""
+
+    def __init__(self, n_it_max: int = 200):
+        from ..optim.prior import TVPrior
+
+        self.prior = TVPrior(n_it_max=n_it_max)
+
+    def __call__(self, x, ths=0.1, **kwargs):
+        return self.prior.prox(x, gamma=ths)
+
+
+class TGVDenoiser(Denoiser):
+    """Second-order total generalized variation denoiser
+    (reference models/tgv.py:312), primal-dual (Chambolle-Pock) iteration
+    compiled to ``lax.fori_loop``."""
+
+    def __init__(self, n_it_max: int = 200, alpha1: float = 1.0, alpha2: float = 2.0):
+        self.n_it_max = n_it_max
+        self.alpha1 = alpha1
+        self.alpha2 = alpha2
+
+    def __call__(self, x, ths=0.1, **kwargs):
+        lam = ths
+        tau = 0.1
+        sigma = 1.0 / (tau * 72.0)
+
+        def grad2(v):  # gradient of a vector field (B,C,H,W,2) -> (...,4)
+            dh = jnp.stack(
+                [jnp.diff(v[..., i], axis=-2, append=v[..., -1:, :, i]) for i in range(2)],
+                axis=-1,
+            )
+            dw = jnp.stack(
+                [jnp.diff(v[..., i], axis=-1, append=v[..., -1:, i]) for i in range(2)],
+                axis=-1,
+            )
+            return jnp.concatenate([dh, dw], axis=-1)
+
+        from ..optim.prior import _grad_op, _div_op
+
+        def proj_ball(p, alpha):
+            n = jnp.sqrt(jnp.sum(p**2, axis=-1, keepdims=True))
+            return p / jnp.maximum(1.0, n / alpha)
+
+        def body(_, carry):
+            u, w, p, q, u_bar, w_bar = carry
+            # dual updates
+            p = proj_ball(p + sigma * (_grad_op(u_bar) - w_bar), self.alpha1 * lam)
+            q = proj_ball(q + sigma * grad2(w_bar), self.alpha2 * lam)
+            # primal updates
+            u_new = (u - tau * (-_div_op(p)) + tau * x / 1.0) / (1 + tau)
+            # divergence of q back onto the vector field
+            fwd = lambda v: grad2(v)
+            (qt,) = jax.linear_transpose(
+                fwd, jax.ShapeDtypeStruct(w.shape, w.dtype)
+            )(q)
+            w_new = w - tau * (qt - p)
+            u_bar = 2 * u_new - u
+            w_bar = 2 * w_new - w
+            return (u_new, w_new, p, q, u_bar, w_bar)
+
+        u0 = x
+        w0 = jnp.zeros(x.shape + (2,), x.dtype)
+        p0 = jnp.zeros(x.shape + (2,), x.dtype)
+        q0 = jnp.zeros(x.shape + (4,), x.dtype)
+        u, *_ = jax.lax.fori_loop(0, self.n_it_max, body, (u0, w0, p0, q0, u0, w0))
+        return u
+
+
+class WaveletDenoiser(Denoiser):
+    """Orthonormal wavelet soft-thresholding (reference models/wavdict.py)."""
+
+    def __init__(self, wv: str = "db4", level: int = 3, non_linearity: str = "soft"):
+        from ..ops.wavelets import WaveletTransform
+
+        self.wt = WaveletTransform(wavelet=wv, level=level)
+        self.non_linearity = non_linearity
+
+    def _threshold(self, c, ths):
+        if self.non_linearity == "soft":
+            return jnp.sign(c) * jnp.maximum(jnp.abs(c) - ths, 0.0)
+        elif self.non_linearity == "hard":
+            return jnp.where(jnp.abs(c) > ths, c, 0.0)
+        raise ValueError(self.non_linearity)
+
+    def __call__(self, x, sigma=0.1, **kwargs):
+        ths = jnp.asarray(sigma)
+        if ths.ndim > 0:  # per-batch thresholds broadcast over coefficients
+            ths = ths.reshape((-1,) + (1,) * (x.ndim - 1))
+        t = self.wt.dwt2(x)
+        t = self.wt.map_detail(t, lambda c: self._threshold(c, ths))
+        return self.wt.idwt2(t)
+
+
+class WaveletDictDenoiser(Denoiser):
+    """Average of per-wavelet denoisers (reference wavdict.py:610)."""
+
+    def __init__(self, list_wv=("db2", "db4", "db8"), level: int = 3, max_iter: int = 10):
+        self.denoisers = [WaveletDenoiser(wv=w, level=level) for w in list_wv]
+
+    def __call__(self, x, sigma=0.1, **kwargs):
+        outs = [d(x, sigma) for d in self.denoisers]
+        return sum(outs) / len(outs)
+
+
+class MedianFilter(Denoiser):
+    """Window median filter (reference models/median.py:52)."""
+
+    def __init__(self, kernel_size: int = 3):
+        self.kernel_size = kernel_size
+
+    def __call__(self, x, sigma=None, **kwargs):
+        k = self.kernel_size
+        p = k // 2
+        xp = jnp.pad(x, [(0, 0), (0, 0), (p, p), (p, p)], mode="reflect")
+        H, W = x.shape[-2:]
+        shifts = [
+            xp[..., i : i + H, j : j + W] for i in range(k) for j in range(k)
+        ]
+        stack = jnp.stack(shifts, axis=0)
+        return jnp.median(stack, axis=0)
+
+
+class BilateralFilter(Denoiser):
+    """Bilateral filter (reference models/bilateral.py:130)."""
+
+    def __init__(self, kernel_size: int = 5, sigma_space: float = 2.0, sigma_color: float = 0.1):
+        self.kernel_size = kernel_size
+        self.sigma_space = sigma_space
+        self.sigma_color = sigma_color
+
+    def __call__(self, x, sigma=None, **kwargs):
+        k = self.kernel_size
+        p = k // 2
+        sc = self.sigma_color if sigma is None else sigma
+        xp = jnp.pad(x, [(0, 0), (0, 0), (p, p), (p, p)], mode="reflect")
+        H, W = x.shape[-2:]
+        num = jnp.zeros_like(x)
+        den = jnp.zeros_like(x)
+        for i in range(k):
+            for j in range(k)  :
+                shifted = xp[..., i : i + H, j : j + W]
+                w_s = jnp.exp(-((i - p) ** 2 + (j - p) ** 2) / (2 * self.sigma_space**2))
+                w_c = jnp.exp(-((shifted - x) ** 2) / (2 * sc**2))
+                w = w_s * w_c
+                num = num + w * shifted
+                den = den + w
+        return num / den
+
+
+class AnscombeDenoiser(Denoiser):
+    """Anscombe variance-stabilizing transform around a Gaussian denoiser
+    (reference models/anscombe.py:194)."""
+
+    def __init__(self, denoiser, gain: float = 1.0):
+        self.denoiser = denoiser
+        self.gain = gain
+
+    def __call__(self, x, sigma=None, **kwargs):
+        g = self.gain
+        # generalized Anscombe transform
+        t = 2.0 * jnp.sqrt(jnp.clip(x / g + 3.0 / 8.0, 0.0, None))
+        den = self.denoiser(t, 1.0 if sigma is None else sigma)
+        # closed-form unbiased inverse
+        inv = (
+            den**2 / 4.0
+            + jnp.sqrt(3.0 / 2.0) / (4.0 * jnp.clip(den, 1e-8, None))
+            - 11.0 / (8.0 * jnp.clip(den, 1e-8, None) ** 2)
+            + 5.0 * jnp.sqrt(3.0 / 2.0) / (8.0 * jnp.clip(den, 1e-8, None) ** 3)
+            - 1.0 / 8.0
+        )
+        return inv * g

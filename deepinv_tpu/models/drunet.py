@@ -1,0 +1,105 @@
+"""DRUNet sigma-conditioned denoiser (reference deepinv/models/drunet.py:23).
+
+Architecture (KAIR DRUNet): head conv -> 3 x [4 ResBlocks + strided-conv
+down] -> 4-ResBlock body -> 3 x [conv-transpose up + 4 ResBlocks] -> tail
+conv, bias-free, with additive long skips (drunet.py:200-210). The noise
+level enters as an extra input channel (noise-level map, drunet.py:212-250).
+
+The parameter tree mirrors the torch module names (m_head, m_down1..3,
+m_body, m_up3..1, m_tail) so pretrained HuggingFace checkpoints port as a
+pure tree mapping (models/convert.py).
+
+Odd input sizes are handled with the reference's ``test_pad`` strategy
+(modulo-16 padding, models/utils.py:49).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+from .base import Denoiser, handle_sigma
+from .layers import Conv2d, ConvTranspose2d, Sequential
+from .utils import test_pad
+
+__all__ = ["DRUNet"]
+
+
+class ResBlock(Module):
+    """C-ReLU-C residual block (reference drunet.py:310)."""
+
+    def __init__(self, nc: int, bias: bool = False, key=None):
+        k1, k2 = jax.random.split(key if key is not None else jax.random.key(0))
+        self.conv1 = Conv2d(nc, nc, 3, 1, 1, bias=bias, key=k1)
+        self.conv2 = Conv2d(nc, nc, 3, 1, 1, bias=bias, key=k2)
+        # reference init uses gain 0.2 (weights_init_drunet) so stacked
+        # residual blocks stay stable at random init
+        self.conv1 = self.conv1.replace(weight=self.conv1.weight * 0.2)
+        self.conv2 = self.conv2.replace(weight=self.conv2.weight * 0.2)
+
+    def __call__(self, x):
+        return x + self.conv2(jax.nn.relu(self.conv1(x)))
+
+
+class DRUNet(Denoiser):
+    def __init__(
+        self,
+        in_channels: int = 3,
+        out_channels: int = 3,
+        nc=(64, 128, 256, 512),
+        nb: int = 4,
+        pretrained=None,
+        key=None,
+    ):
+        key = key if key is not None else jax.random.key(0)
+        ks = iter(jax.random.split(key, 64))
+        nc = tuple(nc)
+        self.nb = nb
+
+        self.m_head = Conv2d(in_channels + 1, nc[0], 3, 1, 1, bias=False, key=next(ks))
+
+        def down_stage(cin, cout):
+            blocks = [ResBlock(cin, key=next(ks)) for _ in range(nb)]
+            down = Conv2d(cin, cout, 2, 2, 0, bias=False, key=next(ks))
+            return Sequential(*blocks, down)
+
+        def up_stage(cin, cout):
+            up = ConvTranspose2d(cin, cout, 2, 2, 0, bias=False, key=next(ks))
+            blocks = [ResBlock(cout, key=next(ks)) for _ in range(nb)]
+            return Sequential(up, *blocks)
+
+        self.m_down1 = down_stage(nc[0], nc[1])
+        self.m_down2 = down_stage(nc[1], nc[2])
+        self.m_down3 = down_stage(nc[2], nc[3])
+        self.m_body = Sequential(*[ResBlock(nc[3], key=next(ks)) for _ in range(nb)])
+        self.m_up3 = up_stage(nc[3], nc[2])
+        self.m_up2 = up_stage(nc[2], nc[1])
+        self.m_up1 = up_stage(nc[1], nc[0])
+        self.m_tail = Conv2d(nc[0], out_channels, 3, 1, 1, bias=False, key=next(ks))
+
+        if pretrained is not None:
+            from .convert import load_torch_checkpoint, port_drunet
+
+            ckpt = load_torch_checkpoint(pretrained)
+            ported = port_drunet(self, ckpt)
+            self.__dict__.update(ported.__dict__)
+
+    def forward_unet(self, x0):
+        x1 = self.m_head(x0)
+        x2 = self.m_down1(x1)
+        x3 = self.m_down2(x2)
+        x4 = self.m_down3(x3)
+        x = self.m_body(x4)
+        x = self.m_up3(x + x4)
+        x = self.m_up2(x + x3)
+        x = self.m_up1(x + x2)
+        return self.m_tail(x + x1)
+
+    def __call__(self, x, sigma=0.05, **kwargs):
+        noise_map = handle_sigma(sigma, x)
+        xin = jnp.concatenate([x, noise_map], axis=1)
+        H, W = x.shape[-2:]
+        if H % 8 == 0 and W % 8 == 0 and H > 31 and W > 31:
+            return self.forward_unet(xin)
+        return test_pad(self.forward_unet, xin, modulo=16)
