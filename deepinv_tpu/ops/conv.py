@@ -245,7 +245,13 @@ def conv_transpose3d_fft(
 
 
 def gaussian_blur(sigma=(1.0, 1.0), angle: float = 0.0, psf_size=None) -> jax.Array:
-    """2D anisotropic rotated Gaussian kernel, shape (1, 1, h, w), sum=1."""
+    """2D anisotropic rotated Gaussian kernel, shape (1, 1, h, w), sum=1.
+
+    Host-side (numpy) construction: the axon TPU platform cannot execute
+    eager reductions, and PSFs are static constants anyway.
+    """
+    import numpy as np
+
     if isinstance(sigma, (int, float)):
         sigma = (float(sigma), float(sigma))
     if psf_size is None:
@@ -255,49 +261,56 @@ def gaussian_blur(sigma=(1.0, 1.0), angle: float = 0.0, psf_size=None) -> jax.Ar
     # reference rotation convention (functional/blur.py:137): positive angle
     # rotates the kernel counter-clockwise in (row, col) image coordinates
     th = -math.radians(float(angle))
-    ax_y = jnp.linspace(-(psf_size[0] - 1) / 2, (psf_size[0] - 1) / 2, psf_size[0])
-    ax_x = jnp.linspace(-(psf_size[1] - 1) / 2, (psf_size[1] - 1) / 2, psf_size[1])
-    yy, xx = jnp.meshgrid(ax_y, ax_x, indexing="ij")
+    ax_y = np.linspace(-(psf_size[0] - 1) / 2, (psf_size[0] - 1) / 2, psf_size[0])
+    ax_x = np.linspace(-(psf_size[1] - 1) / 2, (psf_size[1] - 1) / 2, psf_size[1])
+    yy, xx = np.meshgrid(ax_y, ax_x, indexing="ij")
     xr = math.cos(th) * xx + math.sin(th) * yy
     yr = -math.sin(th) * xx + math.cos(th) * yy
-    k = jnp.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
-    k = k / jnp.sum(k)
-    return k[None, None]
+    k = np.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
+    k = k / np.sum(k)
+    return jnp.asarray(k[None, None], jnp.float32)
 
 
 def bilinear_filter(factor: int = 2) -> jax.Array:
     """Bilinear antialiasing filter of size (1,1,2f,2f) (reference blur.py:339)."""
-    x = jnp.arange(-factor + 0.5, factor, 1.0) / factor
-    w = 1.0 - jnp.abs(x)
-    w = jnp.outer(w, w)
-    return (w / jnp.sum(w))[None, None]
+    import numpy as np
+
+    x = np.arange(-factor + 0.5, factor, 1.0) / factor
+    w = 1.0 - np.abs(x)
+    w = np.outer(w, w)
+    return jnp.asarray((w / np.sum(w))[None, None], jnp.float32)
 
 
 def bicubic_filter(factor: int = 2) -> jax.Array:
     """Bicubic filter of size (1,1,4f,4f) (reference blur.py:552)."""
-    x = jnp.abs(jnp.arange(-2 * factor + 0.5, 2 * factor, 1.0) / factor)
+    import numpy as np
+
+    x = np.abs(np.arange(-2 * factor + 0.5, 2 * factor, 1.0) / factor)
     a = -0.5
     w = ((a + 2) * x**3 - (a + 3) * x**2 + 1) * (x <= 1)
     w = w + (a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a) * ((x > 1) & (x < 2))
-    w = jnp.outer(w, w)
-    return (w / jnp.sum(w))[None, None]
+    w = np.outer(w, w)
+    return jnp.asarray((w / np.sum(w))[None, None], jnp.float32)
 
 
-def kaiser_window(beta: float, length: int) -> jax.Array:
-    """Kaiser window (reference blur.py:267)."""
-    n = jnp.arange(length) - (length - 1) / 2
-    arg = beta * jnp.sqrt(jnp.clip(1 - (2 * n / (length - 1)) ** 2, 0.0, None))
-    from jax.scipy.special import i0 as _i0
+def kaiser_window(beta: float, length: int):
+    """Kaiser window (reference blur.py:267), host-side numpy."""
+    import numpy as np
+    from scipy.special import i0 as _i0
 
-    return _i0(arg) / _i0(jnp.asarray(beta))
+    n = np.arange(length) - (length - 1) / 2
+    arg = beta * np.sqrt(np.clip(1 - (2 * n / (length - 1)) ** 2, 0.0, None))
+    return _i0(arg) / _i0(beta)
 
 
 def sinc_filter(factor: float = 2, length: int = 11, windowed: bool = True) -> jax.Array:
     """Anti-aliasing (windowed) sinc filter (reference blur.py:283)."""
+    import numpy as np
+
     factor = float(factor)
     deltaf = 2 * (2 - 1.4142136) / factor
-    n = jnp.arange(length) - (length - 1) / 2
-    filt = jnp.sinc(n / factor)
+    n = np.arange(length) - (length - 1) / 2
+    filt = np.sinc(n / factor)
     if windowed:
         A = 2.285 * (length - 1) * 3.14159 * deltaf + 7.95
         if A <= 21:
@@ -307,5 +320,5 @@ def sinc_filter(factor: float = 2, length: int = 11, windowed: bool = True) -> j
         else:
             beta = 0.1102 * (A - 8.7)
         filt = filt * kaiser_window(beta, length)
-    filt = jnp.outer(filt, filt)
-    return (filt / jnp.sum(filt))[None, None]
+    filt = np.outer(filt, filt)
+    return jnp.asarray((filt / np.sum(filt))[None, None], jnp.float32)

@@ -322,14 +322,22 @@ def _gmul(gamma, leaf_val):
     return g * leaf_val
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
 def _least_squares_prox(physics, y, z, gamma, solver, max_iter, tol):
     """Implicitly-differentiated solve of min gamma/2||Ax-y||^2 + 1/2||x-z||^2.
 
-    ``physics`` enters as a *static* operator here; parameter gradients flow
-    via the explicit (y, z, gamma) arguments. See ``least_squares`` for the
-    full dispatcher.
+    The physics pytree's array leaves are differentiable arguments of the
+    ``custom_vjp``: gradients flow to measurements, anchor, gamma *and*
+    physics parameters (filters, masks) — one extra CG solve plus one vjp of
+    the normal operator, O(1) memory in the iteration count (the reference's
+    least_squares.py:345 implicit backward, extended to operator params).
     """
+    leaves, treedef = jax.tree_util.tree_flatten(physics)
+    return _lsq_prox_flat(treedef, leaves, y, z, gamma, solver, max_iter, tol)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7))
+def _lsq_prox_flat(treedef, leaves, y, z, gamma, solver, max_iter, tol):
+    physics = jax.tree_util.tree_unflatten(treedef, leaves)
     return _solve_normal(
         physics.A, physics.A_adjoint, y, gamma, z, z, solver, max_iter, tol,
         ATA=getattr(physics, "A_adjoint_A", None),
@@ -337,13 +345,14 @@ def _least_squares_prox(physics, y, z, gamma, solver, max_iter, tol):
     )
 
 
-def _lsq_fwd(physics, y, z, gamma, solver, max_iter, tol):
-    x = _least_squares_prox(physics, y, z, gamma, solver, max_iter, tol)
-    return x, (y, z, gamma, x)
+def _lsq_fwd(treedef, leaves, y, z, gamma, solver, max_iter, tol):
+    x = _lsq_prox_flat(treedef, leaves, y, z, gamma, solver, max_iter, tol)
+    return x, (leaves, y, z, gamma, x)
 
 
-def _lsq_bwd(physics, solver, max_iter, tol, res, g):
-    y, z, gamma, x = res
+def _lsq_bwd(treedef, solver, max_iter, tol, res, g):
+    leaves, y, z, gamma, x = res
+    physics = jax.tree_util.tree_unflatten(treedef, leaves)
     gam = jnp.asarray(gamma)
 
     def H(v):
@@ -352,20 +361,34 @@ def _lsq_bwd(physics, solver, max_iter, tol, res, g):
 
     # adjoint system: (gamma A^T A + I) u = g  (self-adjoint)
     u = conjugate_gradient(H, g, init=None, max_iter=max_iter, tol=tol)
-    # dL/dy = gamma * A u ; dL/dz = u ; dL/dgamma = -u^T A^T(Ax - y)
+    # dL/dy = gamma * A u ; dL/dz = u
     Au = physics.A(u)
     dy = jax.tree_util.tree_map(lambda a: _gmul(gam, a), Au)
     dz = u
+    # dL/dgamma = -u^T A^T(Ax - y)
     resid = physics.A_adjoint(tree_sub(physics.A(x), y))
     dgam_val = -_bdot(u, resid)
     if getattr(gam, "ndim", 0) == 0:
-        dgamma = jnp.sum(dgam_val).astype(gam.dtype) if hasattr(gam, "dtype") else jnp.sum(dgam_val)
+        dgamma = jnp.sum(dgam_val)
     else:
-        dgamma = dgam_val.astype(gam.dtype)
-    return (dy, dz, dgamma)
+        dgamma = dgam_val
+    dgamma = dgamma.astype(gam.dtype) if jnp.issubdtype(gam.dtype, jnp.floating) else None
+    # physics-parameter cotangents: dL/dtheta = -gamma * vjp_theta[h](u)
+    # with h(theta) = A_theta^T (A_theta x* - y)
+    def h(leaves_):
+        p = jax.tree_util.tree_unflatten(treedef, leaves_)
+        return p.A_adjoint(tree_sub(p.A(x), y))
+
+    _, vjp_h = jax.vjp(h, leaves)
+    gu = jax.tree_util.tree_map(lambda a: _gmul(gam, a), u)
+    (dleaves,) = vjp_h(gu)
+    dleaves = jax.tree_util.tree_map(lambda t: -t, dleaves)
+    if dgamma is None:
+        dgamma = jnp.zeros_like(gam)
+    return (dleaves, dy, dz, dgamma)
 
 
-_least_squares_prox.defvjp(_lsq_fwd, _lsq_bwd)
+_lsq_prox_flat.defvjp(_lsq_fwd, _lsq_bwd)
 
 
 def least_squares(

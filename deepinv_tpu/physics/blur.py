@@ -91,8 +91,8 @@ class BlurFFT(DecomposablePhysics):
     def _compute_mask(self, filt):
         if filt is None:
             return 1.0
-        m = filter_fft_2d(filt, self.img_size, real_fft=False)
-        return m
+        # run under jit: the axon TPU backend cannot execute fft/roll eagerly
+        return jax.jit(lambda f: filter_fft_2d(f, self.img_size, real_fft=False))(filt)
 
     def update(self, **params):
         if "filter" in params and params["filter"] is not None:

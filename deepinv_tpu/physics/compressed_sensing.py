@@ -53,14 +53,21 @@ class CompressedSensing(LinearPhysics):
             n = n // self.img_size[0]
         self.n = n
 
+        # constructors run under jit: eager sampling on the axon TPU backend
+        # is either unsupported or very slow for large arrays
         if fast:
-            kd, km = jax.random.split(key)
-            self.D = (jax.random.bernoulli(kd, 0.5, (n,)).astype(dtype) * 2 - 1)
-            # random row subset (without replacement)
-            self.rows = jax.random.permutation(km, n)[: self.m]
+            def make(k):
+                kd, km = jax.random.split(k)
+                D = jax.random.bernoulli(kd, 0.5, (n,)).astype(dtype) * 2 - 1
+                rows = jax.random.permutation(km, n)[: self.m]
+                return D, rows
+
+            self.D, self.rows = jax.jit(make)(key)
             self._A_mat = None
         else:
-            self._A_mat = jax.random.normal(key, (self.m, n), dtype) / math.sqrt(self.m)
+            self._A_mat = jax.jit(
+                lambda k: jax.random.normal(k, (self.m, n), dtype) / math.sqrt(self.m)
+            )(key)
             self.D = None
             self.rows = None
 

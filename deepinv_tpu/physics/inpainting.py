@@ -67,13 +67,16 @@ class Demosaicing(Inpainting):
     """
 
     def __init__(self, img_size, pattern: str = "RGGB", **kwargs):
+        import numpy as np
+
         C, H, W = img_size if len(img_size) == 3 else (3,) + tuple(img_size)
-        mask = jnp.zeros((3, H, W))
+        mask = np.zeros((3, H, W), np.float32)  # host-side static constant
         if pattern.upper() == "RGGB":
-            mask = mask.at[0, 0::2, 0::2].set(1)  # R
-            mask = mask.at[1, 0::2, 1::2].set(1)  # G
-            mask = mask.at[1, 1::2, 0::2].set(1)  # G
-            mask = mask.at[2, 1::2, 1::2].set(1)  # B
+            mask[0, 0::2, 0::2] = 1  # R
+            mask[1, 0::2, 1::2] = 1  # G
+            mask[1, 1::2, 0::2] = 1  # G
+            mask[2, 1::2, 1::2] = 1  # B
         else:
             raise ValueError(f"unsupported Bayer pattern {pattern!r}")
+        mask = jnp.asarray(mask)
         super().__init__((3, H, W), mask=mask, **kwargs)
