@@ -1,0 +1,38 @@
+from .base import Loss, StackedPhysicsLoss
+from .metric import (
+    Metric,
+    MSE,
+    NMSE,
+    MAE,
+    PSNR,
+    SNR,
+    SSIM,
+    LpNorm,
+    L1L2,
+    SpectralAngleMapper,
+    ERGAS,
+    cal_psnr,
+)
+from .losses import (
+    SupLoss,
+    MCLoss,
+    EILoss,
+    MOILoss,
+    MOEILoss,
+    SureGaussianLoss,
+    SurePoissonLoss,
+    SurePGLoss,
+    R2RLoss,
+    ScoreLoss,
+    TVLoss,
+    JacobianSpectralNorm,
+    FNEJacobianSpectralNorm,
+)
+from .measplit import SplittingLoss, Neighbor2Neighbor
+from .scheduler import (
+    BaseLossScheduler,
+    RandomLossScheduler,
+    InterleavedLossScheduler,
+    StepLossScheduler,
+    InterleavedEpochLossScheduler,
+)

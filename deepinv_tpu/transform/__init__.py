@@ -1,0 +1,2 @@
+from .base import Transform, Identity
+from .geometric import Shift, Rotate, Scale, Reflect, Homography

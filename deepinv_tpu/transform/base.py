@@ -1,0 +1,142 @@
+"""Group-action transforms (reference deepinv/transform/base.py:29).
+
+A Transform samples random group parameters, applies the action, and can
+invert it — the machinery behind equivariant-imaging losses (loss/ei.py) and
+EquivariantDenoiser. JAX design: parameters are explicit pytrees
+(``get_params(key)`` → dict), application is pure
+(``transform(x, **params)``), so the whole pipeline jits and vmaps; the
+reference's ``TransformParam`` negation trick (base.py:8) becomes plain
+negation in ``invert_params``.
+
+Composition mirrors the reference: ``t1 * t2`` chains actions, ``t1 + t2``
+stacks them batchwise (base.py:319).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+from ..core.rng import ensure_key
+
+__all__ = ["Transform", "Identity"]
+
+
+class Transform(Module):
+    """Base class for random group-action transforms.
+
+    :param n_trans: number of transformed versions generated per call.
+    """
+
+    def __init__(self, n_trans: int = 1, seed: int = 0):
+        self.n_trans = n_trans
+        self.seed = seed
+
+    # -- protocol ---------------------------------------------------------
+    def get_params(self, x, key=None) -> dict:
+        raise NotImplementedError
+
+    def invert_params(self, params: dict) -> dict:
+        """Negate/invert every parameter (reference base.py:143)."""
+        return {k: -v for k, v in params.items()}
+
+    def transform(self, x, **params):
+        raise NotImplementedError
+
+    def __call__(self, x, key=None, **kwargs):
+        params = self.get_params(x, key)
+        return self.transform(x, **params)
+
+    def inverse(self, x, key=None, **params):
+        """Apply the inverse action (reference base.py:175)."""
+        if not params:
+            raise ValueError("inverse requires the params of the forward transform")
+        return self.transform(x, **self.invert_params(params))
+
+    def identity(self, x):
+        return x
+
+    def symmetrize(self, f, average: bool = True):
+        """Return the symmetrized function x -> mean_t t^{-1}(f(t(x)))
+        (reference base.py:259)."""
+
+        def sym(x, *args, key=None, **kwargs):
+            key = ensure_key(key, self.seed)
+            params = self.get_params(x, key)
+            xt = self.transform(x, **params)
+            fx = f(xt, *args, **kwargs)
+            out = self.inverse(fx, **params)
+            if average and self.n_trans > 1:
+                B = x.shape[0]
+                out = out.reshape(self.n_trans, B, *out.shape[1:]).mean(0)
+            return out
+
+        return sym
+
+    # -- algebra ----------------------------------------------------------
+    def __mul__(self, other: "Transform") -> "Transform":
+        return _ChainTransform(self, other)
+
+    def __add__(self, other: "Transform") -> "Transform":
+        return _StackTransform(self, other)
+
+    # helper: repeat batch for n_trans versions
+    def _repeat(self, x):
+        return jnp.tile(x, (self.n_trans,) + (1,) * (x.ndim - 1))
+
+
+class Identity(Transform):
+    def get_params(self, x, key=None):
+        return {}
+
+    def invert_params(self, params):
+        return {}
+
+    def transform(self, x, **params):
+        return x
+
+
+class _ChainTransform(Transform):
+    """t1 * t2: apply t2 then t1 (reference base.py:319)."""
+
+    def __init__(self, t1: Transform, t2: Transform):
+        super().__init__(n_trans=t1.n_trans * t2.n_trans)
+        self.t1 = t1
+        self.t2 = t2
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, 0)
+        k1, k2 = jax.random.split(key)
+        return {"p1": self.t1.get_params(x, k1), "p2": self.t2.get_params(x, k2)}
+
+    def invert_params(self, params):
+        return {
+            "p1": self.t1.invert_params(params["p1"]),
+            "p2": self.t2.invert_params(params["p2"]),
+        }
+
+    def transform(self, x, p1=None, p2=None):
+        return self.t1.transform(self.t2.transform(x, **p2), **p1)
+
+    def inverse(self, x, p1=None, p2=None):
+        return self.t2.inverse(self.t1.inverse(x, **p1), **p2)
+
+
+class _StackTransform(Transform):
+    """t1 + t2: concatenate transformed versions along batch (base.py:346)."""
+
+    def __init__(self, t1: Transform, t2: Transform):
+        super().__init__(n_trans=t1.n_trans + t2.n_trans)
+        self.t1 = t1
+        self.t2 = t2
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, 0)
+        k1, k2 = jax.random.split(key)
+        return {"p1": self.t1.get_params(x, k1), "p2": self.t2.get_params(x, k2)}
+
+    def transform(self, x, p1=None, p2=None):
+        return jnp.concatenate(
+            [self.t1.transform(x, **p1), self.t2.transform(x, **p2)], axis=0
+        )

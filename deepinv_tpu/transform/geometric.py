@@ -1,0 +1,226 @@
+"""Concrete group actions: Shift, Rotate, Scale, Reflect, Homography
+(reference deepinv/transform/{shift,rotate,scale,reflect,projective}.py).
+
+Warps use ``jax.scipy.ndimage.map_coordinates`` (the XLA equivalent of the
+reference's kornia/grid_sample warps). Rotations by multiples of 90 degrees
+use exact ``rot90``. All actions are vmapped over the batch and jit-safe: the
+randomly drawn parameters are traced values, not Python ints.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import ensure_key
+from .base import Transform
+
+__all__ = ["Shift", "Rotate", "Scale", "Reflect", "Homography"]
+
+
+def _warp_affine(x, mat):
+    """Apply (batched) inverse-affine warp via map_coordinates.
+
+    :param x: (B, C, H, W); mat: (B, 2, 3) mapping output coords -> input.
+    """
+    B, C, H, W = x.shape
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    coords = jnp.stack([yy - cy, xx - cx], 0).reshape(2, -1)  # centered
+
+    def warp_one(img, m):
+        src = m[:, :2] @ coords + m[:, 2:3]
+        src = src + jnp.array([[cy], [cx]])
+
+        def chan(c):
+            return jax.scipy.ndimage.map_coordinates(
+                c, [src[0].reshape(H, W), src[1].reshape(H, W)], order=1, mode="constant"
+            )
+
+        return jax.vmap(chan)(img)
+
+    return jax.vmap(warp_one)(x, mat)
+
+
+class Shift(Transform):
+    """Cyclic pixel shift (reference shift.py:73)."""
+
+    def __init__(self, shift_max: float = 1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.shift_max = shift_max
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, self.seed)
+        H, W = x.shape[-2:]
+        kx, ky = jax.random.split(key)
+        n = self.n_trans * x.shape[0]
+        amount_h = int(self.shift_max * H)
+        amount_w = int(self.shift_max * W)
+        sy = jax.random.randint(ky, (n,), -amount_h // 2, max(amount_h // 2, 1))
+        sx = jax.random.randint(kx, (n,), -amount_w // 2, max(amount_w // 2, 1))
+        return {"y_shift": sy, "x_shift": sx}
+
+    def transform(self, x, y_shift=None, x_shift=None):
+        x = self._repeat(x) if x.shape[0] != y_shift.shape[0] else x
+
+        def roll_one(img, sy, sx):
+            return jnp.roll(img, (sy, sx), axis=(-2, -1))
+
+        return jax.vmap(roll_one)(x, y_shift, x_shift)
+
+
+class Rotate(Transform):
+    """Rotation (reference rotate.py:169).
+
+    :param multiples: angle grid (degrees); default 90-degree subgroup uses
+        exact rot90, otherwise bilinear warp.
+    :param positive: sample only positive angles.
+    """
+
+    def __init__(self, multiples: float = 90.0, limits: float = 360.0, interpolation: str = "bilinear", **kwargs):
+        super().__init__(**kwargs)
+        self.multiples = multiples
+        self.limits = limits
+        self.interpolation = interpolation
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, self.seed)
+        n = self.n_trans * x.shape[0]
+        n_angles = max(int(self.limits / self.multiples), 1)
+        idx = jax.random.randint(key, (n,), 0, n_angles)
+        return {"theta": idx.astype(jnp.float32) * self.multiples}
+
+    def transform(self, x, theta=None):
+        x = self._repeat(x) if x.shape[0] != theta.shape[0] else x
+        if self.multiples % 90 == 0 and self.limits % 90 == 0:
+            # exact subgroup: select among the 4 rot90 images per sample
+            k = (theta / 90.0).astype(jnp.int32) % 4
+            rots = jnp.stack([jnp.rot90(x, i, axes=(-2, -1)) for i in range(4)], 1)
+            return jax.vmap(lambda r, ki: r[ki])(rots, k)
+        th = jnp.deg2rad(theta)
+        c, s = jnp.cos(th), jnp.sin(th)
+        # inverse rotation matrix (output -> input coords)
+        mat = jnp.stack(
+            [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], -2
+        )  # (B, 2, 2)
+        mat = jnp.concatenate([mat, jnp.zeros(mat.shape[:-1] + (1,))], -1)
+        return _warp_affine(x, mat)
+
+
+class Scale(Transform):
+    """Isotropic dilation (reference scale.py:131)."""
+
+    def __init__(self, factors=(0.75, 0.5), **kwargs):
+        super().__init__(**kwargs)
+        self.factors = tuple(factors)
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, self.seed)
+        n = self.n_trans * x.shape[0]
+        idx = jax.random.randint(key, (n,), 0, len(self.factors))
+        return {"factor": jnp.asarray(self.factors)[idx]}
+
+    def invert_params(self, params):
+        return {"factor": 1.0 / params["factor"]}
+
+    def transform(self, x, factor=None):
+        x = self._repeat(x) if x.shape[0] != factor.shape[0] else x
+        z = factor
+        zero = jnp.zeros_like(z)
+        mat = jnp.stack(
+            [
+                jnp.stack([1.0 / z, zero, zero], -1),
+                jnp.stack([zero, 1.0 / z, zero], -1),
+            ],
+            -2,
+        )
+        return _warp_affine(x, mat)
+
+
+class Reflect(Transform):
+    """Axis reflections (reference reflect.py:79).
+
+    :param dim: axes to possibly flip; e.g. [-2, -1].
+    """
+
+    def __init__(self, dim=(-1,), **kwargs):
+        super().__init__(**kwargs)
+        self.dim = tuple(dim)
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, self.seed)
+        n = self.n_trans * x.shape[0]
+        flips = jax.random.bernoulli(key, 0.5, (n, len(self.dim)))
+        return {"flip": flips.astype(jnp.float32)}
+
+    def invert_params(self, params):
+        return params  # reflections are involutions
+
+    def transform(self, x, flip=None):
+        x = self._repeat(x) if x.shape[0] != flip.shape[0] else x
+
+        def flip_one(img, f):
+            out = img
+            for i, ax in enumerate(self.dim):
+                flipped = jnp.flip(out, axis=ax)
+                out = jnp.where(f[i] > 0.5, flipped, out)
+            return out
+
+        return jax.vmap(flip_one)(x, flip)
+
+
+class Homography(Transform):
+    """Random projective warp (reference projective.py:444).
+
+    Draws small perturbations of the identity homography; the inverse uses
+    the matrix inverse (so ``invert_params`` stores the inverse matrix).
+    """
+
+    def __init__(self, theta_max: float = 0.1, zoom_factor_min: float = 0.85, **kwargs):
+        super().__init__(**kwargs)
+        self.theta_max = theta_max
+        self.zoom_factor_min = zoom_factor_min
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, self.seed)
+        n = self.n_trans * x.shape[0]
+        k1, k2, k3 = jax.random.split(key, 3)
+        th = jax.random.uniform(k1, (n,), minval=-self.theta_max, maxval=self.theta_max)
+        zoom = jax.random.uniform(k2, (n,), minval=self.zoom_factor_min, maxval=1.0)
+        persp = jax.random.uniform(k3, (n, 2), minval=-1e-4, maxval=1e-4)
+        c, s = jnp.cos(th), jnp.sin(th)
+        z = 1.0 / zoom
+        H = jnp.zeros((n, 3, 3))
+        H = H.at[:, 0, 0].set(c * z).at[:, 0, 1].set(s * z)
+        H = H.at[:, 1, 0].set(-s * z).at[:, 1, 1].set(c * z)
+        H = H.at[:, 2, 0].set(persp[:, 0]).at[:, 2, 1].set(persp[:, 1])
+        H = H.at[:, 2, 2].set(1.0)
+        return {"H_mat": H}
+
+    def invert_params(self, params):
+        return {"H_mat": jnp.linalg.inv(params["H_mat"])}
+
+    def transform(self, x, H_mat=None):
+        x = self._repeat(x) if x.shape[0] != H_mat.shape[0] else x
+        B, C, Hh, Ww = x.shape
+        yy, xx = jnp.meshgrid(jnp.arange(Hh), jnp.arange(Ww), indexing="ij")
+        cy, cx = (Hh - 1) / 2.0, (Ww - 1) / 2.0
+        ones = jnp.ones_like(yy, jnp.float32)
+        coords = jnp.stack(
+            [yy - cy, xx - cx, ones], 0
+        ).reshape(3, -1)
+
+        def warp_one(img, Hm):
+            src = Hm @ coords
+            src = src[:2] / jnp.clip(src[2:3], 1e-8, None)
+            src = src + jnp.array([[cy], [cx]])
+
+            def chan(c):
+                return jax.scipy.ndimage.map_coordinates(
+                    c, [src[0].reshape(Hh, Ww), src[1].reshape(Hh, Ww)], order=1,
+                    mode="constant",
+                )
+
+            return jax.vmap(chan)(img)
+
+        return jax.vmap(warp_one)(x, H_mat)

@@ -1,0 +1,177 @@
+"""Loss/metric tests: SURE matches supervised risk in expectation, EI/MC
+shapes, metric parity with closed forms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinv_tpu.physics import Denoising, Inpainting, GaussianNoise, PoissonNoise
+from deepinv_tpu.loss import (
+    MSE,
+    NMSE,
+    MAE,
+    PSNR,
+    SNR,
+    SSIM,
+    LpNorm,
+    SupLoss,
+    MCLoss,
+    EILoss,
+    SureGaussianLoss,
+    SurePoissonLoss,
+    R2RLoss,
+    SplittingLoss,
+    Neighbor2Neighbor,
+    TVLoss,
+    JacobianSpectralNorm,
+    RandomLossScheduler,
+    InterleavedLossScheduler,
+)
+from deepinv_tpu.transform import Shift, Rotate, Reflect
+from conftest import assert_close
+
+IMSIZE = (3, 32, 32)
+
+
+@pytest.fixture
+def data(key):
+    kx, kn = jax.random.split(key)
+    x = jax.random.uniform(kx, (4,) + IMSIZE)
+    return x
+
+
+def test_metrics_closed_form(data):
+    x = data
+    y = x + 0.1
+    assert_close(MSE()(y, x), jnp.full((4,), 0.01), rtol=1e-4)
+    assert_close(MAE()(y, x), jnp.full((4,), 0.1), rtol=1e-4)
+    psnr = PSNR()(y, x)
+    assert_close(psnr, jnp.full((4,), 20.0), rtol=1e-3)
+    nmse = NMSE()(y, x)
+    expected = 0.01 / jnp.mean(x.reshape(4, -1) ** 2, axis=1)
+    assert_close(nmse, expected, rtol=1e-3)
+
+
+def test_ssim_properties(data):
+    x = data
+    s_same = SSIM()(x, x)
+    assert float(jnp.min(s_same)) > 0.99
+    noisy = x + 0.2 * jax.random.normal(jax.random.key(1), x.shape)
+    s_noisy = SSIM()(noisy, x)
+    assert float(jnp.max(s_noisy)) < 0.9
+
+
+def test_sure_gaussian_estimates_risk(key):
+    """SURE ~ E||A xhat - z||^2 (unbiased w.r.t. noiseless measurement z)."""
+    sigma = 0.1
+    physics = Denoising(noise_model=GaussianNoise(sigma))
+    x = jax.random.uniform(key, (8, 1, 32, 32))
+
+    class Smoother:
+        def __call__(self, y, physics=None):
+            # simple linear smoother (so SURE is exact in expectation)
+            k = jnp.ones((1, 1, 3, 3)) / 9.0
+            from deepinv_tpu.ops import conv2d
+
+            return conv2d(y, k, padding="circular")
+
+    model = Smoother()
+    loss = SureGaussianLoss(sigma=sigma)
+    sure_vals, risk_vals = [], []
+    for i in range(20):
+        kk = jax.random.fold_in(key, i)
+        y = physics(x, key=kk)
+        xhat = model(y)
+        sure_vals.append(float(jnp.mean(loss(y=y, physics=physics, model=model, key=jax.random.fold_in(kk, 1)))))
+        risk_vals.append(float(jnp.mean((xhat - x) ** 2)))
+    sure, risk = np.mean(sure_vals), np.mean(risk_vals)
+    assert abs(sure - risk) / risk < 0.15, (sure, risk)
+
+
+def test_sure_poisson_runs(key):
+    gain = 0.1
+    physics = Denoising(noise_model=PoissonNoise(gain))
+    x = jax.random.uniform(key, (2, 1, 16, 16)) + 0.5
+    y = physics(x, key=key)
+    model = lambda u, p=None: u
+    val = SurePoissonLoss(gain=gain)(y=y, physics=physics, model=model, key=key)
+    assert val.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(val)))
+
+
+def test_mc_and_sup(data, key):
+    x = data
+    physics = Inpainting(img_size=IMSIZE, mask=0.6, key=key)
+    y = physics.A(x)
+    assert float(jnp.max(MCLoss()(x_net=x, y=y, physics=physics))) < 1e-10
+    assert float(jnp.max(SupLoss()(x_net=x, x=x))) < 1e-10
+
+
+def test_ei_loss_zero_for_perfect_model(key):
+    """If model perfectly inverts A (identity), EI loss is ~0."""
+    physics = Denoising()
+    x = jax.random.uniform(key, (2,) + IMSIZE)
+    model = lambda y, p: y
+    loss = EILoss(Shift(shift_max=0.5), apply_noise=False)
+    val = loss(x_net=x, physics=physics, model=model, key=key)
+    assert float(jnp.max(val)) < 1e-8
+
+
+def test_ei_transforms_invertibility(key):
+    """transform -> inverse returns the original for the EI group actions."""
+    x = jax.random.uniform(key, (2,) + IMSIZE)
+    for T in [Shift(), Rotate(multiples=90), Reflect(dim=(-1,))]:
+        params = T.get_params(x, key)
+        xt = T.transform(x, **params)
+        xr = T.inverse(xt, **params)
+        assert_close(xr, x, rtol=1e-4, atol=1e-4)
+
+
+def test_r2r_loss(key):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    x = jax.random.uniform(key, (2,) + IMSIZE)
+    y = physics(x, key=key)
+    val = R2RLoss(sigma=0.1)(y=y, physics=physics, model=lambda u, p: u, key=key)
+    assert val.shape == (2,)
+
+
+def test_splitting_loss(key):
+    physics = Inpainting(img_size=IMSIZE, mask=0.8, key=key)
+    x = jax.random.uniform(key, (2,) + IMSIZE)
+    y = physics(x, key=jax.random.fold_in(key, 1))
+    val = SplittingLoss(split_ratio=0.8)(
+        y=y, physics=physics, model=lambda u, p: u, key=key
+    )
+    assert val.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(val)))
+
+
+def test_neighbor2neighbor(key):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    x = jax.random.uniform(key, (2, 1, 32, 32))
+    y = physics(x, key=key)
+    val = Neighbor2Neighbor()(y=y, physics=physics, model=lambda u, p: u, key=key)
+    assert val.shape == (2,)
+
+
+def test_jacobian_spectral_norm(key):
+    """For f(x) = 2x the Jacobian spectral norm is 2."""
+    loss = JacobianSpectralNorm(max_iter=30)
+    y = jax.random.normal(key, (1, 1, 8, 8))
+    val = loss(y=y, model=lambda u: 2.0 * u)
+    assert abs(float(val) - 2.0) < 1e-3
+
+
+def test_tv_loss(key):
+    flat = jnp.ones((1, 1, 8, 8))
+    assert float(TVLoss()(x_net=flat)[0]) < 1e-10
+
+
+def test_schedulers(key):
+    l1, l2 = SupLoss(), MCLoss()
+    s = InterleavedLossScheduler(l1, l2)
+    assert s.select(step=0) == [l1]
+    assert s.select(step=1) == [l2]
+    r = RandomLossScheduler(l1, l2)
+    assert len(r.select()) == 1

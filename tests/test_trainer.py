@@ -1,0 +1,169 @@
+"""Trainer tests: end-to-end mini-trainings, checkpoint round-trip,
+online/offline measurements, early stop — mirrors reference test_trainer.py."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinv_tpu.datasets import (
+    ArrayDataset,
+    DataLoader,
+    generate_dataset,
+    HDF5Dataset,
+    SheppLoganDataset,
+    random_circles,
+)
+from deepinv_tpu.physics import Denoising, Inpainting, GaussianNoise
+from deepinv_tpu.models import DnCNN
+from deepinv_tpu.loss import SupLoss, PSNR, MSE, SureGaussianLoss
+from deepinv_tpu.training import Trainer, test as dinv_test
+from conftest import assert_close
+
+IMSIZE = (1, 16, 16)
+
+
+def _circle_data(n=16):
+    return np.stack([random_circles(16, seed=i) for i in range(n)])
+
+
+@pytest.fixture
+def loader():
+    return DataLoader(ArrayDataset(_circle_data()), batch_size=4, shuffle=True)
+
+
+def _model():
+    return DnCNN(in_channels=1, out_channels=1, depth=3, nf=8)
+
+
+def test_online_training_reduces_loss(loader):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    trainer = Trainer(
+        _model(),
+        physics,
+        train_dataloader=loader,
+        online_measurements=True,
+        epochs=12,
+        verbose=False,
+    )
+    trainer.train()
+    assert trainer.loss_history[-1] < trainer.loss_history[0]
+
+
+def test_offline_training(tmp_path, loader):
+    physics = Inpainting(img_size=IMSIZE, mask=0.7, key=jax.random.key(0))
+    path = generate_dataset(
+        ArrayDataset(_circle_data()), physics, str(tmp_path), batch_size=4
+    )
+    ds = HDF5Dataset(path, train=True)
+    assert len(ds) == 16
+    x, y = ds[0]
+    assert x.shape == IMSIZE and y.shape == IMSIZE
+    dl = DataLoader(ds, batch_size=4)
+    trainer = Trainer(
+        _model(), physics, train_dataloader=dl, epochs=3, verbose=False
+    )
+    trainer.train()
+    assert len(trainer.loss_history) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path, loader):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    trainer = Trainer(
+        _model(), physics, train_dataloader=loader, online_measurements=True,
+        epochs=2, verbose=False, save_path=str(tmp_path),
+    )
+    trainer.train()
+    ckpt = os.path.join(str(tmp_path), "ckp_1.pkl")
+    assert os.path.exists(ckpt)
+
+    trainer2 = Trainer(
+        _model(), physics, train_dataloader=loader, online_measurements=True,
+        epochs=4, verbose=False,
+    )
+    trainer2.load_model(ckpt)
+    assert trainer2.epoch_start == 2
+    assert_close(trainer2.model.in_conv.weight, trainer.model.in_conv.weight)
+    trainer2.train()  # resumes for 2 more epochs
+    assert len(trainer2.loss_history) == 4
+
+
+def test_eval_and_early_stop(loader):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    eval_dl = DataLoader(ArrayDataset(_circle_data(8)), batch_size=4)
+    trainer = Trainer(
+        _model(), physics,
+        train_dataloader=loader, eval_dataloader=eval_dl,
+        online_measurements=True, epochs=30, early_stop=True, patience=2,
+        verbose=False,
+    )
+    trainer.train()
+    assert "PSNR" in trainer.eval_metrics_history
+    assert trainer.best_model is not None
+
+
+def test_selfsupervised_sure_training(loader):
+    """Train with SURE only (no ground truth used)."""
+    sigma = 0.1
+    physics = Denoising(noise_model=GaussianNoise(sigma))
+    trainer = Trainer(
+        _model(), physics,
+        train_dataloader=loader, online_measurements=True,
+        losses=SureGaussianLoss(sigma=sigma), epochs=8, verbose=False,
+    )
+    trainer.train()
+    assert trainer.loss_history[-1] < trainer.loss_history[0]
+
+
+def test_no_learning_comparison(loader):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    eval_dl = DataLoader(ArrayDataset(_circle_data(8)), batch_size=4)
+    trainer = Trainer(
+        _model(), physics, train_dataloader=loader, eval_dataloader=eval_dl,
+        online_measurements=True, epochs=1, verbose=False,
+        compare_no_learning=True,
+    )
+    trainer.train()
+    res = trainer.test(eval_dl)
+    assert "PSNR_no_learning" in res
+
+
+def test_loop_random_online_physics(loader):
+    """Same measurements drawn every epoch when the flag is set."""
+    physics = Denoising(noise_model=GaussianNoise(0.5))
+    seen = []
+
+    class SpyLoss(SupLoss):
+        def __call__(self, x_net=None, x=None, y=None, **kw):
+            seen.append(np.asarray(y))
+            return super().__call__(x_net=x_net, x=x)
+
+    dl = DataLoader(ArrayDataset(_circle_data(4)), batch_size=4, shuffle=False)
+    trainer = Trainer(
+        _model(), physics, train_dataloader=dl, online_measurements=True,
+        loop_random_online_physics=True, epochs=2, verbose=False,
+        losses=SpyLoss(),
+    )
+    # SpyLoss captures tracers under jit; instead compare via get_samples
+    k0 = jax.random.fold_in(jax.random.key(trainer.seed), 0)
+    x = jnp.asarray(_circle_data(4))
+    _, y1, _ = trainer.get_samples(x, physics, jax.random.fold_in(k0, 0))
+    _, y2, _ = trainer.get_samples(x, physics, jax.random.fold_in(k0, 0))
+    assert_close(y1, y2)
+
+
+def test_standalone_test_function():
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    dl = DataLoader(ArrayDataset(_circle_data(8)), batch_size=4)
+    res = dinv_test(_model(), dl, physics, online_measurements=True)
+    assert "PSNR" in res and "PSNR_std" in res
+
+
+def test_shepp_logan_dataset():
+    ds = SheppLoganDataset(size=32, length=5)
+    assert len(ds) == 5
+    x = ds[0]
+    assert x.shape == (1, 32, 32)
+    assert 0 <= x.min() and x.max() <= 1.2
