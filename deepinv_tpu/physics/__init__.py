@@ -30,3 +30,4 @@ from .blur import Blur, BlurFFT, Downsampling, Upsampling
 from .inpainting import Inpainting, Demosaicing
 from .mri import MRI, MultiCoilMRI, DynamicMRI, SequentialMRI, MRIMixin
 from .compressed_sensing import CompressedSensing
+from .tomography import Tomography

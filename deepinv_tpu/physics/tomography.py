@@ -1,0 +1,86 @@
+"""Computed tomography physics (reference deepinv/physics/tomography.py:26).
+
+``Tomography`` wraps the pure-XLA Radon/IRadon kernels (ops/radon.py). The
+adjoint is the *exact* transpose of the forward (``jax.linear_transpose``),
+unlike the reference's interpolation-based approximate adjoint — so the
+universal adjointness property tests hold to float precision. ``A_dagger``
+is filtered backprojection.
+
+The reference's ``TomographyWithAstra`` (CUDA astra-toolbox bridge,
+tomography.py:353) has no TPU equivalent; the pure path covers its parallel-
+beam functionality.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.radon import radon, iradon, radon_output_size
+from .base import LinearPhysics
+
+__all__ = ["Tomography"]
+
+
+class Tomography(LinearPhysics):
+    r"""Parallel-beam CT ``y = R x`` (reference tomography.py:26).
+
+    :param angles: number of angles (spread over [0, 180)) or explicit array
+        of angles in degrees.
+    :param img_width: input image width (square images).
+    :param circle: restrict to the inscribed circle (no padding).
+    :param normalize: scale A and A_adjoint so the operator has roughly unit
+        norm (reference :68 — normalization by img_width).
+    """
+
+    def __init__(
+        self,
+        angles: Union[int, np.ndarray],
+        img_width: int,
+        circle: bool = False,
+        normalize: bool = False,
+        fbp_interpolate_boundary: bool = False,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        if isinstance(angles, int):
+            theta = np.linspace(0, 180, angles, endpoint=False)
+        else:
+            theta = np.asarray(angles, np.float32)
+        self.theta = jnp.asarray(theta, jnp.float32)
+        self.img_width = int(img_width)
+        self.circle = circle
+        self.normalize = normalize
+        self.n_det = radon_output_size(self.img_width, circle)
+
+    def A(self, x, **params):
+        y = radon(x, self.theta, circle=self.circle)
+        if self.normalize:
+            y = y / self.img_width
+        return y
+
+    def A_adjoint(self, y, **params):
+        B, C = y.shape[:2]
+        x_shape = (B, C, self.img_width, self.img_width)
+        fwd = lambda x: radon(x, self.theta, circle=self.circle)
+        (xt,) = jax.linear_transpose(
+            fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
+        )(y)
+        if self.normalize:
+            xt = xt / self.img_width
+        return xt
+
+    def A_dagger(self, y, **params):
+        """Filtered backprojection (reference tomography.py A_dagger)."""
+        if self.normalize:
+            y = y * self.img_width
+        return iradon(
+            y, self.theta, circle=self.circle, filtered=True, out_size=self.img_width
+        )
+
+    def fbp(self, y, **params):
+        return self.A_dagger(y, **params)

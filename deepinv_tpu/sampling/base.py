@@ -1,0 +1,134 @@
+"""MCMC chain driver (reference deepinv/sampling/sampling.py:19 BaseSampling).
+
+The whole chain — burn-in, thinning, online Welford mean/variance
+(sampling/utils.py:6) — compiles to one ``lax.scan``: the Welford moments
+ride in the carry with 0/1 inclusion weights, so there is no host-side
+bookkeeping per step (the reference steps the chain in Python).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+from ..core.rng import ensure_key
+from ..optim.data_fidelity import L2
+from .iterators import SamplingIterator, ULAIterator, SKRockIterator
+
+__all__ = ["BaseSampling", "sampling_builder", "ULA", "SKRock"]
+
+
+class BaseSampling(Module):
+    """Monte-Carlo sampler over a sampling iterator (sampling.py:19).
+
+    :param iterator: a :class:`SamplingIterator`.
+    :param data_fidelity: negative log-likelihood term.
+    :param prior: score prior.
+    :param max_iter: chain length.
+    :param burnin_ratio: fraction of iterations discarded.
+    :param thinning: keep every k-th sample after burn-in.
+    """
+
+    def __init__(
+        self,
+        iterator: SamplingIterator,
+        data_fidelity=None,
+        prior=None,
+        max_iter: int = 100,
+        burnin_ratio: float = 0.2,
+        thinning: int = 1,
+        thresh_conv: float = 1e-3,
+        verbose: bool = False,
+    ):
+        self.iterator = iterator
+        self.data_fidelity = data_fidelity if data_fidelity is not None else L2()
+        self.prior = prior
+        self.max_iter = max_iter
+        self.burnin_ratio = burnin_ratio
+        self.thinning = thinning
+        self.thresh_conv = thresh_conv
+        self.verbose = verbose
+
+    def sample(self, y, physics, x_init=None, key=None, seed: int = 0):
+        """Run the chain; returns (mean, var) of included samples."""
+        key = ensure_key(key, seed)
+        if x_init is None:
+            x_init = physics.A_adjoint(y)
+        X0 = self.iterator.initialize(x_init)
+        burnin = int(self.max_iter * self.burnin_ratio)
+
+        zeros = jnp.zeros_like(x_init)
+        carry0 = (X0, zeros, zeros, jnp.asarray(0.0))
+
+        keys = jax.random.split(key, self.max_iter)
+        its = jnp.arange(self.max_iter)
+
+        def body(carry, inp):
+            X, mean, m2, count = carry
+            k, it = inp
+            X = self.iterator(
+                X, y, physics, self.data_fidelity, self.prior, it, k
+            )
+            include = jnp.logical_and(
+                it >= burnin, (it - burnin) % self.thinning == 0
+            ).astype(x_init.dtype)
+            x = X["x"]
+            count_new = count + include
+            delta = x - mean
+            mean_new = mean + include * delta / jnp.maximum(count_new, 1.0)
+            m2_new = m2 + include * delta * (x - mean_new)
+            return (X, mean_new, m2_new, count_new), None
+
+        (Xf, mean, m2, count), _ = jax.lax.scan(body, carry0, (keys, its))
+        var = m2 / jnp.maximum(count - 1.0, 1.0)
+        return mean, var
+
+    def __call__(self, y, physics, x_init=None, key=None, seed: int = 0):
+        mean, _ = self.sample(y, physics, x_init=x_init, key=key, seed=seed)
+        return mean
+
+    forward = __call__
+
+
+def sampling_builder(
+    iteration, data_fidelity=None, prior=None, params_algo=None, max_iter=100, **kwargs
+) -> BaseSampling:
+    """Build a sampler by name (reference sampling.py:366)."""
+    its = {"ULA": ULAIterator, "SKROCK": SKRockIterator}
+    if isinstance(iteration, SamplingIterator):
+        it = iteration
+    else:
+        cls = its.get(str(iteration).upper())
+        if cls is None:
+            raise ValueError(f"unknown sampling iteration {iteration!r}")
+        it = cls(params_algo or {})
+    return BaseSampling(it, data_fidelity=data_fidelity, prior=prior, max_iter=max_iter, **kwargs)
+
+
+def ULA(prior, data_fidelity, step_size=1e-4, sigma=0.05, alpha=1.0, max_iter=1000, burnin_ratio=0.2, thinning=10, clip=(-1.0, 2.0), **kwargs):
+    """Unadjusted Langevin sampler preset (reference langevin.py:15)."""
+    it = ULAIterator(
+        {"step_size": step_size, "alpha": alpha, "sigma": sigma}, clip=clip
+    )
+    return BaseSampling(
+        it, data_fidelity=data_fidelity, prior=prior, max_iter=max_iter,
+        burnin_ratio=burnin_ratio, thinning=thinning, **kwargs,
+    )
+
+
+def SKRock(prior, data_fidelity, step_size=1e-4, sigma=0.05, alpha=1.0, inner_iter=10, eta=0.05, max_iter=1000, burnin_ratio=0.2, thinning=10, clip=(-1.0, 2.0), **kwargs):
+    """SK-ROCK sampler preset (reference langevin.py:118)."""
+    it = SKRockIterator(
+        {
+            "step_size": step_size, "alpha": alpha, "sigma": sigma,
+            "inner_iter": inner_iter, "eta": eta,
+        },
+        clip=clip,
+    )
+    return BaseSampling(
+        it, data_fidelity=data_fidelity, prior=prior, max_iter=max_iter,
+        burnin_ratio=burnin_ratio, thinning=thinning, **kwargs,
+    )

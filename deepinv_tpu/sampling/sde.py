@@ -1,0 +1,252 @@
+"""SDE framework for generation and posterior sampling
+(reference deepinv/sampling/diffusion_sde.py:16-960, sde_solver.py).
+
+``BaseSDE`` holds drift/diffusion callables; solvers (Euler-Maruyama, Heun)
+run the time grid as a ``lax.scan`` with explicit keys. ``PosteriorDiffusion``
+composes the reverse-time SDE drift with a noisy-data-fidelity guidance term
+(reference noisy_datafidelity.py:99) — the guidance gradient is plain
+``jax.grad`` through denoiser and physics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+from ..core.rng import ensure_key
+from ..models.base import Reconstructor
+
+__all__ = [
+    "BaseSDE",
+    "DiffusionSDE",
+    "VarianceExplodingDiffusion",
+    "VariancePreservingDiffusion",
+    "FlowMatching",
+    "EulerSolver",
+    "HeunSolver",
+    "PosteriorDiffusion",
+    "DPSDataFidelity",
+]
+
+
+class BaseSDE(Module):
+    r"""``dx = f(x,t) dt + g(t) dw`` (reference diffusion_sde.py:16)."""
+
+    def __init__(self, drift: Callable, diffusion: Callable):
+        self.drift = drift
+        self.diffusion = diffusion
+
+    def discretize(self, x, t, dt, key):
+        f = self.drift(x, t)
+        g = self.diffusion(t)
+        return f, g
+
+
+class EulerSolver(Module):
+    """Euler-Maruyama (reference sde_solver.py:202)."""
+
+    def __init__(self, timesteps, rng_seed: int = 0):
+        self.timesteps = jnp.asarray(timesteps, jnp.float32)
+
+    def sample(self, sde: BaseSDE, x_init, key=None, seed: int = 0):
+        key = ensure_key(key, seed)
+        ts = self.timesteps
+        dts = ts[1:] - ts[:-1]
+        keys = jax.random.split(key, dts.shape[0])
+
+        def body(x, inp):
+            k, t, dt = inp
+            f = sde.drift(x, t)
+            g = sde.diffusion(t)
+            z = jax.random.normal(k, x.shape, x.dtype)
+            x = x + f * dt + g * jnp.sqrt(jnp.abs(dt)) * z
+            return x, None
+
+        x, _ = jax.lax.scan(body, x_init, (keys, ts[:-1], dts))
+        return x
+
+
+class HeunSolver(Module):
+    """Heun 2nd-order stochastic solver (reference sde_solver.py:231)."""
+
+    def __init__(self, timesteps, rng_seed: int = 0):
+        self.timesteps = jnp.asarray(timesteps, jnp.float32)
+
+    def sample(self, sde: BaseSDE, x_init, key=None, seed: int = 0):
+        key = ensure_key(key, seed)
+        ts = self.timesteps
+        dts = ts[1:] - ts[:-1]
+        keys = jax.random.split(key, dts.shape[0])
+
+        def body(x, inp):
+            k, t, dt = inp
+            z = jax.random.normal(k, x.shape, x.dtype)
+            g = sde.diffusion(t)
+            noise = g * jnp.sqrt(jnp.abs(dt)) * z
+            f1 = sde.drift(x, t)
+            x_pred = x + f1 * dt + noise
+            f2 = sde.drift(x_pred, t + dt)
+            x = x + 0.5 * (f1 + f2) * dt + noise
+            return x, None
+
+        x, _ = jax.lax.scan(body, x_init, (keys, ts[:-1], dts))
+        return x
+
+
+class DiffusionSDE(BaseSDE):
+    r"""Reverse-time diffusion with a score from a denoiser via Tweedie
+    (reference diffusion_sde.py:~200)."""
+
+    def __init__(self, denoiser, sigma_t: Callable, sigma_deriv: Callable):
+        self.denoiser = denoiser
+        self.sigma_t = sigma_t
+        self.sigma_deriv = sigma_deriv
+
+        def drift(x, t):
+            s = self.sigma_t(t)
+            ds = self.sigma_deriv(t)
+            score = self.score(x, t)
+            return -s * ds * score  # probability-flow-free reverse drift term
+
+        def diffusion(t):
+            s = self.sigma_t(t)
+            ds = self.sigma_deriv(t)
+            return jnp.sqrt(2 * s * ds)
+
+        super().__init__(drift, diffusion)
+
+    def score(self, x, t):
+        s = self.sigma_t(t)
+        return (self.denoiser(x, s) - x) / jnp.clip(s**2, 1e-8, None)
+
+
+class VarianceExplodingDiffusion(DiffusionSDE):
+    r"""VE-SDE: sigma(t) = sigma_min (sigma_max/sigma_min)^t
+    (reference diffusion_sde.py VE)."""
+
+    def __init__(self, denoiser, sigma_min: float = 0.02, sigma_max: float = 10.0):
+        self.sigma_min = sigma_min
+        self.sigma_max = sigma_max
+        ratio = sigma_max / sigma_min
+        sigma_t = lambda t: sigma_min * ratio**t
+        sigma_deriv = lambda t: sigma_min * (ratio**t) * jnp.log(ratio)
+        super().__init__(denoiser, sigma_t, sigma_deriv)
+
+    def prior_sample(self, shape, key):
+        return jax.random.normal(key, shape) * self.sigma_max
+
+
+class VariancePreservingDiffusion(DiffusionSDE):
+    r"""VP (DDPM) SDE (reference diffusion_sde.py VP/Song)."""
+
+    def __init__(self, denoiser, beta_min: float = 0.1, beta_max: float = 20.0):
+        self.beta_min = beta_min
+        self.beta_max = beta_max
+        self.denoiser = denoiser
+
+        def beta(t):
+            return beta_min + t * (beta_max - beta_min)
+
+        def alpha_bar(t):
+            return jnp.exp(-0.5 * t**2 * (beta_max - beta_min) - t * beta_min)
+
+        self._beta = beta
+        self._alpha_bar = alpha_bar
+
+        def drift(x, t):
+            b = beta(t)
+            ab = alpha_bar(t)
+            sigma = jnp.sqrt(jnp.clip(1 - ab, 1e-8, None) / jnp.clip(ab, 1e-8, None))
+            x0 = self.denoiser(x / jnp.sqrt(jnp.clip(ab, 1e-8, None)), sigma)
+            score = (jnp.sqrt(ab) * x0 - x) / jnp.clip(1 - ab, 1e-8, None)
+            return -0.5 * b * x - b * score  # reverse drift (time reversed)
+
+        def diffusion(t):
+            return jnp.sqrt(beta(t))
+
+        BaseSDE.__init__(self, drift, diffusion)
+
+    def prior_sample(self, shape, key):
+        return jax.random.normal(key, shape)
+
+
+class FlowMatching(Module):
+    r"""Rectified-flow/flow-matching ODE sampler built on a denoiser
+    (reference diffusion_sde.py FlowMatching)."""
+
+    def __init__(self, denoiser, timesteps=None):
+        self.denoiser = denoiser
+        self.timesteps = jnp.asarray(
+            timesteps if timesteps is not None else np.linspace(1.0, 0.0, 50),
+            jnp.float32,
+        )
+
+    def sample(self, x_init, key=None, seed: int = 0):
+        ts = self.timesteps
+        dts = ts[1:] - ts[:-1]
+
+        def body(x, inp):
+            t, dt = inp
+            sigma = jnp.clip(t / jnp.clip(1 - t, 1e-3, None), 1e-4, 100.0)
+            x0 = self.denoiser(x, sigma)
+            v = (x0 - x) / jnp.clip(t, 1e-3, None)  # straight-path velocity
+            return x + v * (-dt), None
+
+        x, _ = jax.lax.scan(body, x_init, (ts[:-1], dts))
+        return x
+
+
+class DPSDataFidelity(Module):
+    r"""Noisy data-fidelity guidance grad ||y - A(D(x, sigma))||
+    (reference noisy_datafidelity.py:99)."""
+
+    def __init__(self, denoiser, weight: float = 1.0):
+        self.denoiser = denoiser
+        self.weight = weight
+
+    def grad(self, x, y, physics, sigma):
+        def loss(u):
+            x0 = self.denoiser(u, sigma)
+            r = physics.A(x0) - y
+            return jnp.sqrt(jnp.sum(r**2))
+
+        return self.weight * jax.grad(loss)(x)
+
+
+class PosteriorDiffusion(Reconstructor):
+    r"""Reverse SDE with data-fidelity guidance (reference
+    diffusion_sde.py:825-960): drift = unconditional reverse drift + g(t)^2 *
+    grad log p(y | x_t)."""
+
+    def __init__(self, sde: DiffusionSDE, data_fidelity: DPSDataFidelity, solver=None, timesteps=None):
+        self.sde = sde
+        self.data_fidelity = data_fidelity
+        if timesteps is None:
+            timesteps = np.linspace(1.0, 1e-3, 100)
+        self.solver = solver if solver is not None else EulerSolver(timesteps)
+
+    def __call__(self, y, physics, key=None, seed: int = 0, x_init=None, **kwargs):
+        key = ensure_key(key, seed)
+        kp, ks = jax.random.split(key)
+        shape = physics.A_adjoint(y).shape
+        if x_init is None:
+            x_init = self.sde.prior_sample(shape, kp)
+
+        base_drift = self.sde.drift
+        base_diff = self.sde.diffusion
+
+        def guided_drift(x, t):
+            g2 = base_diff(t) ** 2
+            sigma = self.sde.sigma_t(t) if hasattr(self.sde, "sigma_t") else 0.1
+            guide = self.data_fidelity.grad(x, y, physics, sigma)
+            return base_drift(x, t) - g2 * guide
+
+        guided = BaseSDE(guided_drift, base_diff)
+        # integrate backwards: timesteps decrease; dt negative handled by solver
+        return self.solver.sample(guided, x_init, key=ks)
+
+    forward = __call__

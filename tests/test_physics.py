@@ -278,3 +278,24 @@ def test_stacked_tensorlist():
     assert len(y) == 2
     at = physics.A_adjoint(y)
     assert at.shape == x.shape
+
+
+def test_tomography():
+    """Tomography: exact adjointness, FBP improves over backprojection."""
+    from deepinv_tpu.physics import Tomography
+    from deepinv_tpu.datasets import shepp_logan
+
+    x = jnp.asarray(shepp_logan(32))[None, None]
+    for circle in (True, False):
+        physics = Tomography(angles=45, img_width=32, circle=circle)
+        err = physics.adjointness_test(jnp.broadcast_to(x, (2, 1, 32, 32)))
+        assert abs(complex(err)) < 1e-2, f"tomo adjointness {err}"
+        y = physics.A(x)
+        assert y.shape == (1, 1, physics.n_det, 45)
+        fbp = physics.A_dagger(y)
+        bp = physics.A_adjoint(y)
+        mse_fbp = float(jnp.mean((fbp - x) ** 2))
+        mse_bp = float(jnp.mean((bp / jnp.max(jnp.abs(bp)) - x) ** 2))
+        assert mse_fbp < mse_bp
+        # FBP should be a decent inverse
+        assert mse_fbp < 0.02, mse_fbp

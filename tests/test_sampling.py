@@ -1,0 +1,168 @@
+"""Sampling tests: ULA recovers a Gaussian posterior exactly; diffusion
+samplers improve over the adjoint baseline with a TV 'denoiser'."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinv_tpu.physics import Denoising, Inpainting, BlurFFT, GaussianNoise
+from deepinv_tpu.ops import gaussian_blur
+from deepinv_tpu.optim import L2, ScorePrior, Tikhonov
+from deepinv_tpu.sampling import (
+    ULA,
+    SKRock,
+    BaseSampling,
+    sampling_builder,
+    DDRM,
+    DiffPIR,
+    DPS,
+    VarianceExplodingDiffusion,
+    EulerSolver,
+    HeunSolver,
+    PosteriorDiffusion,
+    DPSDataFidelity,
+    FlowMatching,
+)
+from deepinv_tpu.models import TVDenoiser, MedianFilter
+from conftest import assert_close
+
+
+class _GaussianScoreDenoiser:
+    """Denoiser for prior N(mu, tau^2 I): Tweedie gives closed-form
+    denoiser D(x, s) = (tau^2 x + s^2 mu) / (tau^2 + s^2)."""
+
+    def __init__(self, mu=0.3, tau=0.5):
+        self.mu = mu
+        self.tau = tau
+
+    def __call__(self, x, sigma):
+        t2, s2 = self.tau**2, sigma**2
+        return (t2 * x + s2 * self.mu) / (t2 + s2)
+
+
+def test_ula_gaussian_posterior(key):
+    """With Gaussian prior and likelihood, ULA must match the analytic
+    posterior mean: (mu/tau^2 + y/s^2)/(1/tau^2 + 1/s^2)."""
+    sigma_noise = 0.3
+    mu, tau = 0.3, 0.5
+    physics = Denoising(noise_model=GaussianNoise(sigma_noise))
+    x = jnp.full((1, 1, 8, 8), 0.7)
+    y = physics(x, key=key)
+
+    prior = ScorePrior(_GaussianScoreDenoiser(mu, tau))
+    f = ULA(
+        prior,
+        L2(sigma=sigma_noise),
+        step_size=0.01,
+        sigma=1e-3,
+        alpha=1.0,
+        max_iter=5000,
+        thinning=1,
+        burnin_ratio=0.3,
+        clip=None,
+    )
+    mean, var = f.sample(y, physics, key=jax.random.key(1))
+    post_mean = (mu / tau**2 + y / sigma_noise**2) / (1 / tau**2 + 1 / sigma_noise**2)
+    err = float(jnp.max(jnp.abs(mean - post_mean)))
+    assert err < 0.1, err
+    post_var = 1.0 / (1 / tau**2 + 1 / sigma_noise**2)
+    assert abs(float(jnp.mean(var)) - post_var) / post_var < 0.5
+
+
+def test_skrock_runs(key):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    x = jnp.full((1, 1, 8, 8), 0.5)
+    y = physics(x, key=key)
+    prior = ScorePrior(_GaussianScoreDenoiser())
+    f = SKRock(prior, L2(), step_size=1e-3, max_iter=50, inner_iter=5, clip=(-1, 2))
+    mean, var = f.sample(y, physics, key=key)
+    assert mean.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(mean)))
+
+
+def test_ddrm_inpainting(key):
+    physics = Inpainting(
+        img_size=(1, 16, 16), mask=0.5, key=jax.random.key(5),
+        noise_model=GaussianNoise(0.05),
+    )
+    x = jnp.full((1, 1, 16, 16), 0.6)
+    y = physics(x, key=key)
+    den = _GaussianScoreDenoiser(mu=0.6, tau=0.3)
+    model = DDRM(denoiser=den, sigmas=np.linspace(1, 0, 20))
+    xhat = model(y, physics, key=key)
+    mse_hat = float(jnp.mean((xhat - x) ** 2))
+    mse_adj = float(jnp.mean((physics.A_adjoint(y) - x) ** 2))
+    assert mse_hat < mse_adj
+
+
+def test_diffpir_runs(key):
+    physics = BlurFFT(
+        img_size=(1, 16, 16), filter=gaussian_blur(sigma=1.0),
+        noise_model=GaussianNoise(0.03),
+    )
+    x = jnp.full((1, 1, 16, 16), 0.5)
+    y = physics(x, key=key)
+    model = DiffPIR(_GaussianScoreDenoiser(mu=0.5, tau=0.4), L2(), max_iter=10)
+    xhat = model(y, physics, key=key)
+    assert xhat.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(xhat)))
+
+
+def test_dps_runs(key):
+    physics = Inpainting(img_size=(1, 8, 8), mask=0.7, key=jax.random.key(2),
+                         noise_model=GaussianNoise(0.05))
+    x = jnp.full((1, 1, 8, 8), 0.4)
+    y = physics(x, key=key)
+    model = DPS(_GaussianScoreDenoiser(mu=0.4, tau=0.4), L2(), max_iter=20)
+    xhat = model(y, physics, key=key)
+    assert xhat.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(xhat)))
+
+
+def test_ve_sde_sampling(key):
+    """VE reverse SDE with a contractive Gaussian denoiser should sample
+    near the prior mean."""
+    den = _GaussianScoreDenoiser(mu=0.5, tau=0.2)
+    sde = VarianceExplodingDiffusion(den, sigma_min=0.01, sigma_max=5.0)
+    solver = EulerSolver(np.linspace(1.0, 1e-3, 200))
+    x0 = sde.prior_sample((1, 1, 8, 8), key)
+    x = solver.sample(sde, x0, key=jax.random.key(3))
+    # reverse SDE: integrate sigma from max->min; final samples near mu
+    assert abs(float(jnp.mean(x)) - 0.5) < 0.3
+
+
+def test_posterior_diffusion(key):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    x = jnp.full((1, 1, 8, 8), 0.5)
+    y = physics(x, key=key)
+    den = _GaussianScoreDenoiser(mu=0.5, tau=0.3)
+    sde = VarianceExplodingDiffusion(den, sigma_min=0.01, sigma_max=3.0)
+    model = PosteriorDiffusion(
+        sde, DPSDataFidelity(den, weight=0.3),
+        solver=EulerSolver(np.linspace(1.0, 1e-3, 100)),
+    )
+    xhat = model(y, physics, key=key)
+    assert bool(jnp.all(jnp.isfinite(xhat)))
+    assert abs(float(jnp.mean(xhat)) - 0.5) < 0.4
+
+
+def test_flow_matching(key):
+    den = _GaussianScoreDenoiser(mu=0.2, tau=0.2)
+    fm = FlowMatching(den, timesteps=np.linspace(1.0, 0.0, 50))
+    x = fm.sample(jax.random.normal(key, (1, 1, 8, 8)))
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_sampling_builder(key):
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    y = physics(jnp.full((1, 1, 8, 8), 0.5), key=key)
+    sampler = sampling_builder(
+        "ULA",
+        data_fidelity=L2(),
+        prior=ScorePrior(_GaussianScoreDenoiser()),
+        params_algo={"step_size": 0.01, "alpha": 1.0, "sigma": 0.01},
+        max_iter=100,
+    )
+    mean = sampler(y, physics, key=key)
+    assert mean.shape == y.shape
