@@ -1,0 +1,153 @@
+"""Distributed tests on the virtual 8-device CPU mesh.
+
+Mirrors the reference's multi-vs-single-process consistency tests
+(test_distributed.py:789,1016) without process spawning.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinv_tpu.parallel import (
+    DistributedContext,
+    DistributedStackedLinearPhysics,
+    DistributedProcessing,
+    DistributedDataFidelity,
+    distribute,
+)
+from deepinv_tpu.physics import Blur, Inpainting, stack
+from deepinv_tpu.ops import gaussian_blur
+from deepinv_tpu.optim import L2
+from deepinv_tpu.models import MedianFilter
+from conftest import assert_close
+
+IMSIZE = (1, 32, 32)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return DistributedContext(axis_names=("op",))
+
+
+@pytest.fixture(scope="module")
+def physics_list():
+    return [
+        Blur(filter=gaussian_blur(sigma=0.5 + 0.3 * i), padding="circular")
+        for i in range(8)
+    ]
+
+
+def _filters_same_size(physics_list):
+    # pad filters to common size so the stack is homogeneous
+    sizes = [p.filter.shape[-1] for p in physics_list]
+    m = max(sizes)
+    out = []
+    for p in physics_list:
+        f = p.filter
+        pad = (m - f.shape[-1]) // 2
+        f = jnp.pad(f, [(0, 0), (0, 0), (pad, m - f.shape[-2] - pad), (pad, m - f.shape[-1] - pad)])
+        out.append(p.replace(filter=f / jnp.sum(f)))
+    return out
+
+
+def test_distributed_vs_sequential_consistency(ctx, physics_list):
+    """Multi-device result == sequential stacked result
+    (reference test_consistency_single_vs_multiprocess :789)."""
+    plist = _filters_same_size(physics_list)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    x = jax.random.normal(jax.random.key(0), (2,) + IMSIZE)
+    y = dphys.A(x)
+    assert y.shape[0] == 8
+    # sequential reference
+    y_seq = jnp.stack([p.A(x) for p in plist])
+    assert_close(y, y_seq, rtol=1e-5, atol=1e-5)
+
+    at = dphys.A_adjoint(y)
+    at_seq = sum(p.A_adjoint(yi) for p, yi in zip(plist, y_seq))
+    assert_close(at, at_seq, rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_norm_and_dagger(ctx, physics_list):
+    """Distributed power method == local power method
+    (reference test_compute_norm_local_vs_global :1016)."""
+    plist = _filters_same_size(physics_list)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    x = jax.random.normal(jax.random.key(1), (1,) + IMSIZE)
+    n_dist = float(dphys.compute_norm(x, max_iter=100))
+    # local reference: norm of the stacked operator = sum of A_i^T A_i
+    def ata(v):
+        return sum(p.A_adjoint(p.A(v)) for p in plist)
+
+    from deepinv_tpu.core import power_method
+
+    n_local = float(power_method(ata, x, max_iter=100))
+    assert abs(n_dist - n_local) / n_local < 1e-3
+
+    y = dphys.A(x)
+    x_dag = dphys.A_dagger(y, max_iter=200)
+    y2 = dphys.A(x_dag)
+    rel = float(jnp.sum((y2 - y) ** 2) / jnp.sum(y**2))
+    assert rel < 1e-3
+
+
+def test_distributed_data_fidelity(ctx, physics_list):
+    plist = _filters_same_size(physics_list)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    dfid = DistributedDataFidelity(L2(), ctx)
+    x = jax.random.normal(jax.random.key(2), (2,) + IMSIZE)
+    xg = jax.random.normal(jax.random.key(3), (2,) + IMSIZE)
+    y = dphys.A(xg)
+    g = dfid.grad(x, y, dphys)
+    g_seq = sum(
+        p.A_adjoint(p.A(x) - yi) for p, yi in zip(plist, [y[i] for i in range(8)])
+    )
+    assert_close(g, g_seq, rtol=1e-4, atol=1e-5)
+    # gradient descent with the distributed fidelity converges
+    z = x
+    for _ in range(50):
+        z = z - 0.1 * dfid.grad(z, y, dphys)
+    assert float(jnp.mean((z - xg) ** 2)) < float(jnp.mean((x - xg) ** 2))
+
+
+def test_spatial_processing_consistency():
+    """Sharded tiled denoiser == single-device denoiser away from tile
+    boundaries; with enough overlap, everywhere (reference
+    OverlapTilingStrategy trimming)."""
+    ctx = DistributedContext(axis_names=("sp",))
+    den = MedianFilter(3)
+    dden = DistributedProcessing(den, ctx, overlap=4)
+    x = jax.random.normal(jax.random.key(4), (1, 1, 64, 32))
+    out_d = dden(x)
+    out_s = den(x)
+    assert out_d.shape == out_s.shape
+    assert_close(out_d, out_s, rtol=1e-5, atol=1e-5)
+
+
+def test_distribute_dispatcher(physics_list):
+    ctx = DistributedContext(axis_names=("op",))
+    plist = _filters_same_size(physics_list)
+    d1 = distribute(plist, ctx)
+    assert isinstance(d1, DistributedStackedLinearPhysics)
+    d2 = distribute(L2(), ctx)
+    assert isinstance(d2, DistributedDataFidelity)
+    ctx_sp = DistributedContext(axis_names=("sp",))
+    d3 = distribute(MedianFilter(3), ctx_sp)
+    assert isinstance(d3, DistributedProcessing)
+
+
+def test_distributed_pnp_loop(ctx, physics_list):
+    """Full distributed PnP-style loop: grad on sharded physics + spatially
+    sharded denoiser (reference demo_pnp_distributed flow)."""
+    plist = _filters_same_size(physics_list)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    dfid = DistributedDataFidelity(L2(), ctx)
+    xg = jnp.clip(jax.random.normal(jax.random.key(5), (1,) + IMSIZE), 0, 1)
+    y = dphys.A(xg)
+    x = jnp.zeros_like(xg)
+    den = MedianFilter(3)
+    tau = 0.1
+    for _ in range(20):
+        x = x - tau * dfid.grad(x, y, dphys)
+        x = den(x, 0.05)
+    assert float(jnp.mean((x - xg) ** 2)) < float(jnp.mean(xg**2))
