@@ -63,3 +63,4 @@ from .optimizers import (
     MLEM,
     SIRT,
 )
+from .dpir import DPIR, get_DPIR_params

@@ -1,0 +1,18 @@
+from .base import PhysicsGenerator, GeneratorMixture
+from .blur import MotionBlurGenerator, GaussianBlurGenerator, DiffractionBlurGenerator
+from .mri import (
+    BaseMaskGenerator,
+    GaussianMaskGenerator,
+    RandomMaskGenerator,
+    EquispacedMaskGenerator,
+    PolyOrderMaskGenerator,
+)
+from .inpainting import (
+    BernoulliSplittingMaskGenerator,
+    GaussianSplittingMaskGenerator,
+    MultiplicativeSplittingMaskGenerator,
+    Phase2PhaseSplittingMaskGenerator,
+    Artifact2ArtifactSplittingMaskGenerator,
+)
+from .noise import SigmaGenerator, GainGenerator, DownsamplingGenerator
+from .zernike import zernike_basis

@@ -1,0 +1,69 @@
+"""Random physics-parameter generators
+(reference deepinv/physics/generator/base.py:20-183).
+
+``step(batch_size, key) -> dict`` emits parameter dicts consumed by
+``physics.update(**params)``. Mixing: ``g1 + g2`` merges dicts;
+:class:`GeneratorMixture` picks one generator at random per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import Module
+from ...core.rng import ensure_key
+
+__all__ = ["PhysicsGenerator", "GeneratorMixture"]
+
+
+class PhysicsGenerator(Module):
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def sample(self, batch_size: int, key, **kwargs) -> dict:
+        raise NotImplementedError
+
+    def step(self, batch_size: int = 1, key=None, seed=None, **kwargs) -> dict:
+        key = ensure_key(key, seed if seed is not None else self.seed)
+        return self.sample(batch_size, key, **kwargs)
+
+    def __add__(self, other: "PhysicsGenerator") -> "PhysicsGenerator":
+        return _JointGenerator(self, other)
+
+
+class _JointGenerator(PhysicsGenerator):
+    """g1 + g2: union of parameter dicts (base.py:146)."""
+
+    def __init__(self, g1, g2):
+        super().__init__()
+        self.g1 = g1
+        self.g2 = g2
+
+    def sample(self, batch_size, key, **kwargs):
+        k1, k2 = jax.random.split(key)
+        out = dict(self.g1.sample(batch_size, k1, **kwargs))
+        out.update(self.g2.sample(batch_size, k2, **kwargs))
+        return out
+
+
+class GeneratorMixture(PhysicsGenerator):
+    """Pick one generator per step with given probabilities (base.py:185)."""
+
+    def __init__(self, generators, probs=None):
+        super().__init__()
+        self.generators = list(generators)
+        import numpy as np
+
+        p = np.asarray(probs if probs is not None else [1 / len(generators)] * len(generators))
+        self.probs = p / p.sum()
+
+    def sample(self, batch_size, key, **kwargs):
+        kc, kg = jax.random.split(key)
+        # host-side choice (parameter dict structure may differ per generator)
+        import numpy as np
+
+        idx = int(np.random.RandomState(int(jax.random.randint(kc, (), 0, 2**31 - 1))).choice(
+            len(self.generators), p=self.probs
+        ))
+        return self.generators[idx].sample(batch_size, kg, **kwargs)

@@ -1,0 +1,152 @@
+"""Random PSF generators (reference deepinv/physics/generator/blur.py, 1731
+LoC: MotionBlurGenerator, GaussianBlurGenerator, DiffractionBlurGenerator).
+
+All samplers are jit-compatible: trajectories and pupil phases are computed
+with fixed-shape scans/FFTs; PSFs come out normalized (sum 1) with shape
+(batch, 1, psf_size, psf_size) ready for ``physics.update(filter=...)``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import PhysicsGenerator
+from .zernike import zernike_basis
+
+__all__ = [
+    "MotionBlurGenerator",
+    "GaussianBlurGenerator",
+    "DiffractionBlurGenerator",
+]
+
+
+class MotionBlurGenerator(PhysicsGenerator):
+    r"""Random-walk motion blur PSFs (reference generator/blur.py
+    MotionBlurGenerator): a Gaussian-process 2D trajectory rasterized onto
+    the PSF grid.
+
+    :param psf_size: (h, w) of the PSF.
+    :param length: trajectory samples.
+    :param sigma: trajectory smoothness.
+    """
+
+    def __init__(self, psf_size=(31, 31), length: int = 1000, sigma: float = 0.25, seed: int = 0):
+        super().__init__(seed=seed)
+        self.psf_size = tuple(psf_size) if not isinstance(psf_size, int) else (psf_size, psf_size)
+        self.length = length
+        self.sigma = sigma
+
+    def sample(self, batch_size, key, **kwargs):
+        h, w = self.psf_size
+
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            # smooth random velocity -> trajectory (random walk of heading)
+            steps = jax.random.normal(k1, (self.length, 2))
+            # exponential moving average for smoothness
+            def ema(carry, s):
+                v = 0.99 * carry + self.sigma * s
+                return v, v
+
+            _, vel = jax.lax.scan(ema, jnp.zeros(2), steps)
+            traj = jnp.cumsum(vel, axis=0)
+            traj = traj - jnp.mean(traj, axis=0)
+            # normalize into psf grid
+            scale = jnp.max(jnp.abs(traj)) + 1e-8
+            traj = traj / scale * (min(h, w) / 2 - 1)
+            iy = jnp.clip(jnp.round(traj[:, 0] + h // 2).astype(jnp.int32), 0, h - 1)
+            ix = jnp.clip(jnp.round(traj[:, 1] + w // 2).astype(jnp.int32), 0, w - 1)
+            psf = jnp.zeros((h, w)).at[iy, ix].add(1.0)
+            return psf / jnp.sum(psf)
+
+        keys = jax.random.split(key, batch_size)
+        psfs = jax.vmap(one)(keys)
+        return {"filter": psfs[:, None]}
+
+
+class GaussianBlurGenerator(PhysicsGenerator):
+    r"""Random anisotropic Gaussian PSFs (reference GaussianBlurGenerator)."""
+
+    def __init__(self, psf_size=(31, 31), sigma_min: float = 0.01, sigma_max: float = 4.0, num_channels: int = 1, seed: int = 0):
+        super().__init__(seed=seed)
+        self.psf_size = tuple(psf_size) if not isinstance(psf_size, int) else (psf_size, psf_size)
+        self.sigma_min = sigma_min
+        self.sigma_max = sigma_max
+        self.num_channels = num_channels
+
+    def sample(self, batch_size, key, **kwargs):
+        h, w = self.psf_size
+        ks, ka = jax.random.split(key)
+        sig = jax.random.uniform(
+            ks, (batch_size, 2), minval=self.sigma_min, maxval=self.sigma_max
+        )
+        ang = jax.random.uniform(ka, (batch_size,), minval=0.0, maxval=180.0)
+
+        ax_y = jnp.arange(h) - (h - 1) / 2
+        ax_x = jnp.arange(w) - (w - 1) / 2
+        yy, xx = jnp.meshgrid(ax_y, ax_x, indexing="ij")
+
+        def one(s, a):
+            th = -jnp.deg2rad(a)
+            xr = jnp.cos(th) * xx + jnp.sin(th) * yy
+            yr = -jnp.sin(th) * xx + jnp.cos(th) * yy
+            k = jnp.exp(-0.5 * ((xr / s[1]) ** 2 + (yr / s[0]) ** 2))
+            return k / jnp.sum(k)
+
+        psfs = jax.vmap(one)(sig, ang)
+        return {"filter": psfs[:, None], "sigma": sig, "angle": ang}
+
+
+class DiffractionBlurGenerator(PhysicsGenerator):
+    r"""Optical diffraction PSFs from random Zernike aberrations
+    (reference DiffractionBlurGenerator): pupil phase = sum_i c_i Z_i,
+    PSF = |FFT(pupil)|^2, normalized.
+
+    :param psf_size: output PSF size.
+    :param fc: cutoff frequency (pupil radius fraction, default 0.2).
+    :param list_param: Zernike mode names to randomize.
+    """
+
+    def __init__(self, psf_size=(31, 31), fc: float = 0.2, num_channels: int = 1,
+                 max_zernike_amplitude: float = 0.15, seed: int = 0,
+                 n_zernike: int = 8):
+        super().__init__(seed=seed)
+        self.psf_size = tuple(psf_size) if not isinstance(psf_size, int) else (psf_size, psf_size)
+        self.fc = fc
+        self.num_channels = num_channels
+        self.max_amp = max_zernike_amplitude
+        self.n_zernike = n_zernike
+        # pupil grid + Zernike basis (host-side constants)
+        h, w = self.psf_size
+        pupil_diam = int(2 * round(fc * max(h, w)) + 1)
+        self._basis, self._pupil_mask = zernike_basis(
+            n_modes=n_zernike + 3, grid_size=max(h, w), radius=fc * max(h, w)
+        )
+
+    def sample(self, batch_size, key, **kwargs):
+        h, w = self.psf_size
+        n = self._basis.shape[0]
+        coeffs = jax.random.uniform(
+            key, (batch_size, self.n_zernike), minval=-self.max_amp, maxval=self.max_amp
+        )
+        # skip piston/tip/tilt (first 3 modes)
+        basis = self._basis[3 : 3 + self.n_zernike]
+
+        def one(c):
+            phase = jnp.tensordot(c, basis, axes=1)
+            pupil = self._pupil_mask * jnp.exp(2j * jnp.pi * phase)
+            field = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(pupil)))
+            psf = jnp.abs(field) ** 2
+            psf = psf / jnp.sum(psf)
+            g = psf.shape[0]
+            top = (g - h) // 2
+            left = (g - w) // 2
+            return psf[top : top + h, left : left + w]
+
+        psfs = jax.vmap(one)(coeffs)
+        psfs = psfs / jnp.sum(psfs, axis=(-2, -1), keepdims=True)
+        return {"filter": psfs[:, None], "coeff": coeffs}

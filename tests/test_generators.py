@@ -1,0 +1,124 @@
+"""Physics generator tests (mirrors reference test_generators strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinv_tpu.physics.generator import (
+    MotionBlurGenerator,
+    GaussianBlurGenerator,
+    DiffractionBlurGenerator,
+    RandomMaskGenerator,
+    GaussianMaskGenerator,
+    EquispacedMaskGenerator,
+    PolyOrderMaskGenerator,
+    BernoulliSplittingMaskGenerator,
+    GaussianSplittingMaskGenerator,
+    MultiplicativeSplittingMaskGenerator,
+    Phase2PhaseSplittingMaskGenerator,
+    Artifact2ArtifactSplittingMaskGenerator,
+    SigmaGenerator,
+    GainGenerator,
+    GeneratorMixture,
+)
+from deepinv_tpu.physics import Blur, MRI, Inpainting
+from conftest import assert_close
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        MotionBlurGenerator(psf_size=(15, 15)),
+        GaussianBlurGenerator(psf_size=(15, 15)),
+        DiffractionBlurGenerator(psf_size=(15, 15)),
+    ],
+)
+def test_blur_generators(gen, key):
+    params = gen.step(batch_size=3, key=key)
+    f = params["filter"]
+    assert f.shape[:2] == (3, 1) and f.shape[-2:] == (15, 15)
+    sums = jnp.sum(f, axis=(-2, -1))
+    assert_close(sums, jnp.ones_like(sums), rtol=1e-4)
+    assert bool(jnp.all(f >= -1e-6))
+    # PSFs differ across the batch
+    assert float(jnp.max(jnp.abs(f[0] - f[1]))) > 1e-6
+    # usable in physics
+    phys = Blur(filter=f, padding="circular")
+    x = jax.random.normal(jax.random.key(1), (3, 1, 32, 32))
+    assert phys.A(x).shape == x.shape
+    # reproducible with the same key
+    params2 = gen.step(batch_size=3, key=key)
+    assert_close(params["filter"], params2["filter"])
+
+
+@pytest.mark.parametrize(
+    "gen_cls", [RandomMaskGenerator, GaussianMaskGenerator, EquispacedMaskGenerator, PolyOrderMaskGenerator]
+)
+def test_mri_mask_generators(gen_cls, key):
+    gen = gen_cls((32, 32), acceleration=4)
+    params = gen.step(batch_size=2, key=key)
+    mask = params["mask"]
+    assert mask.shape == (2, 2, 32, 32)
+    # acceleration approximately 4x: between 1/8 and 1/2 of lines kept
+    frac = float(jnp.mean(mask))
+    assert 0.1 < frac < 0.55, frac
+    # center lines fully sampled
+    c = 32 // 2
+    assert float(jnp.min(mask[..., c - 1 : c + 1])) == 1.0
+    # works with MRI physics
+    phys = MRI(img_size=(32, 32)).update(mask=mask)
+    x = jax.random.normal(jax.random.key(2), (2, 2, 32, 32))
+    y = phys.A(x)
+    assert y.shape == x.shape
+
+
+def test_splitting_generators(key):
+    g = BernoulliSplittingMaskGenerator((1, 32, 32), split_ratio=0.8)
+    m = g.step(4, key=key)["mask"]
+    assert m.shape == (4, 1, 32, 32)
+    assert abs(float(jnp.mean(m)) - 0.8) < 0.05
+
+    gs = GaussianSplittingMaskGenerator((1, 32, 32), split_ratio=0.7)
+    ms = gs.step(2, key=key)["mask"]
+    assert abs(float(jnp.mean(ms)) - 0.7) < 0.1
+
+    mult = MultiplicativeSplittingMaskGenerator(
+        RandomMaskGenerator((32, 32), acceleration=2, n_channels=1),
+        BernoulliSplittingMaskGenerator((1, 32, 32), split_ratio=0.5),
+    )
+    mm = mult.step(2, key=key)["mask"]
+    assert mm.shape == (2, 1, 32, 32)
+
+    p2p = Phase2PhaseSplittingMaskGenerator((2, 8, 16, 16))
+    mp = p2p.step(2, key=key)["mask"]
+    assert mp.shape == (2, 2, 8, 16, 16)
+    assert float(jnp.mean(mp)) == 0.5
+
+    a2a = Artifact2ArtifactSplittingMaskGenerator((2, 8, 16, 16), split_size=2)
+    ma = a2a.step(3, key=key)["mask"]
+    assert ma.shape == (3, 2, 8, 16, 16)
+    assert abs(float(jnp.mean(ma)) - 0.25) < 1e-5
+
+
+def test_sigma_gain_generators(key):
+    s = SigmaGenerator(0.01, 0.3).step(100, key=key)["sigma"]
+    assert s.shape == (100,)
+    assert float(s.min()) >= 0.01 and float(s.max()) <= 0.3
+
+    g = GainGenerator().step(10, key=key)["gain"]
+    assert g.shape == (10,)
+
+
+def test_generator_addition(key):
+    gen = GaussianBlurGenerator(psf_size=(7, 7)) + SigmaGenerator()
+    params = gen.step(2, key=key)
+    assert "filter" in params and "sigma" in params
+
+
+def test_generator_mixture(key):
+    mix = GeneratorMixture(
+        [RandomMaskGenerator((16, 16)), EquispacedMaskGenerator((16, 16))]
+    )
+    params = mix.step(2, key=key)
+    assert "mask" in params
