@@ -31,3 +31,29 @@ from .inpainting import Inpainting, Demosaicing
 from .mri import MRI, MultiCoilMRI, DynamicMRI, SequentialMRI, MRIMixin
 from .compressed_sensing import CompressedSensing
 from .tomography import Tomography
+from .singlepixel import SinglePixelCamera
+from .structured_random import StructuredRandom
+from .phase_retrieval import (
+    PhaseRetrieval,
+    RandomPhaseRetrieval,
+    StructuredRandomPhaseRetrieval,
+    PtychographyLinearOperator,
+    Ptychography,
+)
+from .misc import (
+    Haze,
+    SinglePhotonLidar,
+    Decolorize,
+    SpatialUnwrapping,
+    HyperSpectralUnmixing,
+    CompressiveSpectralImaging,
+)
+from .remote_sensing import Pansharpen
+from .wrappers import (
+    PhysicsMultiScaler,
+    LinearPhysicsMultiScaler,
+    PhysicsCropper,
+    to_multiscale,
+    VirtualLinearPhysics,
+)
+from . import generator

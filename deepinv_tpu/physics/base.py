@@ -206,9 +206,10 @@ class LinearPhysics(Physics):
         Au = self.A(u)
         v = randn_like(key, Au)
         Atv = self.A_adjoint(v)
+        # <Au, v> == <u, A^T v> with vdot's conjugate-linear first argument
         s1 = jnp.vdot(_flat(Au), _flat(v))
         s2 = jnp.vdot(_flat(u), _flat(Atv))
-        return s1 - jnp.conj(s2) if jnp.iscomplexobj(_flat(u)) else s1 - s2
+        return s1 - s2
 
     def condition_number(self, x0, max_iter: int = 500, tol: float = 1e-8):
         """sqrt(lambda_max / lambda_min) of ``A^T A`` via power + inverse-free

@@ -1,0 +1,234 @@
+"""Phase retrieval physics (reference deepinv/physics/phase_retrieval.py,
+539 LoC) + spectral initialization (reference optim/phase_retrieval.py).
+
+``y = |Bx|^2`` with B a linear operator. Nonlinear Physics with analytic
+``A_vjp`` through the squared modulus; ``B_dagger``-based pseudo-inverse.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import ensure_key
+from ..core.linalg import power_method
+from .base import Physics, LinearPhysics
+from .compressed_sensing import CompressedSensing
+from .structured_random import StructuredRandom, generate_diagonal
+
+__all__ = [
+    "PhaseRetrieval",
+    "RandomPhaseRetrieval",
+    "StructuredRandomPhaseRetrieval",
+    "PtychographyLinearOperator",
+    "Ptychography",
+    "spectral_methods",
+    "correct_global_phase",
+    "cosine_similarity",
+]
+
+
+class PhaseRetrieval(Physics):
+    r"""``y = |Bx|^2`` (reference phase_retrieval.py:17)."""
+
+    def __init__(self, B: LinearPhysics, **kwargs):
+        super().__init__(**kwargs)
+        self.B = B
+
+    def A(self, x, **params):
+        return jnp.abs(self.B.A(x, **params)) ** 2
+
+    def A_vjp(self, x, v):
+        """v^T dA/dx = B_adjoint(2 conj(Bx) . v) (reference :87)."""
+        bx = self.B.A(x)
+        return self.B.A_adjoint(2.0 * bx * v)
+
+    def B_adjoint(self, y, **params):
+        return self.B.A_adjoint(y, **params)
+
+    def B_dagger(self, y, **params):
+        return self.B.A_dagger(y, **params)
+
+    def A_dagger(self, y, key=None, **params):
+        """Spectral-method initialization (reference :52)."""
+        return spectral_methods(y, self, key=key)
+
+
+class RandomPhaseRetrieval(PhaseRetrieval):
+    r"""iid complex Gaussian B (reference phase_retrieval.py:107)."""
+
+    def __init__(self, m: int, img_size, key=None, seed: int = 0, **kwargs):
+        key = ensure_key(key, seed)
+        n = int(np.prod(img_size))
+        kr, ki = jax.random.split(key)
+        mat = (
+            jax.random.normal(kr, (m, n)) + 1j * jax.random.normal(ki, (m, n))
+        ) / math.sqrt(2 * m)
+        mat = jax.jit(lambda a: a)(mat.astype(jnp.complex64))
+        img_size = tuple(img_size)
+
+        class _DenseB(LinearPhysics):
+            def __init__(self, mat):
+                super().__init__()
+                self.mat = mat
+
+            def A(self, x, **p):
+                v = x.reshape(x.shape[0], -1).astype(jnp.complex64)
+                return v @ self.mat.T
+
+            def A_adjoint(self, y, **p):
+                v = y @ jnp.conj(self.mat)
+                return v.reshape((y.shape[0],) + img_size)
+
+        super().__init__(_DenseB(mat), **kwargs)
+        self.m = m
+        self.img_size = img_size
+
+
+class StructuredRandomPhaseRetrieval(PhaseRetrieval):
+    r"""``B = prod_i F D_i`` structured random phase retrieval
+    (reference phase_retrieval.py:183): oversampled Fourier with random
+    phase diagonals."""
+
+    def __init__(self, img_size, output_size=None, n_layers: int = 2, key=None, seed: int = 0, **kwargs):
+        key = ensure_key(key, seed)
+        img_size = tuple(img_size)
+        output_size = tuple(output_size) if output_size is not None else img_size
+        keys = jax.random.split(key, n_layers)
+        diagonals = [
+            generate_diagonal(img_size, "uniform_phase", keys[i])
+            for i in range(n_layers)
+        ]
+
+        class _StructB(LinearPhysics):
+            def __init__(self, diagonals):
+                super().__init__()
+                self.diagonals = diagonals
+
+            def A(self, x, **p):
+                out = x.astype(jnp.complex64)
+                for d in self.diagonals:
+                    out = jnp.fft.fft2(out * d, norm="ortho")
+                H, W = out.shape[-2:]
+                h, w = output_size[-2:]
+                top, left = (H - h) // 2, (W - w) // 2
+                return out[..., top : top + h, left : left + w]
+
+            def A_adjoint(self, y, **p):
+                out = y
+                H, W = img_size[-2:]
+                h, w = output_size[-2:]
+                pad = [(0, 0)] * (y.ndim - 2) + [
+                    ((H - h) // 2, H - h - (H - h) // 2),
+                    ((W - w) // 2, W - w - (W - w) // 2),
+                ]
+                out = jnp.pad(out, pad)
+                for d in reversed(self.diagonals):
+                    out = jnp.fft.ifft2(out, norm="ortho") * jnp.conj(d)
+                return out
+
+        super().__init__(_StructB(diagonals), **kwargs)
+        self.img_size = img_size
+        self.output_size = output_size
+
+
+class PtychographyLinearOperator(LinearPhysics):
+    r"""Linear ptychography operator (reference phase_retrieval.py:317):
+    shifted illumination probes followed by Fourier transforms."""
+
+    def __init__(self, img_size, probe=None, shifts=None, n_img: int = 25, probe_radius: float = 0.3, **kwargs):
+        super().__init__(**kwargs)
+        self.img_size = tuple(img_size)
+        H, W = self.img_size[-2:]
+        if probe is None:
+            yy, xx = np.meshgrid(
+                np.arange(H) - H / 2, np.arange(W) - W / 2, indexing="ij"
+            )
+            r = np.sqrt(yy**2 + xx**2)
+            probe = (r < probe_radius * min(H, W)).astype(np.float32)
+        self.probe = jnp.asarray(probe, jnp.complex64)
+        if shifts is None:
+            k = int(np.sqrt(n_img))
+            ys = np.linspace(-H / 4, H / 4, k).astype(int)
+            xs = np.linspace(-W / 4, W / 4, k).astype(int)
+            shifts = np.array([(y, x) for y in ys for x in xs])
+        self.shifts = jnp.asarray(np.asarray(shifts), jnp.int32)
+
+    def A(self, x, **params):
+        xc = x.astype(jnp.complex64)
+
+        def one(shift):
+            probe_s = jnp.roll(self.probe, (shift[0], shift[1]), axis=(-2, -1))
+            return jnp.fft.fft2(xc * probe_s, norm="ortho")
+
+        out = jax.vmap(one)(self.shifts)  # (n_img, B, C, H, W)
+        return jnp.moveaxis(out, 0, 1)  # (B, n_img, C, H, W)
+
+    def A_adjoint(self, y, **params):
+        yc = jnp.moveaxis(y, 1, 0)
+
+        def one(shift, yi):
+            probe_s = jnp.roll(self.probe, (shift[0], shift[1]), axis=(-2, -1))
+            return jnp.fft.ifft2(yi, norm="ortho") * jnp.conj(probe_s)
+
+        outs = jax.vmap(one)(self.shifts, yc)
+        return jnp.sum(outs, axis=0)
+
+
+class Ptychography(PhaseRetrieval):
+    r"""``y = |Ptycho(x)|^2`` (reference phase_retrieval.py:433)."""
+
+    def __init__(self, img_size, probe=None, shifts=None, **kwargs):
+        B = PtychographyLinearOperator(img_size, probe=probe, shifts=shifts)
+        super().__init__(B, **kwargs)
+        self.img_size = tuple(img_size)
+
+
+# ---------------------------------------------------------------------------
+# Spectral initialization and phase utilities (reference optim/phase_retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def spectral_methods(y, physics, x=None, n_iter: int = 50, preprocessing=None, lamb: float = 10.0, key=None):
+    """Spectral initialization: leading eigenvector of
+    ``B^* diag(T(y)) B + lamb I`` by power iteration (reference
+    optim/phase_retrieval.py spectral_methods)."""
+    key = ensure_key(key, 23)
+    if preprocessing is None:
+        preprocessing = lambda u: jnp.maximum(1 - 1 / jnp.clip(u, 1e-6, None), -5.0)
+    yn = y / jnp.mean(y, axis=tuple(range(1, y.ndim)), keepdims=True)
+    diag = preprocessing(yn)
+
+    if x is None:
+        shape = physics.B.A_adjoint(y).shape
+        x = jax.random.normal(key, shape)
+    x = x.astype(jnp.complex64)
+
+    def op(v):
+        return physics.B.A_adjoint(diag * physics.B.A(v)) + lamb * v
+
+    v = x
+    for _ in range(n_iter):
+        v = op(v)
+        v = v / jnp.sqrt(jnp.sum(jnp.abs(v) ** 2))
+    # normalize per-sample to measurement energy
+    scale = jnp.sqrt(jnp.mean(y, axis=tuple(range(1, y.ndim)), keepdims=True))
+    vmean = jnp.sqrt(jnp.mean(jnp.abs(physics.B.A(v)) ** 2, axis=tuple(range(1, y.ndim)), keepdims=True))
+    return v * scale / jnp.clip(vmean, 1e-12, None)
+
+
+def correct_global_phase(x_hat, x):
+    """Align the global phase of x_hat with x (reference
+    optim/phase_retrieval.py correct_global_phase)."""
+    inner = jnp.sum(jnp.conj(x_hat) * x, axis=tuple(range(1, x.ndim)), keepdims=True)
+    phase = inner / jnp.clip(jnp.abs(inner), 1e-12, None)
+    return x_hat * phase
+
+
+def cosine_similarity(a, b):
+    num = jnp.abs(jnp.vdot(a, b))
+    den = jnp.sqrt(jnp.sum(jnp.abs(a) ** 2) * jnp.sum(jnp.abs(b) ** 2))
+    return num / jnp.clip(den, 1e-12, None)

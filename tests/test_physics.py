@@ -299,3 +299,126 @@ def test_tomography():
         assert mse_fbp < mse_bp
         # FBP should be a decent inverse
         assert mse_fbp < 0.02, mse_fbp
+
+
+LONGTAIL_LINEAR = [
+    "single_pixel_seq",
+    "single_pixel_cake",
+    "structured_random",
+    "decolorize",
+    "unmixing",
+    "cassi_ss",
+    "cassi_sd",
+    "pansharpen",
+    "ptychography_linear",
+    "multiscale_blur",
+]
+
+
+def find_longtail(name):
+    key = jax.random.key(0)
+    from deepinv_tpu.physics import (
+        SinglePixelCamera, StructuredRandom, Decolorize, HyperSpectralUnmixing,
+        CompressiveSpectralImaging, Pansharpen, PtychographyLinearOperator,
+        LinearPhysicsMultiScaler,
+    )
+
+    if name == "single_pixel_seq":
+        return SinglePixelCamera(m=100, img_size=(1, 32, 32), ordering="sequency"), (1, 32, 32)
+    if name == "single_pixel_cake":
+        return SinglePixelCamera(m=100, img_size=(1, 32, 32), ordering="cake_cutting"), (1, 32, 32)
+    if name == "structured_random":
+        return StructuredRandom((1, 16, 16), (1, 16, 16), n_layers=2), (1, 16, 16)
+    if name == "decolorize":
+        return Decolorize(), (3, 16, 16)
+    if name == "unmixing":
+        return HyperSpectralUnmixing(E=4, C=8), (4, 16, 16)
+    if name == "cassi_ss":
+        return CompressiveSpectralImaging((4, 16, 16), mode="ss", key=key), (4, 16, 16)
+    if name == "cassi_sd":
+        return CompressiveSpectralImaging((4, 16, 16), mode="sd", key=key), (4, 16, 16)
+    if name == "pansharpen":
+        return Pansharpen((3, 32, 32), factor=4), (3, 32, 32)
+    if name == "ptychography_linear":
+        return PtychographyLinearOperator((16, 16), n_img=9), (1, 16, 16)
+    if name == "multiscale_blur":
+        base = Blur(filter=gaussian_blur(sigma=1.0), padding="circular")
+        return LinearPhysicsMultiScaler(base, scale=1), (1, 16, 16)
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("name", LONGTAIL_LINEAR)
+def test_longtail_adjointness(name):
+    physics, imsize = find_longtail(name)
+    u = jax.random.normal(jax.random.key(1), (2,) + imsize)
+    if name == "ptychography_linear":
+        u = u.astype(jnp.complex64)
+    err = physics.adjointness_test(u, key=jax.random.key(2))
+    assert abs(complex(err)) < 1e-2, f"adjointness error {err} for {name}"
+
+
+def test_phase_retrieval():
+    from deepinv_tpu.physics import RandomPhaseRetrieval
+    from deepinv_tpu.physics.phase_retrieval import (
+        spectral_methods, correct_global_phase, cosine_similarity,
+    )
+
+    phys = RandomPhaseRetrieval(m=800, img_size=(1, 8, 8))
+    x = jax.random.normal(jax.random.key(3), (1, 1, 8, 8)).astype(jnp.complex64)
+    y = phys.A(x)
+    assert y.shape == (1, 800)
+    assert bool(jnp.all(y >= 0))
+    # spectral method recovers direction (up to global phase)
+    x0 = spectral_methods(y, phys, n_iter=100)
+    sim = float(cosine_similarity(x0, x))
+    assert sim > 0.7, sim
+    xc = correct_global_phase(x0, x)
+    assert float(jnp.real(jnp.vdot(xc, x))) > 0
+
+
+def test_misc_nonlinear_physics():
+    from deepinv_tpu.physics import Haze, SinglePhotonLidar, SpatialUnwrapping
+    from deepinv_tpu.core import TensorList
+
+    key = jax.random.key(4)
+    # haze roundtrip
+    im = jax.random.uniform(key, (1, 3, 16, 16))
+    d = jax.random.uniform(jax.random.key(5), (1, 1, 16, 16)) * 3
+    A0 = jnp.full((1, 1, 1, 1), 0.8)
+    haze = Haze(beta=0.3)
+    y = haze.A(TensorList([im, d, A0]))
+    assert y.shape == im.shape
+    est = haze.A_dagger(y)
+    assert len(est) == 3
+
+    # lidar: A then A_dagger recovers depth approx
+    depth = jnp.full((1, 1, 8, 8), 20.0)
+    refl = jnp.full((1, 1, 8, 8), 2.0)
+    bkg = jnp.full((1, 1, 8, 8), 0.0)
+    x = jnp.concatenate([depth, refl, bkg], axis=1)
+    lidar = SinglePhotonLidar(sigma=1.0, bins=50)
+    y = lidar.A(x)
+    assert y.shape == (1, 50, 8, 8)
+    est = lidar.A_dagger(y)
+    assert float(jnp.max(jnp.abs(est[:, 0] - 20.0))) < 1.0
+
+    # unwrapping: Itoh recovers smooth phase up to a constant
+    yy, xx = jnp.mgrid[0:32, 0:32]
+    smooth = (0.15 * yy + 0.1 * xx)[None, None].astype(jnp.float32)
+    unw = SpatialUnwrapping(threshold=2 * jnp.pi)
+    w = unw.A(smooth)
+    rec = unw.A_dagger(w)
+    diff = rec - smooth
+    assert float(jnp.std(diff)) < 1e-3  # constant offset allowed
+
+
+def test_pansharpen_tensorlist():
+    from deepinv_tpu.physics import Pansharpen
+
+    phys = Pansharpen((3, 32, 32), factor=4)
+    x = jax.random.uniform(jax.random.key(6), (1, 3, 32, 32))
+    y = phys.A(x)
+    assert len(y) == 2
+    assert y[0].shape == (1, 3, 8, 8) and y[1].shape == (1, 1, 32, 32)
+    brovey = phys.brovey(y)
+    assert brovey.shape == x.shape
