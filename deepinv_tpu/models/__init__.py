@@ -28,3 +28,24 @@ from .classic import (
 )
 from .artifactremoval import ArtifactRemoval
 from .utils import test_pad, test_onesplit
+from .cnns import FFDNet, SRResNet, AutoEncoder, DScCP
+from .wrappers_models import (
+    GSDRUNet,
+    EquivariantDenoiser,
+    TimeAgnosticNet,
+    TimeAveragingNet,
+    ComplexDenoiser,
+    to_complex_denoiser,
+    ICNN,
+    MMSE,
+    WaveletNoiseEstimator,
+    PatchCovarianceNoiseEstimator,
+)
+from .unrolled import MoDL, VarNet, VarNetBlock, PDNet, PanNet
+from .gan import (
+    PatchGANDiscriminator,
+    ESRGANDiscriminator,
+    DCGANGenerator,
+    DCGANDiscriminator,
+    CSGMGenerator,
+)

@@ -173,3 +173,142 @@ def test_model_gradients(key):
     g = jax.grad(loss)(model)
     assert g.in_conv.weight.shape == model.in_conv.weight.shape
     assert float(jnp.sum(jnp.abs(g.in_conv.weight))) > 0
+
+
+def test_cnn_denoisers(key):
+    from deepinv_tpu.models import FFDNet, AutoEncoder, DScCP
+
+    x = jax.random.uniform(key, (2, 3, 32, 32))
+    for model in [FFDNet(), DScCP(depth=4, nf=8)]:
+        out = model(x, 0.05)
+        assert out.shape == x.shape, type(model).__name__
+        assert bool(jnp.all(jnp.isfinite(out)))
+    ae = AutoEncoder(dim_input=3 * 8 * 8, dim_hid=32, dim_mid=8)
+    xs = jax.random.uniform(key, (2, 3, 8, 8))
+    assert ae(xs).shape == xs.shape
+
+
+def test_srresnet(key):
+    from deepinv_tpu.models import SRResNet
+
+    model = SRResNet(scale=2, nf=8, n_blocks=2)
+    y = jax.random.uniform(key, (1, 3, 16, 16))
+    out = model(y)
+    assert out.shape == (1, 3, 32, 32)
+
+
+def test_gsdrunet(key):
+    from deepinv_tpu.models import GSDRUNet
+
+    model = GSDRUNet(nc=(8, 16, 16, 16), nb=1)
+    x = jax.random.uniform(key, (1, 3, 32, 32))
+    out = model(x, 0.05)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_equivariant_denoiser(key):
+    from deepinv_tpu.models import EquivariantDenoiser, MedianFilter
+    from deepinv_tpu.transform import Rotate
+
+    den = EquivariantDenoiser(MedianFilter(3), Rotate(multiples=90, n_trans=4))
+    x = jax.random.uniform(key, (2, 1, 16, 16))
+    out = den(x, key=key)
+    assert out.shape == x.shape
+    # median filter commutes with rot90 -> equivariant average equals plain
+    assert_close(out, MedianFilter(3)(x), rtol=1e-4, atol=1e-4)
+
+
+def test_time_nets(key):
+    from deepinv_tpu.models import TimeAgnosticNet, TimeAveragingNet, MedianFilter
+
+    y = jax.random.uniform(key, (2, 1, 4, 16, 16))
+    net = TimeAgnosticNet(lambda u, p=None: u * 2)
+    assert net(y).shape == y.shape
+    avg = TimeAveragingNet(lambda u, p=None: u)
+    assert avg(y).shape == (2, 1, 16, 16)
+
+
+def test_varnet_modl_pdnet(key):
+    from deepinv_tpu.models import VarNet, MoDL, PDNet
+    from deepinv_tpu.physics import MRI
+
+    mask = (jax.random.uniform(jax.random.key(7), (16, 16)) > 0.4).astype(jnp.float32)
+    physics = MRI(mask=mask)
+    x = jax.random.normal(key, (1, 2, 16, 16))
+    y = physics.A(x)
+
+    for model in [
+        VarNet(num_cascades=2),
+        MoDL(num_iter=2),
+        PDNet(num_iter=2, n_channels=2),
+    ]:
+        xhat = model(y, physics)
+        assert xhat.shape == x.shape, type(model).__name__
+        # trainable end to end
+        g = jax.grad(lambda m: jnp.sum(m(y, physics) ** 2))(model)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+
+
+def test_pannet(key):
+    from deepinv_tpu.models import PanNet
+    from deepinv_tpu.physics import Pansharpen
+
+    physics = Pansharpen((3, 32, 32), factor=4)
+    x = jax.random.uniform(key, (1, 3, 32, 32))
+    y = physics.A(x)
+    model = PanNet(hrms_shape=(3, 32, 32), nf=8, n_blocks=1)
+    out = model(y, physics)
+    assert out.shape == x.shape
+
+
+def test_gan_models(key):
+    from deepinv_tpu.models import (
+        DCGANGenerator, DCGANDiscriminator, PatchGANDiscriminator, CSGMGenerator,
+    )
+    from deepinv_tpu.physics import Denoising
+
+    G = DCGANGenerator(nz=16, ngf=8, nc=1)
+    z = jax.random.normal(key, (2, 16))
+    img = G(z)
+    assert img.shape == (2, 1, 64, 64)
+    D = DCGANDiscriminator(ndf=8, nc=1)
+    assert D(img).shape[0] == 2
+    P = PatchGANDiscriminator(input_nc=1, ndf=8)
+    assert P(img).shape[0] == 2
+
+
+def test_icnn_convexity(key):
+    from deepinv_tpu.models import ICNN
+
+    icnn = ICNN(in_channels=1, dim_hidden=8, depth=3)
+    x1 = jax.random.normal(key, (1, 1, 8, 8))
+    x2 = jax.random.normal(jax.random.key(9), (1, 1, 8, 8))
+    f1, f2 = float(icnn.fn(x1)[0]), float(icnn.fn(x2)[0])
+    fm = float(icnn.fn(0.5 * (x1 + x2))[0])
+    assert fm <= 0.5 * (f1 + f2) + 1e-4  # convexity
+
+
+def test_mmse_oracle(key):
+    from deepinv_tpu.models import MMSE
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+    import numpy as np
+
+    xs = [np.full((1, 4, 4), v, np.float32) for v in (0.0, 1.0)]
+    model = MMSE(xs, sigma=0.1)
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    y = jnp.full((1, 1, 4, 4), 0.95)
+    out = model(y, physics)
+    assert float(jnp.mean(out)) > 0.9  # posterior mass on the x=1 atom
+
+
+def test_noise_estimators(key):
+    from deepinv_tpu.models import WaveletNoiseEstimator, PatchCovarianceNoiseEstimator
+
+    sigma = 0.15
+    x = jnp.zeros((2, 1, 64, 64)) + sigma * jax.random.normal(key, (2, 1, 64, 64))
+    est_w = WaveletNoiseEstimator()(x)
+    assert abs(float(jnp.mean(est_w)) - sigma) / sigma < 0.2
+    est_p = PatchCovarianceNoiseEstimator()(x)
+    assert abs(float(jnp.mean(est_p)) - sigma) / sigma < 0.3
