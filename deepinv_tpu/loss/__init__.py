@@ -36,3 +36,30 @@ from .scheduler import (
     StepLossScheduler,
     InterleavedEpochLossScheduler,
 )
+from .adversarial import (
+    DiscriminatorMetric,
+    GeneratorLoss,
+    DiscriminatorLoss,
+    SupAdversarialGeneratorLoss,
+    SupAdversarialDiscriminatorLoss,
+    UnsupAdversarialGeneratorLoss,
+    UnsupAdversarialDiscriminatorLoss,
+    UAIRGeneratorLoss,
+)
+from .mri import (
+    WeightedSplittingLoss,
+    RobustSplittingLoss,
+    Phase2PhaseLoss,
+    Artifact2ArtifactLoss,
+    ENSURELoss,
+)
+from .perceptual import (
+    HaarPSI,
+    GMSD,
+    CosineSimilarity,
+    RecoveryCoefficient,
+    BlurStrength,
+    SharpnessIndex,
+    NIQE,
+    LPIPS,
+)

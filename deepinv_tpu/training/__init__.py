@@ -1,1 +1,2 @@
 from .trainer import Trainer, test
+from .adversarial import AdversarialTrainer, AdversarialOptimizer

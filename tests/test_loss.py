@@ -175,3 +175,108 @@ def test_schedulers(key):
     assert s.select(step=1) == [l2]
     r = RandomLossScheduler(l1, l2)
     assert len(r.select()) == 1
+
+
+def test_adversarial_losses(key):
+    from deepinv_tpu.loss import (
+        SupAdversarialGeneratorLoss,
+        SupAdversarialDiscriminatorLoss,
+        UnsupAdversarialGeneratorLoss,
+        UAIRGeneratorLoss,
+    )
+    from deepinv_tpu.physics import Denoising
+
+    D = lambda v: jnp.mean(v, axis=(1, 2, 3), keepdims=True)
+    x = jax.random.uniform(key, (2, 1, 16, 16))
+    x_net = x + 0.1
+    physics = Denoising()
+    g = SupAdversarialGeneratorLoss()(x=x, x_net=x_net, D=D)
+    d = SupAdversarialDiscriminatorLoss()(x=x, x_net=x_net, D=D)
+    assert jnp.isfinite(g) and jnp.isfinite(d)
+    u = UnsupAdversarialGeneratorLoss()(y=x, x_net=x_net, physics=physics, D=D)
+    ua = UAIRGeneratorLoss()(y=x, x_net=x_net, physics=physics,
+                             model=lambda yy, p: yy, D=D)
+    assert jnp.isfinite(u) and jnp.isfinite(ua)
+
+
+def test_adversarial_trainer(key):
+    import numpy as np
+    from deepinv_tpu.training import AdversarialTrainer
+    from deepinv_tpu.datasets import ArrayDataset, DataLoader, random_circles
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+    from deepinv_tpu.models import DnCNN, DCGANDiscriminator
+    from deepinv_tpu.loss import SupLoss, SupAdversarialGeneratorLoss
+
+    data = np.stack([random_circles(64, seed=i) for i in range(4)])
+    dl = DataLoader(ArrayDataset(data), batch_size=2)
+    trainer = AdversarialTrainer(
+        DnCNN(1, 1, depth=3, nf=4),
+        Denoising(noise_model=GaussianNoise(0.1)),
+        D=DCGANDiscriminator(ndf=8, nc=1),
+        losses=[SupLoss(), SupAdversarialGeneratorLoss(weight_adv=0.01)],
+        train_dataloader=dl,
+        online_measurements=True,
+        epochs=2,
+        verbose=False,
+    )
+    trainer.train()
+    assert len(trainer.loss_history) == 2
+
+
+def test_mri_losses(key):
+    from deepinv_tpu.loss import WeightedSplittingLoss, RobustSplittingLoss, ENSURELoss
+    from deepinv_tpu.physics import MRI
+    from deepinv_tpu.physics.generator import (
+        BernoulliSplittingMaskGenerator, RandomMaskGenerator,
+    )
+
+    mask = RandomMaskGenerator((16, 16), acceleration=2).step(1, key=key)["mask"][0]
+    physics = MRI(mask=mask)
+    x = jax.random.normal(key, (2, 2, 16, 16))
+    y = physics.A(x)
+    model = lambda yy, p: p.A_adjoint(yy)
+
+    gen = BernoulliSplittingMaskGenerator((2, 16, 16), split_ratio=0.7)
+    for loss in [
+        WeightedSplittingLoss(gen),
+        RobustSplittingLoss(gen),
+        ENSURELoss(sigma=0.05),
+    ]:
+        val = loss(y=y, physics=physics, model=model, key=key)
+        assert val.shape == (2,)
+        assert bool(jnp.all(jnp.isfinite(val)))
+
+
+def test_perceptual_metrics(key):
+    from deepinv_tpu.loss import (
+        HaarPSI, GMSD, CosineSimilarity, RecoveryCoefficient,
+        BlurStrength, SharpnessIndex, NIQE,
+    )
+    from deepinv_tpu.datasets import random_circles
+    import numpy as np
+
+    x = jnp.asarray(np.stack([random_circles(32, seed=i, channels=3) for i in range(2)]))
+    noisy = jnp.clip(x + 0.2 * jax.random.normal(key, x.shape), 0, 1)
+
+    # fidelity metrics: identical images score best
+    assert float(jnp.min(CosineSimilarity()(x, x))) > 0.999
+    assert float(jnp.min(RecoveryCoefficient()(x, x))) > 0.999
+    assert float(jnp.max(GMSD()(x, x))) < 1e-4
+    h_same = HaarPSI()(x, x)
+    h_noisy = HaarPSI()(noisy, x)
+    assert float(jnp.min(h_same - h_noisy)) > 0
+
+    # no-reference: blur increases BlurStrength score, reduces sharpness
+    from deepinv_tpu.ops.conv import gaussian_blur, conv2d
+    blurred = conv2d(x, gaussian_blur(sigma=2.0), padding="replicate")
+    assert float(jnp.mean(BlurStrength()(blurred))) > float(jnp.mean(BlurStrength()(x)))
+    assert float(jnp.mean(SharpnessIndex()(x))) > float(jnp.mean(SharpnessIndex()(blurred)))
+
+    # NIQE: features computable; metric raises without pristine params
+    n = NIQE()
+    f = n.features(x)
+    assert f.shape == (2, 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        n(x, x)
