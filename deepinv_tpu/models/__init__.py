@@ -49,3 +49,5 @@ from .gan import (
     DCGANDiscriminator,
     CSGMGenerator,
 )
+from .diffunet import DiffUNet, ADMUNet, EDMPrecond, GroupNorm
+from .restormer import Restormer

@@ -1,0 +1,191 @@
+"""Restormer denoiser (reference deepinv/models/restormer.py:751).
+
+Channel-wise multi-head transposed attention (MDTA) + gated depthwise-conv
+FFN (GDFN) in a 4-level encoder-decoder. Attention contracts over the
+*spatial* dimension (C x C attention matrices) — linear in pixels, and the
+C x C matmuls map directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core import Module
+from .base import Denoiser
+from .layers import Conv2d, PixelShuffle
+from .utils import test_pad
+
+__all__ = ["Restormer"]
+
+
+class _LayerNormC(Module):
+    """Bias-free LayerNorm over the channel dim."""
+
+    def __init__(self, channels):
+        self.weight = jnp.ones((channels,))
+
+    def __call__(self, x):
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + 1e-5) * self.weight[None, :, None, None]
+
+
+class _MDTA(Module):
+    """Multi-dconv-head transposed attention (Restormer eq. 2)."""
+
+    def __init__(self, channels, num_heads, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.num_heads = num_heads
+        self.temperature = jnp.ones((num_heads, 1, 1))
+        self.qkv = Conv2d(channels, channels * 3, 1, 1, 0, bias=False, key=k1)
+        self.qkv_dw = Conv2d(channels * 3, channels * 3, 3, 1, 1, bias=False, groups=channels * 3, key=k2)
+        self.proj = Conv2d(channels, channels, 1, 1, 0, bias=False, key=k3)
+
+    def __call__(self, x):
+        B, C, H, W = x.shape
+        h = self.num_heads
+        qkv = self.qkv_dw(self.qkv(x))
+        q, k, v = jnp.split(qkv, 3, axis=1)
+
+        def heads(v_):
+            return v_.reshape(B, h, C // h, H * W)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6, None)
+        k = k / jnp.clip(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6, None)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhcn,bhdn->bhcd", q, k) * self.temperature[None], axis=-1
+        )
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v).reshape(B, C, H, W)
+        return self.proj(out)
+
+
+class _GDFN(Module):
+    """Gated depthwise-conv feed-forward network (Restormer eq. 3)."""
+
+    def __init__(self, channels, expansion, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        hidden = int(channels * expansion)
+        self.inp = Conv2d(channels, hidden * 2, 1, 1, 0, bias=False, key=k1)
+        self.dw = Conv2d(hidden * 2, hidden * 2, 3, 1, 1, bias=False, groups=hidden * 2, key=k2)
+        self.out = Conv2d(hidden, channels, 1, 1, 0, bias=False, key=k3)
+
+    def __call__(self, x):
+        a, b = jnp.split(self.dw(self.inp(x)), 2, axis=1)
+        return self.out(jax.nn.gelu(a) * b)
+
+
+class _TransformerBlock(Module):
+    def __init__(self, channels, num_heads, expansion, key):
+        k1, k2 = jax.random.split(key)
+        self.norm1 = _LayerNormC(channels)
+        self.attn = _MDTA(channels, num_heads, k1)
+        self.norm2 = _LayerNormC(channels)
+        self.ffn = _GDFN(channels, expansion, k2)
+
+    def __call__(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.ffn(self.norm2(x))
+
+
+class _Down(Module):
+    def __init__(self, channels, key):
+        self.conv = Conv2d(channels, channels // 2, 3, 1, 1, bias=False, key=key)
+
+    def __call__(self, x):
+        # conv then pixel-unshuffle: C/2 * 4 = 2C channels at half res
+        h = self.conv(x)
+        B, C, H, W = h.shape
+        h = h.reshape(B, C, H // 2, 2, W // 2, 2)
+        return jnp.transpose(h, (0, 1, 3, 5, 2, 4)).reshape(B, C * 4, H // 2, W // 2)
+
+
+class _Up(Module):
+    def __init__(self, channels, key):
+        self.conv = Conv2d(channels, channels * 2, 3, 1, 1, bias=False, key=key)
+        self.shuffle = PixelShuffle(2)
+
+    def __call__(self, x):
+        return self.shuffle(self.conv(x))
+
+
+class Restormer(Denoiser):
+    """Restormer (reference restormer.py:751), compact configuration.
+
+    :param dim: base embedding dim (48 in the paper).
+    :param num_blocks: transformer blocks per level.
+    """
+
+    def __init__(
+        self,
+        in_channels: int = 3,
+        out_channels: int = 3,
+        dim: int = 24,
+        num_blocks=(2, 2, 2, 2),
+        num_refinement_blocks: int = 2,
+        heads=(1, 2, 4, 8),
+        expansion: float = 2.66,
+        key=None,
+    ):
+        key = key if key is not None else jax.random.key(0)
+        ks = iter(jax.random.split(key, 256))
+        self.patch_embed = Conv2d(in_channels, dim, 3, 1, 1, bias=False, key=next(ks))
+
+        dims = [dim, dim * 2, dim * 4, dim * 8]
+        self.enc = [
+            [_TransformerBlock(dims[l], heads[l], expansion, next(ks)) for _ in range(num_blocks[l])]
+            for l in range(4)
+        ]
+        self.downs = [_Down(dims[l], next(ks)) for l in range(3)]
+        self.ups = [_Up(dims[l + 1], next(ks)) for l in reversed(range(3))]
+        # channel reducers after skip concat (levels 2 and 1; level 0 keeps 2*dim)
+        self.reduce = [
+            Conv2d(dims[2] * 2, dims[2], 1, 1, 0, bias=False, key=next(ks)),
+            Conv2d(dims[1] * 2, dims[1], 1, 1, 0, bias=False, key=next(ks)),
+        ]
+        self.dec = [
+            [_TransformerBlock(dims[2], heads[2], expansion, next(ks)) for _ in range(num_blocks[2])],
+            [_TransformerBlock(dims[1], heads[1], expansion, next(ks)) for _ in range(num_blocks[1])],
+            [_TransformerBlock(dims[0] * 2, heads[0], expansion, next(ks)) for _ in range(num_blocks[0])],
+        ]
+        self.refine = [
+            _TransformerBlock(dims[0] * 2, heads[0], expansion, next(ks))
+            for _ in range(num_refinement_blocks)
+        ]
+        self.out_conv = Conv2d(dims[0] * 2, out_channels, 3, 1, 1, bias=False, key=next(ks))
+
+    def _forward(self, x):
+        h = self.patch_embed(x)
+        skips = []
+        for l in range(3):
+            for b in self.enc[l]:
+                h = b(h)
+            skips.append(h)
+            h = self.downs[l](h)
+        for b in self.enc[3]:
+            h = b(h)
+        # decoder
+        h = self.ups[0](h)
+        h = self.reduce[0](jnp.concatenate([h, skips[2]], axis=1))
+        for b in self.dec[0]:
+            h = b(h)
+        h = self.ups[1](h)
+        h = self.reduce[1](jnp.concatenate([h, skips[1]], axis=1))
+        for b in self.dec[1]:
+            h = b(h)
+        h = self.ups[2](h)
+        h = jnp.concatenate([h, skips[0]], axis=1)
+        for b in self.dec[2]:
+            h = b(h)
+        for b in self.refine:
+            h = b(h)
+        return self.out_conv(h) + x
+
+    def __call__(self, x, sigma=None, **kwargs):
+        H, W = x.shape[-2:]
+        if H % 8 or W % 8:
+            return test_pad(self._forward, x, modulo=8)
+        return self._forward(x)

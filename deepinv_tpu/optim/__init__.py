@@ -64,3 +64,5 @@ from .optimizers import (
     SIRT,
 )
 from .dpir import DPIR, get_DPIR_params
+from .epll import EPLL, GaussianMixtureModel, patch_extractor
+from .patch_prior import PatchPrior, PatchNR

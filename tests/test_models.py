@@ -312,3 +312,28 @@ def test_noise_estimators(key):
     assert abs(float(jnp.mean(est_w)) - sigma) / sigma < 0.2
     est_p = PatchCovarianceNoiseEstimator()(x)
     assert abs(float(jnp.mean(est_p)) - sigma) / sigma < 0.3
+
+
+def test_diffunet_and_edm(key):
+    from deepinv_tpu.models import DiffUNet, EDMPrecond
+
+    model = DiffUNet(nc=(8, 16, 16), num_res_blocks=1)
+    x = jax.random.normal(key, (2, 3, 32, 32))
+    out = model(x, jnp.array([0.1, 0.5]))
+    assert out.shape == x.shape
+    edm = EDMPrecond(model)
+    out2 = edm(x, 0.2)
+    assert out2.shape == x.shape
+    # at sigma->0, EDM output -> x (c_skip -> 1, c_out -> 0)
+    out3 = edm(x, 1e-6)
+    assert_close(out3, x, rtol=1e-3, atol=1e-3)
+
+
+def test_restormer(key):
+    from deepinv_tpu.models import Restormer
+
+    m = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1)
+    x = jax.random.normal(key, (1, 3, 37, 31))
+    out = m(x)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
