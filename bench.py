@@ -48,21 +48,36 @@ def main():
         max_iter=N_ITER,
     )
 
-    recon = jax.jit(lambda m, yv, p: m(yv, p))
-    # NOTE: on the axon tunnel, block_until_ready does not reliably await
-    # chained async computation — force completion with a host transfer.
+    # Slope-based timing: the axon tunnel adds ~40-70 ms of dispatch noise
+    # per call, so we measure the *marginal* cost per iteration by comparing
+    # an N_ITER-iteration recon with a 4x longer one (min over repeats).
     import numpy as np
 
-    _ = np.asarray(recon(model, y, physics)[:1, :1, :1, :1])  # compile + warm
+    def build(iters):
+        m = optim_builder(
+            "HQS",
+            data_fidelity=L2(),
+            prior=PnP(denoiser),
+            params_algo={"stepsize": 2.0, "g_param": 0.02},
+            max_iter=iters,
+        )
+        f = jax.jit(lambda mm, yv, p: mm(yv, p))
+        _ = np.asarray(jax.device_get(f(m, y, physics))).ravel()[:1]
+        def timed():
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = f(m, y, physics)
+                _ = np.asarray(jax.device_get(o)).ravel()[:1]
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+        return timed()
 
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = recon(model, y, physics)
-    _ = np.asarray(out[:1, :1, :1, :1])
-    dt = (time.perf_counter() - t0) / n_rep
+    t_short = build(N_ITER)
+    t_long = build(N_ITER * 4)
+    dt = (t_long - t_short) / (N_ITER * 3)
 
-    its = N_ITER / dt
+    its = 1.0 / dt
     print(
         json.dumps(
             {

@@ -12,6 +12,23 @@ Four core abstractions (mirroring the reference's public surface):
 Everything is a pytree: jit/vmap/grad/shard over physics and models directly.
 """
 
+import os as _os
+
+import jax as _jax
+
+# persistent XLA compilation cache: large jitted programs (PnP scans, FFT
+# radon) take minutes to compile on TPU the first time; cache them on disk.
+if not _os.environ.get("DEEPINV_TPU_NO_COMP_CACHE"):
+    _cache_dir = _os.environ.get(
+        "DEEPINV_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from . import core
 from . import ops
 from . import physics

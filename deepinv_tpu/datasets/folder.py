@@ -1,0 +1,117 @@
+"""Image folder + download-gated public datasets
+(reference deepinv/datasets/{base.py, div2k.py, urban100.py, set14.py,
+bsds500.py, cbsd68.py, ...}).
+
+This environment has no network egress, so the public dataset classes load
+from a local ``root`` if the files exist and raise a clear error otherwise
+(the reference downloads from their URLs; ``download=True`` is refused
+here). ``ImageFolder`` covers any directory of images.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+__all__ = [
+    "load_image",
+    "ImageFolder",
+    "DIV2K",
+    "Urban100HR",
+    "Set14HR",
+    "CBSD68",
+    "BSDS500",
+    "Flickr2kHR",
+    "LsdirHR",
+]
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def load_image(path, size=None, to_float: bool = True, grayscale: bool = False):
+    """Load an image file to a (C, H, W) numpy array."""
+    from PIL import Image
+
+    img = Image.open(path)
+    img = img.convert("L" if grayscale else "RGB")
+    if size is not None:
+        img = img.resize((size[1], size[0]))
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[None]
+    else:
+        arr = arr.transpose(2, 0, 1)
+    if to_float:
+        arr = arr.astype(np.float32) / 255.0
+    return arr
+
+
+class ImageFolder:
+    """Dataset over all images under a directory (reference ImageFolder)."""
+
+    def __init__(self, root: str, transform: Optional[Callable] = None, size=None, grayscale: bool = False):
+        self.root = root
+        self.transform = transform
+        self.size = size
+        self.grayscale = grayscale
+        self.paths = []
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                if f.lower().endswith(IMG_EXTENSIONS):
+                    self.paths.append(os.path.join(dirpath, f))
+        if not self.paths:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        x = load_image(self.paths[i], size=self.size, grayscale=self.grayscale)
+        if self.transform is not None:
+            x = self.transform(x)
+        return x
+
+
+class _PublicDataset(ImageFolder):
+    """Base for named public datasets: local-files-only (no egress)."""
+
+    name = "dataset"
+
+    def __init__(self, root: str, download: bool = False, **kwargs):
+        if download:
+            raise RuntimeError(
+                f"{self.name}: this environment has no network access; place "
+                f"the files under {root} manually (the reference downloads "
+                f"from its hub)."
+            )
+        super().__init__(root, **kwargs)
+
+
+class DIV2K(_PublicDataset):
+    name = "DIV2K"
+
+
+class Urban100HR(_PublicDataset):
+    name = "Urban100"
+
+
+class Set14HR(_PublicDataset):
+    name = "Set14"
+
+
+class CBSD68(_PublicDataset):
+    name = "CBSD68"
+
+
+class BSDS500(_PublicDataset):
+    name = "BSDS500"
+
+
+class Flickr2kHR(_PublicDataset):
+    name = "Flickr2k"
+
+
+class LsdirHR(_PublicDataset):
+    name = "LSDIR"

@@ -51,3 +51,11 @@ from .gan import (
 )
 from .diffunet import DiffUNet, ADMUNet, EDMPrecond, GroupNorm
 from .restormer import Restormer
+from .dip import DeepImagePrior, ConvDecoder
+from .misc_models import (
+    MinusOneOneDenoiserWrapper,
+    ScoreModelWrapper,
+    EPLLDenoiser,
+    KernelIdentificationNetwork,
+    Client,
+)

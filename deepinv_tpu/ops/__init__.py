@@ -13,3 +13,7 @@ from .conv import (
     kaiser_window,
 )
 from .fourier import dct2, idct2, dct1d, idct1d, dst1, fftc, ifftc
+from .product_convolution import product_convolution2d, product_convolution2d_adjoint, multiplier
+from .radon import radon, iradon, ramp_filter
+from .radon_fourier import radon_fourier, iradon_fourier
+from .wavelets import WaveletTransform

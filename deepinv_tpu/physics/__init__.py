@@ -26,7 +26,7 @@ from .noise import (
     RicianNoise,
     LaplaceNoise,
 )
-from .blur import Blur, BlurFFT, Downsampling, Upsampling
+from .blur import Blur, BlurFFT, Downsampling, Upsampling, SpaceVaryingBlur
 from .inpainting import Inpainting, Demosaicing
 from .mri import MRI, MultiCoilMRI, DynamicMRI, SequentialMRI, MRIMixin
 from .compressed_sensing import CompressedSensing

@@ -30,7 +30,7 @@ from ..ops.conv import (
 )
 from .base import LinearPhysics, DecomposablePhysics
 
-__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling"]
+__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur"]
 
 
 def _resolve_filter(filter, factor: int = 2):
@@ -218,3 +218,33 @@ class Upsampling(Downsampling):
 
     def prox_l2(self, z, y, gamma, **kwargs):
         return LinearPhysics.prox_l2(self, z, y, gamma, **kwargs)
+
+
+class SpaceVaryingBlur(LinearPhysics):
+    r"""Space-varying blur via product convolution (reference blur.py:740):
+    ``y = sum_k h_k * (w_k . x)``.
+
+    :param filters: (b, c, K, h, w) PSF branches.
+    :param multipliers: (b, c, K, H, W) spatial weights.
+    :param padding: conv padding mode.
+    """
+
+    def __init__(self, filters=None, multipliers=None, padding: str = "valid", **kwargs):
+        super().__init__(**kwargs)
+        self.filters = jnp.asarray(filters) if filters is not None else None
+        self.multipliers = jnp.asarray(multipliers) if multipliers is not None else None
+        self.padding = padding
+
+    def A(self, x, filters=None, multipliers=None, **params):
+        from ..ops.product_convolution import product_convolution2d
+
+        h = self.filters if filters is None else filters
+        w = self.multipliers if multipliers is None else multipliers
+        return product_convolution2d(x, w, h, padding=self.padding)
+
+    def A_adjoint(self, y, filters=None, multipliers=None, **params):
+        from ..ops.product_convolution import product_convolution2d_adjoint
+
+        h = self.filters if filters is None else filters
+        w = self.multipliers if multipliers is None else multipliers
+        return product_convolution2d_adjoint(y, w, h, padding=self.padding)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.radon import radon, iradon, radon_output_size
+from ..ops.radon_fourier import radon_fourier, iradon_fourier
 from .base import LinearPhysics
 
 __all__ = ["Tomography"]
@@ -35,6 +36,10 @@ class Tomography(LinearPhysics):
     :param circle: restrict to the inscribed circle (no padding).
     :param normalize: scale A and A_adjoint so the operator has roughly unit
         norm (reference :68 — normalization by img_width).
+    :param method: 'interp' (bilinear grid sampling, bit-comparable to the
+        reference) or 'fourier' (gather-free FFT three-shear rotation,
+        ~5x faster on TPU with exact sinc interpolation — see
+        ops/radon_fourier.py).
     """
 
     def __init__(
@@ -44,6 +49,7 @@ class Tomography(LinearPhysics):
         circle: bool = False,
         normalize: bool = False,
         fbp_interpolate_boundary: bool = False,
+        method: str = "interp",
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -56,9 +62,11 @@ class Tomography(LinearPhysics):
         self.circle = circle
         self.normalize = normalize
         self.n_det = radon_output_size(self.img_width, circle)
+        self.method = method
 
     def A(self, x, **params):
-        y = radon(x, self.theta, circle=self.circle)
+        fwd = radon_fourier if self.method == "fourier" else radon
+        y = fwd(x, self.theta, circle=self.circle)
         if self.normalize:
             y = y / self.img_width
         return y
@@ -66,7 +74,8 @@ class Tomography(LinearPhysics):
     def A_adjoint(self, y, **params):
         B, C = y.shape[:2]
         x_shape = (B, C, self.img_width, self.img_width)
-        fwd = lambda x: radon(x, self.theta, circle=self.circle)
+        radon_fn = radon_fourier if self.method == "fourier" else radon
+        fwd = lambda x: radon_fn(x, self.theta, circle=self.circle)
         (xt,) = jax.linear_transpose(
             fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
         )(y)
@@ -78,7 +87,8 @@ class Tomography(LinearPhysics):
         """Filtered backprojection (reference tomography.py A_dagger)."""
         if self.normalize:
             y = y * self.img_width
-        return iradon(
+        ifn = iradon_fourier if self.method == "fourier" else iradon
+        return ifn(
             y, self.theta, circle=self.circle, filtered=True, out_size=self.img_width
         )
 

@@ -1,1 +1,2 @@
 from .logger import AverageMeter, ProgressMeter, CSVLogger
+from .plotting import plot, plot_curves, plot_parameters, plot_inset, scatter_plot, rescale_img

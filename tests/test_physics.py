@@ -422,3 +422,44 @@ def test_pansharpen_tensorlist():
     assert y[0].shape == (1, 3, 8, 8) and y[1].shape == (1, 1, 32, 32)
     brovey = phys.brovey(y)
     assert brovey.shape == x.shape
+
+
+def test_tomography_fourier_method():
+    """Fourier (shear-FFT) Radon agrees with the grid-sampling Radon and has
+    an exact adjoint."""
+    from deepinv_tpu.physics import Tomography
+    from deepinv_tpu.datasets import shepp_logan
+
+    x = jnp.asarray(shepp_logan(32))[None, None]
+    for circle in (True, False):
+        tf = Tomography(angles=30, img_width=32, circle=circle, method="fourier")
+        ti = Tomography(angles=30, img_width=32, circle=circle, method="interp")
+        yf, yi = tf.A(x), ti.A(x)
+        rel = float(jnp.max(jnp.abs(yf - yi)) / jnp.max(jnp.abs(yi)))
+        assert rel < 0.2, rel  # interpolation-level difference
+        err = tf.adjointness_test(jnp.broadcast_to(x, (2, 1, 32, 32)))
+        assert abs(complex(err)) < 1e-2
+        fbp = tf.A_dagger(yf)
+        assert float(jnp.mean((fbp - x) ** 2)) < 0.02
+
+
+def test_space_varying_blur():
+    from deepinv_tpu.physics import SpaceVaryingBlur
+    from deepinv_tpu.ops import gaussian_blur
+
+    K, H, W = 3, 24, 24
+    filters = jnp.stack(
+        [gaussian_blur(sigma=0.5 + 0.5 * k, psf_size=(5, 5))[0, 0] for k in range(K)]
+    )[None, None]
+    # smooth partition-of-unity multipliers
+    xs = jnp.linspace(0, 1, W)
+    w0 = jnp.clip(1 - 2 * xs, 0, 1)[None, :] * jnp.ones((H, 1))
+    w2 = jnp.clip(2 * xs - 1, 0, 1)[None, :] * jnp.ones((H, 1))
+    w1 = 1 - w0 - w2
+    mult = jnp.stack([w0, w1, w2])[None, None]
+    phys = SpaceVaryingBlur(filters=filters, multipliers=mult, padding="circular")
+    u = jax.random.normal(jax.random.key(1), (2, 1, H, W))
+    err = phys.adjointness_test(u)
+    assert abs(complex(err)) < 1e-3
+    y = phys.A(u)
+    assert y.shape == u.shape

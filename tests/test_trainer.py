@@ -167,3 +167,49 @@ def test_shepp_logan_dataset():
     x = ds[0]
     assert x.shape == (1, 32, 32)
     assert 0 <= x.min() and x.max() <= 1.2
+
+
+def test_image_folder_and_plotting(tmp_path):
+    import numpy as np
+    from PIL import Image
+    from deepinv_tpu.datasets import ImageFolder, DIV2K
+    from deepinv_tpu.utils import plot, plot_curves, plot_parameters
+
+    for i in range(3):
+        arr = (np.random.RandomState(i).rand(16, 16, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+    ds = ImageFolder(str(tmp_path))
+    assert len(ds) == 3
+    x = ds[0]
+    assert x.shape == (3, 16, 16) and x.max() <= 1.0
+
+    with pytest.raises(RuntimeError):
+        DIV2K(str(tmp_path), download=True)
+
+    fig = plot([x, x], titles=["a", "b"], save_fn=str(tmp_path / "p.png"))
+    assert (tmp_path / "p.png").exists()
+    plot_curves({"psnr": [1, 2, 3]}, save_fn=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
+
+
+def test_fastmri_dataset(tmp_path):
+    import h5py
+    import numpy as np
+    from deepinv_tpu.datasets import FastMRISliceDataset, SimpleFastMRISliceDataset
+
+    # fabricate a fastMRI-format file (reference mock-test pattern)
+    ks = (np.random.RandomState(0).randn(4, 32, 32) +
+          1j * np.random.RandomState(1).randn(4, 32, 32)).astype(np.complex64)
+    rss = np.abs(ks).astype(np.float32)
+    with h5py.File(tmp_path / "file1.h5", "w") as f:
+        f.create_dataset("kspace", data=ks)
+        f.create_dataset("reconstruction_rss", data=rss)
+    ds = FastMRISliceDataset(str(tmp_path), slice_index="all")
+    assert len(ds) == 4
+    x, y = ds[0]
+    assert x.shape == (1, 32, 32) and y.shape == (2, 32, 32)
+    ds_mid = FastMRISliceDataset(str(tmp_path), slice_index="middle")
+    assert len(ds_mid) == 1
+
+    simple = SimpleFastMRISliceDataset(np.random.rand(5, 32, 32).astype(np.float32))
+    assert simple[0].shape == (2, 32, 32)
