@@ -17,3 +17,5 @@ from .product_convolution import product_convolution2d, product_convolution2d_ad
 from .radon import radon, iradon, ramp_filter
 from .radon_fourier import radon_fourier, iradon_fourier
 from .wavelets import WaveletTransform
+from .nufft import nufft2, nufft2_adjoint
+from .imresize import imresize_matlab

@@ -1,0 +1,106 @@
+"""Non-uniform FFT (type-1/type-2) with Kaiser-Bessel gridding.
+
+TPU-native replacement for the reference's torchkbnufft dependency
+(deepinv/physics/mri.py:166 MultiCoilMRI non-Cartesian,
+physics/radio.py:7 RadioInterferometry). The interpolation loop over the
+J x J Kaiser-Bessel neighborhood is unrolled into J^2 shifted
+gather/scatter-adds (``.at[].add``) on an oversampled grid — XLA lowers the
+scatters to sorted segment-sums; no external native library.
+
+Conventions: k-space coordinates in radians in [-pi, pi); type-2 (forward)
+maps image -> nonuniform samples; type-1 (adjoint) is the exact transpose.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["nufft2", "nufft2_adjoint", "kb_kernel"]
+
+
+def kb_kernel(r, J: int, beta: float):
+    """Kaiser-Bessel interpolation kernel on |r| <= J/2."""
+    from jax.scipy.special import i0
+
+    arg = jnp.clip(1 - (2 * r / J) ** 2, 0.0, None)
+    return jnp.where(jnp.abs(r) <= J / 2, i0(beta * jnp.sqrt(arg)) / i0(beta), 0.0)
+
+
+def _kb_params(J: int, osf: float):
+    beta = math.pi * math.sqrt((J / osf * (osf - 0.5)) ** 2 - 0.8)
+    return beta
+
+
+def _scaling_image(N: int, G: int, J: int, beta: float):
+    """Deapodization: reciprocal of the kernel's Fourier transform."""
+    # FT of the KB kernel (analytic, Jackson et al.)
+    x = (np.arange(N) - N / 2) / G
+    arg = (math.pi * J * x) ** 2 - beta**2
+    arg = np.asarray(arg, np.complex128)
+    val = np.real(np.sinh(np.sqrt(-arg + 0j)) / np.sqrt(-arg + 0j))
+    val[np.abs(val) < 1e-12] = 1e-12
+    return jnp.asarray(1.0 / val, jnp.float32)
+
+
+def _grid_setup(im_size, J, osf):
+    N1, N2 = im_size
+    G1, G2 = int(N1 * osf), int(N2 * osf)
+    beta = _kb_params(J, osf)
+    s1 = _scaling_image(N1, G1, J, beta)
+    s2 = _scaling_image(N2, G2, J, beta)
+    return (G1, G2), beta, jnp.outer(s1, s2)
+
+
+def nufft2(x, omega, J: int = 4, osf: float = 2.0):
+    """Type-2 NUFFT: (..., N1, N2) image -> (..., M) samples at ``omega``
+    (2, M) k-space radian coordinates."""
+    N1, N2 = x.shape[-2:]
+    (G1, G2), beta, scale = _grid_setup((N1, N2), J, osf)
+    xc = x.astype(jnp.complex64) * scale
+    # zero-pad to oversampled grid, centered
+    p1, p2 = (G1 - N1) // 2, (G2 - N2) // 2
+    xp = jnp.pad(
+        xc, [(0, 0)] * (x.ndim - 2) + [(p1, G1 - N1 - p1), (p2, G2 - N2 - p2)]
+    )
+    F = jnp.fft.fftshift(
+        jnp.fft.fft2(jnp.fft.ifftshift(xp, axes=(-2, -1)), axes=(-2, -1)),
+        axes=(-2, -1),
+    )
+    # fractional grid positions of each sample
+    g1 = omega[0] / (2 * jnp.pi) * G1 + G1 / 2
+    g2 = omega[1] / (2 * jnp.pi) * G2 + G2 / 2
+    k1 = jnp.floor(g1 - J / 2).astype(jnp.int32)
+    k2 = jnp.floor(g2 - J / 2).astype(jnp.int32)
+
+    out = 0.0
+    for j1 in range(1, J + 1):
+        idx1 = k1 + j1
+        w1 = kb_kernel(g1 - idx1, J, beta)
+        i1 = jnp.mod(idx1, G1)
+        for j2 in range(1, J + 1):
+            idx2 = k2 + j2
+            w2 = kb_kernel(g2 - idx2, J, beta)
+            i2 = jnp.mod(idx2, G2)
+            out = out + (w1 * w2) * F[..., i1, i2]
+    # normalize to the plain NDFT convention sum_n x[n] exp(-i omega.n)
+    # (empirically exact: the gridding chain carries (J/I0(beta))^2 / sqrt(G1 G2))
+    from jax.scipy.special import i0 as _i0
+
+    const = (J / _i0(jnp.asarray(beta))) ** 2
+    return out / const
+
+
+def nufft2_adjoint(y, omega, im_size, J: int = 4, osf: float = 2.0):
+    """Type-1 NUFFT (exact adjoint of :func:`nufft2`):
+    (..., M) samples -> (..., N1, N2) image."""
+    N1, N2 = im_size
+    batch_shape = y.shape[:-1]
+    fwd = lambda x: nufft2(x, omega, J=J, osf=osf)
+    spec = jax.ShapeDtypeStruct(batch_shape + (N1, N2), jnp.complex64)
+    # adjoint = conj . transpose . conj for a complex-linear map
+    (xt,) = jax.linear_transpose(fwd, spec)(jnp.conj(y.astype(jnp.complex64)))
+    return jnp.conj(xt)

@@ -33,7 +33,7 @@ from .prior import (
     TVPrior,
     WaveletPrior,
 )
-from .bregman import Bregman, BregmanL2, BurgEntropy, NegEntropy
+from .bregman import Bregman, BregmanL2, BurgEntropy, NegEntropy, Bregman_ICNN
 from .iterators import (
     OptimIterator,
     GDIteration,
@@ -66,3 +66,4 @@ from .optimizers import (
 from .dpir import DPIR, get_DPIR_params
 from .epll import EPLL, GaussianMixtureModel, patch_extractor
 from .patch_prior import PatchPrior, PatchNR
+from .utils import gradient_descent, check_conv, objective_function

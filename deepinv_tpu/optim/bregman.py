@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from .potential import Potential
 
-__all__ = ["Bregman", "BregmanL2", "BurgEntropy", "NegEntropy"]
+__all__ = ["Bregman", "BregmanL2", "BurgEntropy", "NegEntropy", "Bregman_ICNN"]
 
 
 class Bregman(Potential):
@@ -63,3 +63,29 @@ class NegEntropy(Bregman):
 
     def grad_conj(self, xi, *args, **kwargs):
         return jnp.exp(xi - 1)
+
+
+class Bregman_ICNN(Bregman):
+    """Learned Bregman potential from an input-convex network
+    (reference bregman.py:207). ``grad_conj`` solves the inverse-gradient
+    problem by conjugate-gradient-free fixed-point iterations."""
+
+    def __init__(self, icnn=None):
+        if icnn is None:
+            from ..models.wrappers_models import ICNN
+
+            icnn = ICNN()
+        self.icnn = icnn
+
+    def fn(self, x, *args, **kwargs):
+        return self.icnn.fn(x)
+
+    def grad(self, x, *args, **kwargs):
+        return self.icnn.grad(x)
+
+    def grad_conj(self, xi, *args, max_iter: int = 50, lr: float = 0.5, **kwargs):
+        # solve grad h(x) = xi  <=>  x = argmax <xi, x> - h(x) by ascent
+        def body(_, x):
+            return x - lr * (self.grad(x) - xi)
+
+        return jax.lax.fori_loop(0, max_iter, body, xi)

@@ -26,7 +26,7 @@ from .noise import (
     RicianNoise,
     LaplaceNoise,
 )
-from .blur import Blur, BlurFFT, Downsampling, Upsampling, SpaceVaryingBlur
+from .blur import Blur, BlurFFT, Downsampling, Upsampling, SpaceVaryingBlur, DownsamplingMatlab
 from .inpainting import Inpainting, Demosaicing
 from .mri import MRI, MultiCoilMRI, DynamicMRI, SequentialMRI, MRIMixin
 from .compressed_sensing import CompressedSensing
@@ -57,3 +57,6 @@ from .wrappers import (
     VirtualLinearPhysics,
 )
 from . import generator
+from .radio import RadioInterferometry
+from .scattering import BornOperator, Scattering
+from .pet import PET

@@ -30,7 +30,7 @@ from ..ops.conv import (
 )
 from .base import LinearPhysics, DecomposablePhysics
 
-__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur"]
+__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur", "DownsamplingMatlab"]
 
 
 def _resolve_filter(filter, factor: int = 2):
@@ -248,3 +248,33 @@ class SpaceVaryingBlur(LinearPhysics):
         h = self.filters if filters is None else filters
         w = self.multipliers if multipliers is None else multipliers
         return product_convolution2d_adjoint(y, w, h, padding=self.padding)
+
+
+class DownsamplingMatlab(LinearPhysics):
+    r"""MATLAB-imresize downsampling physics (reference blur.py:1195):
+    ``A`` = antialiased bicubic resize by 1/factor; adjoint via
+    linear_transpose of the (matmul-based) resize."""
+
+    def __init__(self, img_size=None, factor: int = 2, **kwargs):
+        super().__init__(**kwargs)
+        self.factor = int(factor)
+        self.imsize = tuple(img_size) if img_size is not None else None
+
+    def A(self, x, **params):
+        from ..ops.imresize import imresize_matlab
+
+        return imresize_matlab(x, scale=1.0 / self.factor)
+
+    def A_adjoint(self, y, **params):
+        from ..ops.imresize import imresize_matlab
+
+        if self.imsize is not None:
+            C, H, W = self.imsize
+        else:
+            H, W = y.shape[-2] * self.factor, y.shape[-1] * self.factor
+        B, C = y.shape[:2]
+        fwd = lambda x: imresize_matlab(x, scale=1.0 / self.factor)
+        (xt,) = jax.linear_transpose(
+            fwd, jax.ShapeDtypeStruct((B, C, H, W), y.dtype)
+        )(y)
+        return xt

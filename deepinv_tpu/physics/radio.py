@@ -1,0 +1,59 @@
+"""Radio interferometry physics (reference deepinv/physics/radio.py:7).
+
+``y = W . NUFFT(x)`` at the (u, v) visibility coordinates, using the
+pure-XLA Kaiser-Bessel NUFFT (ops/nufft.py) instead of torchkbnufft.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nufft import nufft2, nufft2_adjoint
+from .base import LinearPhysics
+
+__all__ = ["RadioInterferometry"]
+
+
+class RadioInterferometry(LinearPhysics):
+    r"""Radio interferometric imaging (reference radio.py:7).
+
+    :param img_size: (H, W) sky image size.
+    :param samples_loc: (2, M) visibility coordinates in radians [-pi, pi).
+    :param dataWeight: optional per-visibility weights.
+    :param real_projection: project the adjoint back to real images.
+    """
+
+    def __init__(
+        self,
+        img_size,
+        samples_loc,
+        dataWeight=None,
+        interp_points: int = 4,
+        k_oversampling: float = 2.0,
+        real_projection: bool = True,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.img_size = tuple(img_size)[-2:]
+        self.samples_loc = jnp.asarray(samples_loc, jnp.float32)
+        self.dataWeight = (
+            jnp.asarray(dataWeight) if dataWeight is not None else jnp.ones(())
+        )
+        self.J = interp_points
+        self.osf = k_oversampling
+        self.real_projection = real_projection
+
+    def A(self, x, **params):
+        if x.ndim == 4:  # (B, C, H, W) -> treat channels as batch
+            y = nufft2(x, self.samples_loc, J=self.J, osf=self.osf)
+        else:
+            y = nufft2(x, self.samples_loc, J=self.J, osf=self.osf)
+        return y * self.dataWeight
+
+    def A_adjoint(self, y, **params):
+        yw = y * jnp.conj(self.dataWeight)
+        x = nufft2_adjoint(yw, self.samples_loc, self.img_size, J=self.J, osf=self.osf)
+        if self.real_projection:
+            x = jnp.real(x)
+        return x

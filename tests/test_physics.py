@@ -463,3 +463,63 @@ def test_space_varying_blur():
     assert abs(complex(err)) < 1e-3
     y = phys.A(u)
     assert y.shape == u.shape
+
+
+def test_radio_interferometry():
+    from deepinv_tpu.physics import RadioInterferometry
+
+    key = jax.random.key(0)
+    M = 300
+    loc = jax.random.uniform(key, (2, M), minval=-jnp.pi * 0.9, maxval=jnp.pi * 0.9)
+    phys = RadioInterferometry(img_size=(24, 24), samples_loc=loc, real_projection=False)
+    u = jax.random.normal(jax.random.key(1), (1, 24, 24)).astype(jnp.complex64)
+    err = phys.adjointness_test(u, key=jax.random.key(2))
+    assert abs(complex(err)) / 100 < 1e-3
+    y = phys.A(u)
+    assert y.shape == (1, M)
+
+
+def test_born_and_scattering():
+    from deepinv_tpu.physics import BornOperator, Scattering
+
+    n = 32
+    born = BornOperator(img_size=(n, n), n_sources=4, n_receivers=8)
+    c = jnp.zeros((1, 1, n, n)).at[:, :, 12:20, 12:20].set(0.02)
+    y = born.A(c)
+    assert y.shape == (1, 4, 8) and jnp.iscomplexobj(y)
+    u = jax.random.normal(jax.random.key(1), (1, 1, n, n)).astype(jnp.complex64)
+    err = born.adjointness_test(u, key=jax.random.key(2))
+    assert abs(complex(err)) / max(1.0, abs(complex(jnp.vdot(y, y)))) < 1e-3
+
+    scat = Scattering(img_size=(n, n), n_sources=4, n_receivers=8)
+    y_nl = scat.A(c)
+    assert bool(jnp.all(jnp.isfinite(jnp.abs(y_nl))))
+    # weak contrast: nonlinear ~ Born
+    rel = float(jnp.linalg.norm(y_nl - y) / jnp.linalg.norm(y))
+    assert rel < 0.3, rel
+    # stronger contrast: multiple scattering departs from Born
+    c2 = c * 25
+    rel2 = float(jnp.linalg.norm(scat.A(c2) - born.A(c2)) / jnp.linalg.norm(born.A(c2)))
+    assert rel2 > rel
+
+
+def test_pet():
+    from deepinv_tpu.physics import PET
+    from deepinv_tpu.datasets import shepp_logan
+
+    x = jnp.asarray(shepp_logan(32))[None, None] * 10
+    mu = jnp.full((1, 1, 32, 32), 0.01)
+    phys = PET(img_width=32, angles=45, attenuation=mu)
+    y = phys.A(x)
+    assert y.shape[-1] == 45
+    u = jax.random.normal(jax.random.key(1), (1, 1, 32, 32))
+    err = phys.adjointness_test(u, key=jax.random.key(2))
+    assert abs(complex(err)) < 1e-2
+    # MLEM reconstruction improves over uniform init
+    rec = phys.osem(y, n_iter=10)
+    mse0 = float(jnp.mean((jnp.ones_like(x) - x) ** 2))
+    mse1 = float(jnp.mean((rec - x) ** 2))
+    assert mse1 < mse0
+    # Poisson counting noise active by default
+    yn = phys(x, key=jax.random.key(3))
+    assert float(jnp.mean(jnp.abs(yn - y))) > 0
