@@ -13,3 +13,5 @@ from .folder import (
     LsdirHR,
     load_image,
 )
+from .folder import FMD, Kohler, NBUDataset, LidcIdriSliceDataset
+from .mri_slices import CMRxReconSliceDataset, SKMTEASliceDataset, MRISliceTransform

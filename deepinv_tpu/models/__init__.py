@@ -59,3 +59,5 @@ from .misc_models import (
     KernelIdentificationNetwork,
     Client,
 )
+from .swinir import SwinIR
+from .scunet import SCUNet

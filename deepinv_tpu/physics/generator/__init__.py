@@ -1,5 +1,12 @@
 from .base import PhysicsGenerator, GeneratorMixture
-from .blur import MotionBlurGenerator, GaussianBlurGenerator, DiffractionBlurGenerator
+from .blur import (
+    MotionBlurGenerator,
+    GaussianBlurGenerator,
+    DiffractionBlurGenerator,
+    ProductConvolutionBlurGenerator,
+    TiledBlurGenerator,
+    ConfocalBlurGenerator3D,
+)
 from .mri import (
     BaseMaskGenerator,
     GaussianMaskGenerator,

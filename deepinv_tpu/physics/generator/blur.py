@@ -21,6 +21,9 @@ __all__ = [
     "MotionBlurGenerator",
     "GaussianBlurGenerator",
     "DiffractionBlurGenerator",
+    "ProductConvolutionBlurGenerator",
+    "TiledBlurGenerator",
+    "ConfocalBlurGenerator3D",
 ]
 
 
@@ -150,3 +153,86 @@ class DiffractionBlurGenerator(PhysicsGenerator):
         psfs = jax.vmap(one)(coeffs)
         psfs = psfs / jnp.sum(psfs, axis=(-2, -1), keepdims=True)
         return {"filter": psfs[:, None], "coeff": coeffs}
+
+
+class ProductConvolutionBlurGenerator(PhysicsGenerator):
+    r"""Space-varying blur parameters (reference generator/blur.py
+    ProductConvolutionBlurGenerator): K random PSFs + smooth partition-of-
+    unity multipliers for :class:`SpaceVaryingBlur`."""
+
+    def __init__(self, psf_generator=None, img_size=(32, 32), n_eigen_psf: int = 4, seed: int = 0):
+        super().__init__(seed=seed)
+        self.psf_generator = (
+            psf_generator if psf_generator is not None else DiffractionBlurGenerator(psf_size=(15, 15))
+        )
+        self.img_size = tuple(img_size)[-2:]
+        self.K = n_eigen_psf
+
+    def sample(self, batch_size, key, **kwargs):
+        kf, kw = jax.random.split(key)
+        filters = self.psf_generator.sample(self.K * batch_size, kf)["filter"]
+        h, w = filters.shape[-2:]
+        filters = filters.reshape(batch_size, 1, self.K, h, w)
+        # smooth random multipliers, softmax-normalized across K
+        H, W = self.img_size
+        coarse = jax.random.normal(kw, (batch_size, 1, self.K, 8, 8))
+        up = jax.image.resize(coarse, (batch_size, 1, self.K, H, W), "bilinear")
+        mult = jax.nn.softmax(up * 3.0, axis=2)
+        return {"filters": filters, "multipliers": mult}
+
+
+class TiledBlurGenerator(ProductConvolutionBlurGenerator):
+    r"""Tile-piecewise-constant multipliers (reference TiledBlurGenerator):
+    the image is split into a grid of tiles, each with its own PSF."""
+
+    def __init__(self, psf_generator=None, img_size=(32, 32), tiles=(2, 2), seed: int = 0):
+        super().__init__(psf_generator, img_size, n_eigen_psf=tiles[0] * tiles[1], seed=seed)
+        self.tiles = tuple(tiles)
+
+    def sample(self, batch_size, key, **kwargs):
+        out = super().sample(batch_size, key, **kwargs)
+        H, W = self.img_size
+        th, tw = self.tiles
+        # hard tile assignment instead of smooth softmax
+        ys = jnp.minimum(jnp.arange(H) * th // H, th - 1)
+        xs = jnp.minimum(jnp.arange(W) * tw // W, tw - 1)
+        tile_id = ys[:, None] * tw + xs[None, :]
+        mult = jax.nn.one_hot(tile_id, th * tw, axis=-1)  # (H, W, K)
+        mult = jnp.moveaxis(mult, -1, 0)[None, None]  # (1,1,K,H,W)
+        out["multipliers"] = jnp.broadcast_to(
+            mult, (batch_size, 1, th * tw, H, W)
+        )
+        return out
+
+
+class ConfocalBlurGenerator3D(PhysicsGenerator):
+    r"""3D confocal microscopy PSFs (reference ConfocalBlurGenerator3D):
+    separable lateral Airy-like x axial Gaussian profiles with random
+    numerical aperture / wavelength jitter."""
+
+    def __init__(self, psf_size=(9, 15, 15), NA: float = 1.2, seed: int = 0):
+        super().__init__(seed=seed)
+        self.psf_size = tuple(psf_size)
+        self.NA = NA
+
+    def sample(self, batch_size, key, **kwargs):
+        D, H, W = self.psf_size
+        kna, kwl = jax.random.split(key)
+        na = self.NA * (1 + 0.1 * jax.random.normal(kna, (batch_size,)))
+        wl = 0.5 * (1 + 0.1 * jax.random.normal(kwl, (batch_size,)))
+
+        z = jnp.arange(D) - (D - 1) / 2
+        yx = jnp.arange(H) - (H - 1) / 2
+        yy, xx = jnp.meshgrid(yx, yx, indexing="ij")
+        r2 = yy**2 + xx**2
+
+        def one(na_i, wl_i):
+            sig_lat = wl_i / (2 * na_i) * 2.0
+            sig_ax = 2 * wl_i / (na_i**2) * 1.5
+            lat = jnp.exp(-r2 / (2 * sig_lat**2))
+            ax = jnp.exp(-(z**2) / (2 * sig_ax**2))
+            psf = ax[:, None, None] * lat[None]
+            return psf / jnp.sum(psf)
+
+        psfs = jax.vmap(one)(na, wl)
+        return {"filter": psfs[:, None]}

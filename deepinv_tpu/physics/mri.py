@@ -141,9 +141,15 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
     :param img_size: used when mask is None.
     """
 
-    def __init__(self, mask=None, coil_maps=1, img_size=(320, 320), three_d: bool = False, **kwargs):
+    def __init__(self, mask=None, coil_maps=1, img_size=(320, 320), three_d: bool = False, kspace_trajectory=None, **kwargs):
         super().__init__(**kwargs)
         self.three_d = three_d
+        # non-Cartesian mode (reference: torchkbnufft path, mri.py:166):
+        # sample k-space at arbitrary (2, M) radian coordinates via NUFFT
+        self.kspace_trajectory = (
+            jnp.asarray(kspace_trajectory) if kspace_trajectory is not None else None
+        )
+        self.img_size = tuple(img_size)[-2:]
         self.mask = _check_mask(mask, img_size, three_d)
         if isinstance(coil_maps, int):
             H, W = self.mask.shape[-2:]
@@ -154,6 +160,11 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
         phys = self.update(mask=mask, coil_maps=coil_maps)
         xc = self.to_complex(x)  # (B,1,H,W)
         sx = xc * phys.coil_maps[:, :, ...]  # (B,N,H,W)
+        if self.kspace_trajectory is not None:
+            from ..ops.nufft import nufft2
+
+            yk = nufft2(sx, self.kspace_trajectory)  # (B,N,M)
+            return jnp.stack([jnp.real(yk), jnp.imag(yk)], axis=1)
         axes = (-3, -2, -1) if self.three_d else (-2, -1)
         y = self.fft(sx, axes=axes)
         # mask: (B,2,H,W) -> use channel 0 for complex masking
@@ -164,6 +175,16 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
 
     def A_adjoint(self, y, mask=None, coil_maps=None, rss: bool = False, crop=None, **params):
         phys = self.update(mask=mask, coil_maps=coil_maps)
+        if self.kspace_trajectory is not None:
+            from ..ops.nufft import nufft2_adjoint
+
+            yk = y[:, 0] + 1j * y[:, 1]  # (B,N,M)
+            imgs = nufft2_adjoint(yk, self.kspace_trajectory, self.img_size)
+            out = jnp.sum(jnp.conj(phys.coil_maps) * imgs, axis=1, keepdims=True)
+            x = jnp.concatenate([jnp.real(out), jnp.imag(out)], axis=1)
+            if rss:
+                x = jnp.sqrt(jnp.sum(jnp.abs(imgs) ** 2, axis=1, keepdims=True))
+            return x
         yk = y[:, 0] + 1j * y[:, 1]  # (B,N,H,W)
         m = phys.mask[:, 0:1]
         axes = (-3, -2, -1) if self.three_d else (-2, -1)

@@ -12,3 +12,4 @@ from .sde import (
     PosteriorDiffusion,
     DPSDataFidelity,
 )
+from .utils import Welford, SDEOutput, projbox

@@ -1,2 +1,3 @@
 from .base import Transform, Identity
 from .geometric import Shift, Rotate, Scale, Reflect, Homography
+from .temporal import ShiftTime, RandomNoise, RandomPhaseError

@@ -337,3 +337,32 @@ def test_restormer(key):
     out = m(x)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_swinir_scunet(key):
+    from deepinv_tpu.models import SwinIR, SCUNet
+
+    for m in [
+        SwinIR(embed_dim=12, depths=(2, 2), num_heads=(2, 2), window_size=8),
+        SCUNet(dim=8, n_blocks=1, window_size=4),
+    ]:
+        x = jax.random.normal(key, (1, 3, 37, 31))
+        out = m(x)
+        assert out.shape == x.shape, type(m).__name__
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_transform_extras(key):
+    from deepinv_tpu.transform import ShiftTime, RandomNoise, RandomPhaseError
+
+    xt = jax.random.uniform(key, (2, 1, 6, 8, 8))
+    st = ShiftTime()
+    p = st.get_params(xt, key)
+    rt = st.inverse(st.transform(xt, **p), **p)
+    assert_close(rt, xt)
+
+    x = jax.random.uniform(key, (2, 2, 8, 8))
+    pe = RandomPhaseError(scale=0.2)
+    pp = pe.get_params(x, key)
+    rr = pe.inverse(pe.transform(x, **pp), **pp)
+    assert_close(rr, x, rtol=1e-4, atol=1e-5)
