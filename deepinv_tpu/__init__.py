@@ -18,7 +18,12 @@ import jax as _jax
 
 # persistent XLA compilation cache: large jitted programs (PnP scans, FFT
 # radon) take minutes to compile on TPU the first time; cache them on disk.
-if not _os.environ.get("DEEPINV_TPU_NO_COMP_CACHE"):
+_plat = (_os.environ.get("JAX_PLATFORMS") or "") + str(
+    getattr(_jax.config, "jax_platforms", None) or ""
+)
+# cpu AOT cache entries can be machine-feature mismatched (SIGILL risk);
+# only cache for accelerator backends
+if not _os.environ.get("DEEPINV_TPU_NO_COMP_CACHE") and "cpu" not in _plat:
     _cache_dir = _os.environ.get(
         "DEEPINV_TPU_CACHE_DIR",
         _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),

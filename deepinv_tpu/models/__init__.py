@@ -61,3 +61,6 @@ from .misc_models import (
 )
 from .swinir import SwinIR
 from .scunet import SCUNet
+from .ram import RAM
+from .promptir import PromptIR
+from .poisson2sparse import ConvLista, Poisson2Sparse

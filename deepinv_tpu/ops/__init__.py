@@ -19,3 +19,4 @@ from .radon_fourier import radon_fourier, iradon_fourier
 from .wavelets import WaveletTransform
 from .nufft import nufft2, nufft2_adjoint
 from .imresize import imresize_matlab
+from .misc import histogram, histogramdd, ThinPlateSpline, random_choice

@@ -16,8 +16,10 @@ from .optimizers import BaseOptim
 __all__ = ["DPIR", "get_DPIR_params"]
 
 
-def get_DPIR_params(noise_level_img: float, max_iter: int = 8, s1: float = 49.0 / 255.0, lamb: float = 1.0 / 3.0):
-    """Standard DPIR schedule (reference dpir.py get_params)."""
+def get_DPIR_params(noise_level_img: float, max_iter: int = 8, s1: float = 49.0 / 255.0, lamb: float = 1.0 / 0.23):
+    """Standard DPIR schedule (reference dpir.py:11-36, exact):
+    log-spaced denoiser sigmas 49/255 -> sigma_n; stepsize =
+    lamb * (sigma_k / max(0.01, sigma_n))^2 with lamb = 1/0.23."""
     s2 = max(noise_level_img, 1e-4)
     sigma_denoiser = np.logspace(np.log10(s1), np.log10(s2), max_iter).astype(np.float32)
     stepsize = (sigma_denoiser / max(0.01, noise_level_img)) ** 2

@@ -1,0 +1,39 @@
+"""CT: FBP + unfolded PGD (counterpart of reference CT examples)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepinv_tpu.physics import Tomography, LogPoissonNoise
+from deepinv_tpu.unfolded import unfolded_builder
+from deepinv_tpu.optim import L2, PnP
+from deepinv_tpu.models import DnCNN, TVDenoiser
+from deepinv_tpu.loss import PSNR
+from deepinv_tpu.datasets import shepp_logan
+
+
+def main(size=64, angles=60):
+    x = jnp.asarray(shepp_logan(size))[None, None]
+    physics = Tomography(angles=angles, img_width=size, normalize=True,
+                         method="fourier")
+    y = physics.A(x)
+    fbp = physics.A_dagger(y)
+    psnr = PSNR()
+    print(f"FBP PSNR: {float(jnp.mean(psnr(fbp, x))):.2f} dB")
+
+    # unfolded PGD; swap the TV prox for a trainable DnCNN prior
+    # (PnP(DnCNN(...))) and train with Trainer for the learned variant
+    model = unfolded_builder(
+        "PGD",
+        data_fidelity=L2(),
+        prior=PnP(lambda u, s: TVDenoiser(30)(u, 0.003)),
+        params_algo={"stepsize": 0.9, "g_param": 0.05},
+        max_iter=20,
+        custom_init=lambda yv, p: p.A_dagger(yv),
+    )
+    xhat = model(y, physics)
+    print(f"unfolded PGD-TV PSNR: {float(jnp.mean(psnr(xhat, x))):.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Mesh-parallel PnP over stacked operators + spatially sharded denoiser
+(counterpart of reference examples/distributed/demo_pnp_distributed.py).
+
+Run with a virtual mesh:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 python examples/demo_distributed_pnp.py
+"""
+
+import jax
+import jax.numpy as jnp
+
+from deepinv_tpu.parallel import DistributedContext, distribute
+from deepinv_tpu.physics import Blur
+from deepinv_tpu.ops import gaussian_blur
+from deepinv_tpu.optim import L2
+from deepinv_tpu.models import MedianFilter
+from deepinv_tpu.datasets import random_circles
+
+
+def main():
+    n_dev = len(jax.devices())
+    ctx = DistributedContext(axis_names=("op",))
+    plist = [
+        Blur(filter=gaussian_blur(sigma=1.0, psf_size=(7, 7)), padding="circular")
+        for _ in range(n_dev)
+    ]
+    dphys = distribute(plist, ctx)
+    dfid = distribute(L2(), ctx)
+
+    x = jnp.asarray(random_circles(64, seed=0))[None]
+    y = dphys.A(x)
+    z = jnp.zeros_like(x)
+    den = MedianFilter(3)
+    for _ in range(20):
+        z = z - 0.5 * dfid.grad(z, y, dphys)
+        z = den(z)
+    print("residual:", float(jnp.mean((z - x) ** 2)))
+
+
+if __name__ == "__main__":
+    main()

@@ -366,3 +366,26 @@ def test_transform_extras(key):
     pp = pe.get_params(x, key)
     rr = pe.inverse(pe.transform(x, **pp), **pp)
     assert_close(rr, x, rtol=1e-4, atol=1e-5)
+
+
+def test_promptir_and_poisson2sparse(key):
+    from deepinv_tpu.models import PromptIR, ConvLista, RAM
+    from deepinv_tpu.physics import Inpainting, GaussianNoise
+
+    m = PromptIR(dim=8, num_blocks=(1, 1, 1))
+    x = jax.random.normal(key, (1, 3, 33, 31))
+    assert m(x).shape == x.shape
+
+    cl = ConvLista(n_filters=8, n_iter=4)
+    u = jax.random.normal(key, (1, 1, 16, 16))
+    assert cl(u).shape == u.shape
+
+    ram = RAM(in_channels=1, nc=(8, 16, 16), nb=1)
+    physics = Inpainting(img_size=(1, 32, 32), mask=0.6, key=jax.random.key(1),
+                         noise_model=GaussianNoise(0.05))
+    xt = jax.random.uniform(key, (1, 1, 32, 32))
+    y = physics(xt, key=jax.random.key(2))
+    out = ram(y, physics)
+    assert out.shape == xt.shape
+    out2 = ram(xt, sigma=0.1)
+    assert out2.shape == xt.shape
