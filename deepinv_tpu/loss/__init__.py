@@ -1,6 +1,7 @@
 from .base import Loss, StackedPhysicsLoss
 from .metric import (
     Metric,
+    QNR,
     MSE,
     NMSE,
     MAE,

@@ -15,6 +15,7 @@ from ..core import Module
 
 __all__ = [
     "Metric",
+    "QNR",
     "MSE",
     "NMSE",
     "MAE",
@@ -244,13 +245,55 @@ class ERGAS(Metric):
 
 
 class QNR(Metric):
-    """Quality with No Reference for pansharpening (distortion.py:429).
+    r"""Quality with No Reference for pansharpening (distortion.py:429):
+    ``QNR = (1 - D_lambda)^alpha (1 - D_s)^beta`` with spectral distortion
+    D_lambda (inter-band UQI differences vs the low-res multispectral) and
+    spatial distortion D_s (band-to-pan UQI differences).
 
-    Simplified: D_lambda / D_s computed with SSIM-free correlation terms.
+    Call as ``qnr(x_net=fused, x=None, y=TensorList([ms_lr, pan]),
+    physics=pansharpen_physics)``.
     """
 
     lower_better = False
 
-    def metric(self, x_net, x=None, *args, **kwargs):
-        # no-reference; return a placeholder correlation-based score
-        raise NotImplementedError("QNR requires pansharpening inputs; see pansharpen module")
+    def __init__(self, alpha: float = 1.0, beta: float = 1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.alpha = alpha
+        self.beta = beta
+
+    @staticmethod
+    def _uqi(a, b):
+        """Universal quality index per-batch over flattened images."""
+        af = _flatten_batch(a)
+        bf = _flatten_batch(b)
+        ma, mb = jnp.mean(af, 1, keepdims=True), jnp.mean(bf, 1, keepdims=True)
+        va = jnp.var(af, 1)
+        vb = jnp.var(bf, 1)
+        cov = jnp.mean((af - ma) * (bf - mb), 1)
+        return (4 * cov * ma[:, 0] * mb[:, 0]) / jnp.clip(
+            (va + vb) * (ma[:, 0] ** 2 + mb[:, 0] ** 2), 1e-12, None
+        )
+
+    def __call__(self, x_net=None, x=None, y=None, physics=None, **kwargs):
+        ms_lr, pan = y[0], y[1]
+        fused = x_net
+        C = fused.shape[1]
+        # spectral distortion: band-pair UQI differences fused vs low-res MS
+        d_lambda = 0.0
+        n_pairs = 0
+        for i in range(C):
+            for j in range(i + 1, C):
+                u_f = self._uqi(fused[:, i : i + 1], fused[:, j : j + 1])
+                u_l = self._uqi(ms_lr[:, i : i + 1], ms_lr[:, j : j + 1])
+                d_lambda = d_lambda + jnp.abs(u_f - u_l)
+                n_pairs += 1
+        d_lambda = d_lambda / max(n_pairs, 1)
+        # spatial distortion: band-to-pan UQI at high res vs low res
+        pan_lr = jax.image.resize(pan, ms_lr[:, :1].shape, "linear")
+        d_s = 0.0
+        for i in range(C):
+            u_h = self._uqi(fused[:, i : i + 1], pan)
+            u_l = self._uqi(ms_lr[:, i : i + 1], pan_lr)
+            d_s = d_s + jnp.abs(u_h - u_l)
+        d_s = d_s / C
+        return (1 - d_lambda) ** self.alpha * (1 - d_s) ** self.beta

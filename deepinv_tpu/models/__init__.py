@@ -19,6 +19,7 @@ from .drunet import DRUNet
 from .unet import UNet
 from .classic import (
     TVDenoiser,
+    TVL1Denoiser,
     TGVDenoiser,
     WaveletDenoiser,
     WaveletDictDenoiser,
@@ -49,7 +50,7 @@ from .gan import (
     DCGANDiscriminator,
     CSGMGenerator,
 )
-from .diffunet import DiffUNet, ADMUNet, EDMPrecond, GroupNorm
+from .diffunet import DiffUNet, ADMUNet, EDMPrecond, GroupNorm, NCSNpp
 from .restormer import Restormer
 from .dip import DeepImagePrior, ConvDecoder
 from .misc_models import (
@@ -64,3 +65,4 @@ from .scunet import SCUNet
 from .ram import RAM
 from .promptir import PromptIR
 from .poisson2sparse import ConvLista, Poisson2Sparse
+from .deal import DEAL

@@ -11,6 +11,7 @@ from .base import Denoiser
 
 __all__ = [
     "TVDenoiser",
+    "TVL1Denoiser",
     "TGVDenoiser",
     "WaveletDenoiser",
     "WaveletDictDenoiser",
@@ -193,3 +194,34 @@ class AnscombeDenoiser(Denoiser):
             - 1.0 / 8.0
         )
         return inv * g
+
+
+class TVL1Denoiser(Denoiser):
+    """TV-L1 denoiser (reference models/tv.py:221): primal-dual minimization
+    of ``||x - y||_1 + ths * TV(x)`` — robust to outliers/salt-pepper."""
+
+    def __init__(self, n_it_max: int = 200):
+        self.n_it_max = n_it_max
+
+    def __call__(self, y, ths=0.1, **kwargs):
+        from ..optim.prior import _grad_op, _div_op
+
+        tau = 0.25
+        sigma = 0.25
+
+        def body(_, carry):
+            x, p, q, x_bar = carry
+            # dual TV variable: projection onto the ths-ball
+            p = p + sigma * _grad_op(x_bar)
+            pn = jnp.sqrt(jnp.sum(p**2, axis=-1, keepdims=True))
+            p = p / jnp.maximum(1.0, pn / ths)
+            # dual L1 variable: clamp to [-1, 1] (reference prox_sigma_g_conj)
+            q = jnp.clip(q + sigma * (x_bar - y), -1.0, 1.0)
+            x_new = x - tau * (-_div_op(p) + q)
+            x_bar = 2 * x_new - x
+            return (x_new, p, q, x_bar)
+
+        p0 = jnp.zeros(y.shape + (2,), y.dtype)
+        q0 = jnp.zeros_like(y)
+        x, _, _, _ = jax.lax.fori_loop(0, self.n_it_max, body, (y, p0, q0, y))
+        return x

@@ -31,6 +31,7 @@ from .prior import (
     L1Prior,
     L12Prior,
     TVPrior,
+    TVL1Prior,
     WaveletPrior,
 )
 from .bregman import Bregman, BregmanL2, BurgEntropy, NegEntropy, Bregman_ICNN

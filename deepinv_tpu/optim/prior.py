@@ -22,6 +22,7 @@ __all__ = [
     "L1Prior",
     "L12Prior",
     "TVPrior",
+    "TVL1Prior",
     "WaveletPrior",
 ]
 
@@ -198,3 +199,20 @@ class WaveletPrior(Prior):
             coeffs, lambda c: jnp.sign(c) * jnp.maximum(jnp.abs(c) - gamma, 0.0)
         )
         return self.wt.idwt2(thresholded)
+
+
+class TVL1Prior(Prior):
+    r"""Anisotropic TV-L1 style prior (reference prior.py:575): prox via the
+    TV-L1 primal-dual denoiser."""
+
+    def __init__(self, n_it_max: int = 100):
+        self.n_it_max = n_it_max
+
+    def fn(self, x, *args, **kwargs):
+        g = _grad_op(x)
+        return _batch_sum(jnp.sum(jnp.abs(g), axis=-1))
+
+    def prox(self, x, *args, gamma=1.0, **kwargs):
+        from ..models.classic import TVL1Denoiser
+
+        return TVL1Denoiser(self.n_it_max)(x, ths=gamma)

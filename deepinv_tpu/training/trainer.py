@@ -86,6 +86,10 @@ class Trainer:
         no_learning_method: str = "A_adjoint",
         verbose: bool = True,
         show_progress_bar: bool = False,
+        wandb_vis: bool = False,
+        wandb_setup: dict = None,
+        mlflow_vis: bool = False,
+        mlflow_setup: dict = None,
         seed: int = 0,
     ):
         import optax
@@ -121,6 +125,26 @@ class Trainer:
 
         self.opt_state = self.optimizer.init(self.model)
         self.epoch_start = 0
+        # optional MLOps logging (reference trainer.py:43-44,604): gated on
+        # package availability (neither ships in this environment)
+        self._wandb = None
+        self._mlflow = None
+        if wandb_vis:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(**(wandb_setup or {}))
+            except ImportError:
+                print("wandb not available; disabling wandb logging")
+        if mlflow_vis:
+            try:
+                import mlflow
+
+                self._mlflow = mlflow
+                mlflow.start_run(**(mlflow_setup or {}))
+            except ImportError:
+                print("mlflow not available; disabling mlflow logging")
         self.loss_history = []
         self.eval_metrics_history = {}
         self.best_metric = None
@@ -215,6 +239,10 @@ class Trainer:
                     meter.update(float(jnp.mean(m(x_net, x))), n=x.shape[0])
 
             self.loss_history.append(loss_meter.avg)
+            self.log_metrics_mlops(
+                {"loss": loss_meter.avg, **{m.name: m.avg for m in metric_meters}},
+                step=epoch,
+            )
             if self.verbose:
                 msg = f"epoch {epoch}: loss {loss_meter.avg:.5g}"
                 for meter in metric_meters:
@@ -297,6 +325,14 @@ class Trainer:
         if m == "prox_l2":
             return physics.prox_l2(physics.A_adjoint(y), y, 1.0)
         return y
+
+    def log_metrics_mlops(self, metrics: dict, step: int = 0):
+        """Push metrics to wandb/mlflow when enabled (trainer.py:604)."""
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        if self._mlflow is not None:
+            for k, v in metrics.items():
+                self._mlflow.log_metric(k, v, step=step)
 
     # -- checkpointing ----------------------------------------------------
     def save_model(self, path: str, epoch: int = 0):
