@@ -90,6 +90,7 @@ class Trainer:
         wandb_setup: dict = None,
         mlflow_vis: bool = False,
         mlflow_setup: dict = None,
+        data_parallel: bool = False,
         seed: int = 0,
     ):
         import optax
@@ -117,6 +118,18 @@ class Trainer:
         self.no_learning_method = no_learning_method
         self.verbose = verbose
         self.seed = seed
+        # data-parallel over all devices (reference: DataParallel/DDP story,
+        # docs/user_guide/training/multigpu.rst): batches are sharded over a
+        # "dp" mesh axis, parameters replicated; XLA inserts the gradient
+        # psum automatically from the sharding propagation.
+        self._dp_sharding = None
+        self._repl_sharding = None
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.array(jax.devices()), ("dp",))
+            self._dp_sharding = NamedSharding(mesh, P("dp"))
+            self._repl_sharding = NamedSharding(mesh, P())
 
         # adapt model through losses (e.g. splitting)
         for l in self.losses:
@@ -231,6 +244,10 @@ class Trainer:
                 physics = self.physics[g % len(self.physics)]
                 step_key = jax.random.fold_in(epoch_key, step)
                 x, y, cur_physics = self.get_samples(batch, physics, step_key)
+                if self._dp_sharding is not None:
+                    x = jax.device_put(x, self._dp_sharding)
+                    y = jax.device_put(y, self._dp_sharding)
+                    self.model = jax.device_put(self.model, self._repl_sharding)
                 self.model, self.opt_state, loss, x_net = self._train_step_fn(
                     self.model, self.opt_state, x, y, cur_physics, step_key
                 )

@@ -151,3 +151,29 @@ def test_distributed_pnp_loop(ctx, physics_list):
         x = x - tau * dfid.grad(x, y, dphys)
         x = den(x, 0.05)
     assert float(jnp.mean((x - xg) ** 2)) < float(jnp.mean(xg**2))
+
+
+def test_data_parallel_trainer():
+    """Data-parallel training over the 8-device mesh gives the same result
+    as single-device training (deterministic keys)."""
+    import numpy as np
+    from deepinv_tpu.training import Trainer
+    from deepinv_tpu.datasets import ArrayDataset, DataLoader, random_circles
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+    from deepinv_tpu.models import DnCNN
+
+    data = np.stack([random_circles(16, seed=i) for i in range(16)])
+
+    def run(dp):
+        dl = DataLoader(ArrayDataset(data), batch_size=8, shuffle=False)
+        t = Trainer(
+            DnCNN(1, 1, depth=3, nf=4), Denoising(noise_model=GaussianNoise(0.1)),
+            train_dataloader=dl, online_measurements=True, epochs=2,
+            verbose=False, data_parallel=dp, seed=0,
+        )
+        t.train()
+        return t.model
+
+    m_dp = run(True)
+    m_sp = run(False)
+    assert_close(m_dp.in_conv.weight, m_sp.in_conv.weight, rtol=1e-4, atol=1e-5)
