@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["radon", "iradon", "ramp_filter", "radon_output_size"]
+__all__ = ["radon", "iradon", "ramp_filter", "radon_output_size", "fanbeam"]
 
 
 def radon_output_size(in_size: int, circle: bool = False) -> int:
@@ -164,3 +164,89 @@ def iradon(
             out = out[..., before : before + out_size, before : before + out_size]
     out = out * jnp.pi / (2 * n_angles)
     return out
+
+
+def fanbeam(
+    x,
+    theta,
+    source_radius: float = 57.5,
+    detector_radius: float = 57.5,
+    n_detector_pixels: int = 258,
+    detector_spacing: float = 0.077,
+    pixel_spacing: float = None,
+    n_steps: int = None,
+    interp_order: int = 1,
+):
+    """Fan-beam projection (reference radon.py:16 fan_beam_grid geometry):
+    rays from a rotating point source to a flat detector array.
+
+    :param x: (B, C, W, W) image; ``pixel_spacing`` defaults to 0.5/W.
+    :returns: sinogram (B, C, n_detector_pixels, n_angles).
+    """
+    W = x.shape[-1]
+    if pixel_spacing is None:
+        pixel_spacing = 0.5 / W
+    if n_steps is None:
+        n_steps = 2 * W
+    th = jnp.deg2rad(jnp.asarray(theta, jnp.float32))
+    c = (W - 1) / 2.0
+    # world coordinates in units of pixels
+    Rs = source_radius / pixel_spacing / W  # in image half-widths… keep pixels:
+    Rs = source_radius / (pixel_spacing * W) * (W / 2.0)
+    Rd = detector_radius / (pixel_spacing * W) * (W / 2.0)
+    det = (
+        (jnp.arange(n_detector_pixels) - (n_detector_pixels - 1) / 2.0)
+        * detector_spacing
+        / (pixel_spacing * W)
+        * (W / 2.0)
+    )
+    cos, sin = jnp.cos(th), jnp.sin(th)
+
+    def rotate(p, cs, sn):
+        xr = cs * p[..., 0] - sn * p[..., 1]
+        yr = sn * p[..., 0] + cs * p[..., 1]
+        return jnp.stack([yr, xr], -1)  # (row, col)
+
+    d0 = jnp.stack([det, jnp.full_like(det, Rd)], -1)  # (D, 2): (x, y)
+    dpos = jax.vmap(lambda cs, sn: rotate(d0, cs, sn))(cos, sin)  # (A, D, 2)
+    spos = jax.vmap(lambda cs, sn: rotate(jnp.array([[0.0, -Rs]]), cs, sn)[0])(
+        cos, sin
+    )  # (A, 2)
+
+    # restrict integration to the ray's intersection with the image disk
+    # (the source sits ~2 Rs away; uniform sampling of the full segment
+    # would waste all samples outside the image)
+    dirv = dpos - spos[:, None, :]  # (A, D, 2)
+    seg = jnp.linalg.norm(dirv, axis=-1)  # (A, D) full segment length
+    u = dirv / jnp.clip(seg[..., None], 1e-9, None)
+    r_img = (W / 2.0) * jnp.sqrt(2.0)
+    # solve |S + t u|^2 = r_img^2 for t in [0, seg]
+    b = jnp.einsum("ad,adc->ad", jnp.ones_like(seg), u * spos[:, None, :])
+    b = jnp.sum(u * spos[:, None, :], axis=-1)
+    c_term = jnp.sum(spos**2, axis=-1)[:, None] - r_img**2
+    disc = jnp.clip(b**2 - c_term, 0.0, None)
+    sq = jnp.sqrt(disc)
+    t0 = jnp.clip(-b - sq, 0.0, None)
+    t1 = jnp.clip(-b + sq, 0.0, None)
+    hit = disc > 0
+    ts = jnp.linspace(0.0, 1.0, n_steps)
+    # sample points along the clipped interval: (A, D, T, 2)
+    tt = t0[..., None] + ts[None, None, :] * (t1 - t0)[..., None]
+    P = spos[:, None, None, :] + tt[..., None] * u[:, :, None, :]
+    rows = P[..., 0] + c
+    cols = P[..., 1] + c
+    step_len = (t1 - t0) / n_steps  # (A, D)
+    step_len = jnp.where(hit, step_len, 0.0)
+
+    B, C = x.shape[:2]
+    flat = x.reshape(B * C, W, W)
+
+    def one(img):
+        vals = jax.scipy.ndimage.map_coordinates(
+            img, [rows, cols], order=interp_order, mode="constant"
+        )  # (A, D, T)
+        return jnp.sum(vals, axis=-1) * step_len  # (A, D)
+
+    sino = jax.vmap(one)(flat)  # (BC, A, D)
+    sino = jnp.moveaxis(sino, 1, 2)  # (BC, D, A)
+    return sino.reshape(B, C, n_detector_pixels, th.shape[0])

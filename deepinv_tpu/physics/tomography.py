@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.radon import radon, iradon, radon_output_size
+from ..ops.radon import radon, iradon, radon_output_size, fanbeam
 from ..ops.radon_fourier import radon_fourier, iradon_fourier
 from .base import LinearPhysics
 
@@ -50,6 +50,8 @@ class Tomography(LinearPhysics):
         normalize: bool = False,
         fbp_interpolate_boundary: bool = False,
         method: str = "interp",
+        fan_beam: bool = False,
+        fan_parameters: dict = None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -63,10 +65,23 @@ class Tomography(LinearPhysics):
         self.normalize = normalize
         self.n_det = radon_output_size(self.img_width, circle)
         self.method = method
+        self.fan_beam = fan_beam
+        fp = dict(fan_parameters or {})
+        fp.setdefault("pixel_spacing", 0.5 / self.img_width)
+        fp.setdefault("source_radius", 57.5)
+        fp.setdefault("detector_radius", 57.5)
+        fp.setdefault("n_detector_pixels", 258)
+        fp.setdefault("detector_spacing", 0.077)
+        self.fan_parameters = fp
+        if fan_beam:
+            self.n_det = fp["n_detector_pixels"]
 
     def A(self, x, **params):
-        fwd = radon_fourier if self.method == "fourier" else radon
-        y = fwd(x, self.theta, circle=self.circle)
+        if self.fan_beam:
+            y = fanbeam(x, self.theta, **self.fan_parameters)
+        else:
+            fwd = radon_fourier if self.method == "fourier" else radon
+            y = fwd(x, self.theta, circle=self.circle)
         if self.normalize:
             y = y / self.img_width
         return y
@@ -74,8 +89,11 @@ class Tomography(LinearPhysics):
     def A_adjoint(self, y, **params):
         B, C = y.shape[:2]
         x_shape = (B, C, self.img_width, self.img_width)
-        radon_fn = radon_fourier if self.method == "fourier" else radon
-        fwd = lambda x: radon_fn(x, self.theta, circle=self.circle)
+        if self.fan_beam:
+            fwd = lambda x: fanbeam(x, self.theta, **self.fan_parameters)
+        else:
+            radon_fn = radon_fourier if self.method == "fourier" else radon
+            fwd = lambda x: radon_fn(x, self.theta, circle=self.circle)
         (xt,) = jax.linear_transpose(
             fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
         )(y)
@@ -85,6 +103,13 @@ class Tomography(LinearPhysics):
 
     def A_dagger(self, y, **params):
         """Filtered backprojection (reference tomography.py A_dagger)."""
+        if self.fan_beam:
+            # approximate fan-beam FBP: ramp filter + adjoint (weighted BP)
+            from ..ops.radon import ramp_filter
+
+            yf = ramp_filter(y)
+            xt = self.A_adjoint(yf)
+            return xt * jnp.pi / (2 * self.theta.shape[0])
         if self.normalize:
             y = y * self.img_width
         ifn = iradon_fourier if self.method == "fourier" else iradon

@@ -523,3 +523,20 @@ def test_pet():
     # Poisson counting noise active by default
     yn = phys(x, key=jax.random.key(3))
     assert float(jnp.mean(jnp.abs(yn - y))) > 0
+
+
+def test_tomography_fanbeam():
+    from deepinv_tpu.physics import Tomography
+    from deepinv_tpu.datasets import shepp_logan
+
+    x = jnp.asarray(shepp_logan(32))[None, None]
+    phys = Tomography(angles=30, img_width=32, fan_beam=True,
+                      fan_parameters={"n_detector_pixels": 64})
+    y = phys.A(x)
+    assert y.shape == (1, 1, 64, 30)
+    assert float(jnp.abs(y).max()) > 0
+    err = phys.adjointness_test(jnp.broadcast_to(x, (2, 1, 32, 32)))
+    assert abs(complex(err)) < 1e-2
+    fbp = phys.A_dagger(y)
+    corr = float(jnp.vdot(fbp / jnp.linalg.norm(fbp), x / jnp.linalg.norm(x)))
+    assert corr > 0.8
