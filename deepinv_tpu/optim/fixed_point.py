@@ -56,6 +56,13 @@ class FixedPoint(Module):
     :param history_size: Anderson history length.
     :param beta_anderson_acc: Anderson relaxation.
     :param eps_anderson_acc: Tikhonov regularization of the Anderson LS system.
+    :param remat: rematerialize each iteration in the backward pass
+        (``jax.checkpoint``) — O(sqrt)-memory training of deep unrolled nets
+        at the cost of one extra forward per iteration.
+    :param backtracking: per-iteration Armijo backtracking on the stepsize
+        (reference BacktrackingConfig, optimizers.py:74): if the objective
+        increased, retry the iteration with the stepsize halved (one retry
+        per iteration, carried into subsequent iterations).
     """
 
     def __init__(
@@ -69,6 +76,9 @@ class FixedPoint(Module):
         history_size: int = 5,
         beta_anderson_acc: float = 1.0,
         eps_anderson_acc: float = 1e-4,
+        remat: bool = False,
+        backtracking: bool = False,
+        backtracking_eta: float = 0.5,
     ):
         self.iterator = iterator
         self.max_iter = max_iter
@@ -79,6 +89,9 @@ class FixedPoint(Module):
         self.history_size = history_size
         self.beta_anderson_acc = beta_anderson_acc
         self.eps_anderson_acc = eps_anderson_acc
+        self.remat = remat
+        self.backtracking = backtracking
+        self.backtracking_eta = backtracking_eta
 
     # ------------------------------------------------------------------
     def __call__(self, x_init, data_fidelity, prior, params_iter, y, physics):
@@ -95,10 +108,44 @@ class FixedPoint(Module):
         return self.iterator(X, data_fidelity, prior, cur_params, y, physics)
 
     def _run_scan(self, X0, data_fidelity, prior, params_iter, y, physics):
+        from .iterators import objective_function
+
+        if self.backtracking:
+            def body(carry, cur_params):
+                X, scale = carry
+                cur = dict(cur_params)
+                cur["stepsize"] = cur["stepsize"] * scale
+                X_new = self._step(X, cur, data_fidelity, prior, y, physics)
+                F_old = jnp.sum(objective_function(
+                    X["est"][0], data_fidelity, prior, cur, y, physics))
+                F_new = jnp.sum(objective_function(
+                    X_new["est"][0], data_fidelity, prior, cur, y, physics))
+                # one Armijo retry with a halved (persistent) stepsize scale
+                def retry(_):
+                    cur2 = dict(cur)
+                    cur2["stepsize"] = cur["stepsize"] * self.backtracking_eta
+                    Xr = self._step(X, cur2, data_fidelity, prior, y, physics)
+                    return Xr, scale * self.backtracking_eta
+
+                def keep(_):
+                    return X_new, scale
+
+                X_out, scale = jax.lax.cond(F_new > F_old, retry, keep, None)
+                return (X_out, scale), None
+
+            if self.remat:
+                body = jax.checkpoint(body)
+            (X, _), _ = jax.lax.scan(
+                body, (X0, jnp.asarray(1.0)), params_iter, length=self.max_iter
+            )
+            return X
+
         def body(X, cur_params):
             X_new = self._step(X, cur_params, data_fidelity, prior, y, physics)
             return X_new, None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         X, _ = jax.lax.scan(body, X0, params_iter, length=self.max_iter)
         return X
 

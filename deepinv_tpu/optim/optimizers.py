@@ -125,6 +125,8 @@ class BaseOptim(Module):
         history_size: int = 5,
         g_first: bool = False,
         unfold: bool = False,
+        remat: bool = False,
+        backtracking: bool = False,
         verbose: bool = False,
         **kwargs,
     ):
@@ -151,6 +153,8 @@ class BaseOptim(Module):
             thres_conv=thres_conv,
             anderson_acceleration=anderson_acceleration,
             history_size=history_size,
+            remat=remat,
+            backtracking=backtracking,
         )
 
     @staticmethod

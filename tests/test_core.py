@@ -116,3 +116,55 @@ def test_randn_like_complex():
     out = randn_like(jax.random.key(0), y)
     assert out["c"].dtype == jnp.complex64
     assert out["r"].shape == (2, 3)
+
+
+def test_profiling_helpers():
+    from deepinv_tpu.utils import compiled_cost, timeit
+    import jax.numpy as jnp
+
+    f = lambda a, b: a @ b
+    a = jnp.ones((64, 64))
+    cost = compiled_cost(f, a, a)
+    assert cost.get("flops", 0) > 0
+    t = timeit(f, a, a, repeats=2)
+    assert t > 0
+
+
+def test_native_image_loader(tmp_path):
+    """C++ decoder is bit-exact vs PIL on PNG; prefetcher covers all batches."""
+    np_mod = __import__("numpy")
+    from PIL import Image as PILImage
+    from deepinv_tpu.native import (
+        native_available, decode_image, decode_batch, NativePrefetcher,
+    )
+
+    if not native_available():
+        import pytest as _pytest
+        _pytest.skip("no native toolchain")
+
+    rng = np_mod.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        a = (rng.uniform(0, 1, (40, 52, 3)) * 255).astype(np_mod.uint8)
+        p = str(tmp_path / f"{i}.png")
+        PILImage.fromarray(a).save(p)
+        paths.append(p)
+
+    ref = np_mod.asarray(PILImage.open(paths[0]), np_mod.float32).transpose(2, 0, 1) / 255.0
+    out = decode_image(paths[0], (3, 40, 52), mode="crop")
+    assert np_mod.abs(out - ref).max() == 0.0
+
+    b = decode_batch(paths, (3, 32, 32))
+    assert b.shape == (5, 3, 32, 32) and b.dtype == np_mod.float32
+
+    pf = NativePrefetcher(paths, 2, (3, 16, 16))
+    sizes = [x.shape[0] for x in pf]
+    assert sizes == [2, 2, 1]
+
+    from deepinv_tpu.datasets import ImageFolder
+
+    ds = ImageFolder(str(tmp_path), size=(40, 52))
+    x = ds[0]
+    assert np_mod.abs(x - ref).max() < 1e-6  # same-size bilinear resize is the identity
+    batches = list(ds.batches(3))
+    assert [bb.shape[0] for bb in batches] == [3, 2]

@@ -301,3 +301,67 @@ def test_least_squares_implicit_grad():
     fd = (f(y + eps * d) - f(y - eps * d)) / (2 * eps)
     ad = jnp.vdot(g, d)
     assert abs(float(fd - ad)) / (abs(float(fd)) + 1e-9) < 1e-2
+
+
+def test_remat_and_backtracking(problem):
+    """remat produces identical results with lower memory; backtracking
+    rescues a divergent stepsize."""
+    x, physics, y = problem
+    xstar = _tikhonov_solution(physics, y, 0.3)
+    m_remat = optim_builder(
+        "PGD", data_fidelity=L2(), prior=Tikhonov(),
+        params_algo={"stepsize": 0.9, "lambda": 0.3}, max_iter=100, remat=True,
+    )
+    m_plain = optim_builder(
+        "PGD", data_fidelity=L2(), prior=Tikhonov(),
+        params_algo={"stepsize": 0.9, "lambda": 0.3}, max_iter=100,
+    )
+    assert_close(m_remat(y, physics), m_plain(y, physics), rtol=1e-6, atol=1e-7)
+    # gradients still flow under remat
+    g = jax.grad(lambda m: jnp.sum(m(y, physics) ** 2))(m_remat)
+    assert float(jnp.sum(jnp.abs(g.params_algo["stepsize"]))) > 0
+
+    # divergent stepsize (> 2/L with L=1+lam): plain GD diverges,
+    # backtracking recovers
+    bad = {"stepsize": 2.5, "lambda": 0.3}
+    m_div = optim_builder("GD", data_fidelity=L2(), prior=Tikhonov(),
+                          params_algo=bad, max_iter=60)
+    m_bt = optim_builder("GD", data_fidelity=L2(), prior=Tikhonov(),
+                         params_algo=bad, max_iter=60, backtracking=True)
+    err_div = float(jnp.max(jnp.abs(m_div(y, physics) - xstar)))
+    err_bt = float(jnp.max(jnp.abs(m_bt(y, physics) - xstar)))
+    assert err_bt < 1e-2, err_bt
+    assert err_div > err_bt
+
+
+def test_tv_pallas_matches_xla():
+    """Pallas (interpret on CPU) TV prox == XLA fori_loop prox, values and
+    gradients."""
+    key = jax.random.key(7)
+    x = jax.random.normal(key, (2, 1, 17, 23))
+    tv_x = TVPrior(n_it_max=40)
+    tv_p = TVPrior(n_it_max=40, use_pallas=True)
+    a, b = tv_x.prox(x, gamma=0.4), tv_p.prox(x, gamma=0.4)
+    assert_close(a, b, rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda u: jnp.sum(tv_x.prox(u, gamma=0.4) ** 2))(x)
+    g2 = jax.grad(lambda u: jnp.sum(tv_p.prox(u, gamma=0.4) ** 2))(x)
+    assert_close(g1, g2, rtol=1e-4, atol=1e-5)
+    # traced gamma (the scan-parameter case inside BaseOptim)
+    out = jax.jit(lambda g: tv_p.prox(x, gamma=g))(jnp.asarray(0.4))
+    assert_close(out, a, rtol=1e-5, atol=1e-6)
+
+
+def test_hadamard_dense_matmul_path():
+    """MXU dense-matmul FWHT == butterfly FWHT; involution holds."""
+    from deepinv_tpu.physics import singlepixel as sp
+
+    x = jax.random.normal(jax.random.key(8), (3, 128))
+    dense = sp.hadamard_1d(x)
+    old = sp._DENSE_MAX
+    try:
+        sp._DENSE_MAX = 1
+        butterfly = sp.hadamard_1d(x)
+    finally:
+        sp._DENSE_MAX = old
+    assert_close(dense, butterfly, rtol=1e-5, atol=1e-5)
+    assert_close(sp.hadamard_1d(dense), x, rtol=1e-5, atol=1e-5)

@@ -101,8 +101,9 @@ def test_dpir_preset(key):
 
     class SigmaTV:
         # TV's ths is a regularization weight, not a noise sigma: scale it
+        # (0.5 tuned for the exact reference schedule's sigma trajectory)
         def __call__(self, x, sigma):
-            return TVDenoiser(20)(x, 0.1 * sigma)
+            return TVDenoiser(20)(x, 0.5 * sigma)
 
     from deepinv_tpu.datasets import random_circles
     import numpy as np
