@@ -37,7 +37,9 @@ def load_image(path, size=None, to_float: bool = True, grayscale: bool = False):
     img = Image.open(path)
     img = img.convert("L" if grayscale else "RGB")
     if size is not None:
-        img = img.resize((size[1], size[0]))
+        # bilinear, matching the native C++ decoder's resampling so
+        # backend='auto' gives consistent pixels with or without a toolchain
+        img = img.resize((size[1], size[0]), Image.BILINEAR)
     arr = np.asarray(img)
     if arr.ndim == 2:
         arr = arr[None]
@@ -49,9 +51,16 @@ def load_image(path, size=None, to_float: bool = True, grayscale: bool = False):
 
 
 class ImageFolder:
-    """Dataset over all images under a directory (reference ImageFolder)."""
+    """Dataset over all images under a directory (reference ImageFolder).
 
-    def __init__(self, root: str, transform: Optional[Callable] = None, size=None, grayscale: bool = False):
+    :param backend: ``'auto'`` (native C++ decoder when compiled and usable
+        for this item — PNG/JPEG with a fixed ``size`` — else PIL),
+        ``'native'`` (require the C++ loader, see
+        :mod:`deepinv_tpu.native`), or ``'pil'``.
+    """
+
+    def __init__(self, root: str, transform: Optional[Callable] = None, size=None,
+                 grayscale: bool = False, backend: str = "auto"):
         self.root = root
         self.transform = transform
         self.size = size
@@ -63,15 +72,58 @@ class ImageFolder:
                     self.paths.append(os.path.join(dirpath, f))
         if not self.paths:
             raise FileNotFoundError(f"no images under {root}")
+        if backend not in ("auto", "native", "pil"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        if backend in ("auto", "native"):
+            from ..native import native_available
+
+            ok = native_available()
+            if backend == "native" and not ok:
+                raise RuntimeError("native image loader unavailable (no g++?)")
+            self._native = ok
+        else:
+            self._native = False
+
+    def _native_usable(self, path):
+        return (
+            self._native
+            and self.size is not None
+            and path.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i):
-        x = load_image(self.paths[i], size=self.size, grayscale=self.grayscale)
+        path = self.paths[i]
+        if self._native_usable(path):
+            from ..native import decode_image
+
+            if self.grayscale:
+                # match PIL 'L' luma weights on RGB sources
+                rgb = decode_image(path, (3,) + tuple(self.size), mode="resize")
+                x = 0.299 * rgb[:1] + 0.587 * rgb[1:2] + 0.114 * rgb[2:3]
+            else:
+                x = decode_image(path, (3,) + tuple(self.size), mode="resize")
+        else:
+            x = load_image(path, size=self.size, grayscale=self.grayscale)
         if self.transform is not None:
             x = self.transform(x)
         return x
+
+    def batches(self, batch_size: int, n_threads: int = 0):
+        """Iterate numpy (B, C, H, W) batches decoded by the C++ prefetcher
+        (double-buffered background loading — see
+        :class:`deepinv_tpu.native.NativePrefetcher`). Requires ``size``."""
+        if self.size is None:
+            raise ValueError("batches() needs a fixed `size`")
+        from ..native import NativePrefetcher
+
+        C = 1 if self.grayscale else 3
+        return NativePrefetcher(
+            self.paths, batch_size, (C,) + tuple(self.size), n_threads=n_threads
+        )
 
 
 class _PublicDataset(ImageFolder):
