@@ -53,6 +53,7 @@ from .gan import (
 from .diffunet import DiffUNet, ADMUNet, EDMPrecond, GroupNorm, NCSNpp
 from .restormer import Restormer
 from .dip import DeepImagePrior, ConvDecoder
+from .bm3d import BM3D
 from .misc_models import (
     MinusOneOneDenoiserWrapper,
     ScoreModelWrapper,

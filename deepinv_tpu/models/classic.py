@@ -25,10 +25,10 @@ class TVDenoiser(Denoiser):
     """Isotropic TV denoiser (reference models/tv.py:239): the prox of
     ``ths * TV`` computed with Chambolle's dual algorithm."""
 
-    def __init__(self, n_it_max: int = 200):
+    def __init__(self, n_it_max: int = 200, use_pallas: bool = False):
         from ..optim.prior import TVPrior
 
-        self.prior = TVPrior(n_it_max=n_it_max)
+        self.prior = TVPrior(n_it_max=n_it_max, use_pallas=use_pallas)
 
     def __call__(self, x, ths=0.1, **kwargs):
         return self.prior.prox(x, gamma=ths)

@@ -154,10 +154,17 @@ def _div_op(p):
 
 class TVPrior(Prior):
     r"""Isotropic total variation (prior.py:485). Prox by the dual
-    (Chambolle) projection algorithm compiled to ``lax.fori_loop``."""
+    (Chambolle) projection algorithm compiled to ``lax.fori_loop``.
 
-    def __init__(self, n_it_max: int = 100):
+    :param use_pallas: run the prox as the VMEM-resident Pallas kernel
+        (:func:`deepinv_tpu.ops.pallas.chambolle_prox`) — same update, the
+        dual field stays on-chip for the whole loop instead of
+        round-tripping HBM each iteration.
+    """
+
+    def __init__(self, n_it_max: int = 100, use_pallas: bool = False):
         self.n_it_max = n_it_max
+        self.use_pallas = use_pallas
 
     def fn(self, x, *args, **kwargs):
         g = _grad_op(x)
@@ -165,11 +172,18 @@ class TVPrior(Prior):
         return _batch_sum(mag)
 
     def prox(self, x, *args, gamma=1.0, **kwargs):
+        if self.use_pallas:
+            from ..ops.pallas import chambolle_prox
+
+            return chambolle_prox(x, gamma, self.n_it_max)
         tau = 0.25  # 1/(2*dim) step for Chambolle's algorithm
 
         def body(_, p):
             grad_term = _grad_op(_div_op(p) - x / gamma)
-            denom = 1 + tau * jnp.sqrt(jnp.sum(grad_term**2, axis=-1, keepdims=True))
+            s = jnp.sum(grad_term**2, axis=-1, keepdims=True)
+            # safe norm — sqrt cotangent is NaN at exactly 0 (border zeros)
+            norm = jnp.where(s > 0, jnp.sqrt(jnp.where(s > 0, s, 1.0)), 0.0)
+            denom = 1 + tau * norm
             return (p + tau * grad_term) / denom
 
         p0 = jnp.zeros(x.shape + (2,), x.dtype)

@@ -21,20 +21,46 @@ from .base import DecomposablePhysics
 __all__ = ["SinglePixelCamera", "hadamard_1d", "hadamard_2d", "sequency_order"]
 
 
+def _hadamard_matrix(n: int) -> np.ndarray:
+    """Dense Sylvester-order Hadamard matrix (host-side, cached)."""
+    H = np.array([[1.0]], np.float32)
+    while H.shape[0] < n:
+        H = np.block([[H, H], [H, -H]])
+    return H
+
+
+_HADAMARD_CACHE: dict = {}
+
+# Dense-matmul threshold: on the MXU a dense H_N matmul (2·N² flop/elt on
+# ~190 TF/s) beats the log2(N)-pass butterfly (log2(N) HBM round trips on
+# ~800 GB/s) for N up to ~10^4 — images are always in this regime.
+_DENSE_MAX = 4096
+
+
 def hadamard_1d(u, axis: int = -1, normalize: bool = True):
-    """Fast Walsh-Hadamard transform (natural order) along ``axis``."""
+    """Fast Walsh-Hadamard transform (natural order) along ``axis``.
+
+    TPU-first: for ``n <= 4096`` this is ONE dense matmul with the
+    precomputed H_n (MXU-bound, single HBM pass) rather than the classic
+    ``log2(n)`` butterfly passes (bandwidth-bound); the butterfly is kept
+    for larger n.
+    """
     u = jnp.moveaxis(u, axis, -1)
     n = u.shape[-1]
     k = int(math.log2(n))
     assert 2**k == n, "FWHT requires power-of-two length"
-    v = u
-    for _ in range(k):
-        v = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
-        a = v[..., 0] + v[..., 1]
-        b = v[..., 0] - v[..., 1]
-        v = jnp.concatenate([a, b], axis=-1)
-    # undo the interleaving ordering: the loop above computes the transform
-    # in natural (Sylvester) order via successive split-merge
+    if n <= _DENSE_MAX:
+        H = _HADAMARD_CACHE.get(n)
+        if H is None:
+            H = _HADAMARD_CACHE[n] = jnp.asarray(_hadamard_matrix(n))
+        v = u @ H  # H is symmetric
+    else:
+        v = u
+        for _ in range(k):
+            v = v.reshape(v.shape[:-1] + (v.shape[-1] // 2, 2))
+            a = v[..., 0] + v[..., 1]
+            b = v[..., 0] - v[..., 1]
+            v = jnp.concatenate([a, b], axis=-1)
     if normalize:
         v = v / math.sqrt(n)
     return jnp.moveaxis(v, -1, axis)

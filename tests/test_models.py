@@ -389,3 +389,24 @@ def test_promptir_and_poisson2sparse(key):
     assert out.shape == xt.shape
     out2 = ram(xt, sigma=0.1)
     assert out2.shape == xt.shape
+
+
+def test_bm3d_denoiser():
+    """Pure-JAX BM3D (reference gates this behind a pip package) clearly
+    beats the wavelet denoiser at sigma=25/255."""
+    from deepinv_tpu.models import BM3D, WaveletDenoiser
+    from deepinv_tpu.datasets import random_circles
+    from deepinv_tpu.loss.metric import PSNR
+
+    x = jnp.asarray(random_circles(48, seed=3))[None]
+    if x.ndim == 3:
+        x = x[None]
+    sigma = 25 / 255
+    y = x + sigma * jax.random.normal(jax.random.key(0), x.shape)
+    out = BM3D(search_radius=6, search_step=1, ref_stride=3)(y, sigma)
+    psnr = PSNR()
+    p_bm3d = float(psnr(out, x)[0])
+    p_noisy = float(psnr(y, x)[0])
+    p_wav = float(psnr(WaveletDenoiser(wv="db4", level=3)(y, sigma), x)[0])
+    assert p_bm3d > p_noisy + 4
+    assert p_bm3d > p_wav + 1, (p_bm3d, p_wav)
