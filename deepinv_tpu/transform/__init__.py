@@ -1,3 +1,4 @@
 from .base import Transform, Identity
 from .geometric import Shift, Rotate, Scale, Reflect, Homography
 from .temporal import ShiftTime, RandomNoise, RandomPhaseError
+from .diffeomorphism import CPABDiffeomorphism

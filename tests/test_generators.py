@@ -122,3 +122,29 @@ def test_generator_mixture(key):
     )
     params = mix.step(2, key=key)
     assert "mask" in params
+
+
+def test_cpab_diffeomorphism():
+    """Native CPAB: basis dims match theory (2 x #vertices minus boundary
+    constraints), warp deforms, and theta -> -theta is the exact inverse."""
+    import numpy as np
+    from deepinv_tpu.transform import CPABDiffeomorphism
+    from deepinv_tpu.transform.diffeomorphism import _cpab_basis
+
+    assert _cpab_basis(3, 3, True, False)[0].shape[1] == 26
+    assert _cpab_basis(3, 3, False, False)[0].shape[1] == 50
+
+    t = CPABDiffeomorphism(n_tesselation=3, sigma=0.2)
+    yy, xx = np.mgrid[0:48, 0:48] / 48
+    x = jnp.asarray(np.sin(4 * np.pi * xx) * np.cos(3 * np.pi * yy),
+                    jnp.float32)[None, None] * 0.5 + 0.5
+    params = t.get_params(x, jax.random.key(3))
+    xt = t.transform(x, **params)
+    assert float(jnp.abs(xt - x).max()) > 0.02  # actually deformed
+    xinv = t.inverse(xt, **params)
+    err = jnp.abs(xinv - x)[:, :, 4:-4, 4:-4]
+    assert float(err.mean()) < 0.01, float(err.mean())
+
+    t3 = CPABDiffeomorphism(n_trans=3, n_tesselation=3, sigma=0.2)
+    xt3 = t3.transform(x, **t3.get_params(x, jax.random.key(4)))
+    assert xt3.shape == (3, 1, 48, 48)
