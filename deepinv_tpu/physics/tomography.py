@@ -60,6 +60,9 @@ class Tomography(LinearPhysics):
         else:
             theta = np.asarray(angles, np.float32)
         self.theta = jnp.asarray(theta, jnp.float32)
+        # static copy for the fourier path: shear planning (grid sizes,
+        # quadrant reduction) happens at trace time and needs concrete angles
+        self._theta_deg = tuple(float(t) for t in np.asarray(theta))
         self.img_width = int(img_width)
         self.circle = circle
         self.normalize = normalize
@@ -76,12 +79,19 @@ class Tomography(LinearPhysics):
         if fan_beam:
             self.n_det = fp["n_detector_pixels"]
 
+    def _theta_for(self, fn):
+        """Concrete angles for fourier-mode functions (their shear planning
+        runs at trace time), traced/differentiable array otherwise."""
+        if fn in (radon_fourier, iradon_fourier):
+            return np.asarray(self._theta_deg, np.float32)
+        return self.theta
+
     def A(self, x, **params):
         if self.fan_beam:
             y = fanbeam(x, self.theta, **self.fan_parameters)
         else:
             fwd = radon_fourier if self.method == "fourier" else radon
-            y = fwd(x, self.theta, circle=self.circle)
+            y = fwd(x, self._theta_for(fwd), circle=self.circle)
         if self.normalize:
             y = y / self.img_width
         return y
@@ -93,7 +103,7 @@ class Tomography(LinearPhysics):
             fwd = lambda x: fanbeam(x, self.theta, **self.fan_parameters)
         else:
             radon_fn = radon_fourier if self.method == "fourier" else radon
-            fwd = lambda x: radon_fn(x, self.theta, circle=self.circle)
+            fwd = lambda x: radon_fn(x, self._theta_for(radon_fn), circle=self.circle)
         (xt,) = jax.linear_transpose(
             fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
         )(y)
@@ -114,7 +124,7 @@ class Tomography(LinearPhysics):
             y = y * self.img_width
         ifn = iradon_fourier if self.method == "fourier" else iradon
         return ifn(
-            y, self.theta, circle=self.circle, filtered=True, out_size=self.img_width
+            y, self._theta_for(ifn), circle=self.circle, filtered=True, out_size=self.img_width
         )
 
     def fbp(self, y, **params):

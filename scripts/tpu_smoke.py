@@ -103,6 +103,34 @@ def main():
         den = jax.jit(lambda m, v: m(v, 0.05))
         all_ok &= check(f"denoise  {mname}", lambda: den(model, x))
 
+    # newer ops: tomography (both projectors), NUFFT MRI, single-pixel
+    # (dense-matmul FWHT), Pallas TV prox, BM3D
+    from deepinv_tpu.physics import Tomography, SinglePixelCamera
+    gray = x[:, :1]
+    for name, ctor in {
+        "tomography interp": lambda: Tomography(img_width=64, angles=30, method="interp"),
+        "tomography fourier": lambda: Tomography(img_width=64, angles=30, method="fourier"),
+        "tomography fanbeam": lambda: Tomography(img_width=64, angles=30, fan_beam=True),
+        "singlepixel (MXU FWHT)": lambda: SinglePixelCamera(m=512, img_size=(1, 64, 64)),
+    }.items():
+        phys = None
+
+        def build_p(c=ctor):
+            nonlocal phys
+            phys = c()
+            return jnp.zeros(())
+
+        all_ok &= check(f"construct {name}", build_p)
+        fwd = jax.jit(lambda p, v: p.A_adjoint(p.A(v)))
+        all_ok &= check(f"A/adjoint {name}", lambda: fwd(phys, gray))
+
+    from deepinv_tpu.ops.pallas import chambolle_prox
+    all_ok &= check("pallas TV prox (VMEM loop)",
+                    lambda: jax.jit(lambda v: chambolle_prox(v, 0.1, 50))(gray))
+    from deepinv_tpu.models import BM3D
+    bm = BM3D(search_radius=5, ref_stride=3)
+    all_ok &= check("BM3D", lambda: jax.jit(lambda v: bm(v, 0.1))(gray))
+
     # full PnP program
     physics = BlurFFT(img_size=IMSIZE, filter=gaussian_blur(sigma=1.5),
                       noise_model=GaussianNoise(0.01))
