@@ -25,7 +25,7 @@ class TVDenoiser(Denoiser):
     """Isotropic TV denoiser (reference models/tv.py:239): the prox of
     ``ths * TV`` computed with Chambolle's dual algorithm."""
 
-    def __init__(self, n_it_max: int = 200, use_pallas: bool = False):
+    def __init__(self, n_it_max: int = 200, use_pallas: bool | None = None):
         from ..optim.prior import TVPrior
 
         self.prior = TVPrior(n_it_max=n_it_max, use_pallas=use_pallas)
