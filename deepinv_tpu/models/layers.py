@@ -36,6 +36,13 @@ __all__ = [
 ]
 
 
+# Internal conv layout: "nchw" (logical, XLA picks layouts) or "nhwc"
+# (explicit transpose sandwich). Microbenchmarks favor nhwc for deep
+# uniform-width stacks; real encoder-decoders measured faster with nchw on
+# the v5e bench, so nchw is the default.
+CONV_LAYOUT = "nchw"
+
+
 def he_init(key, shape, fan_in, dtype=jnp.float32):
     """Kaiming-normal initialization (fan-in)."""
     std = math.sqrt(2.0 / fan_in)
@@ -66,6 +73,23 @@ class Conv2d(Module):
         self.groups = groups
 
     def __call__(self, x):
+        if CONV_LAYOUT == "nhwc":
+            # NHWC internally: pure conv stacks run ~1.4x faster on TPU and
+            # XLA cancels adjacent transpose pairs between layers
+            xh = jnp.transpose(x, (0, 2, 3, 1))
+            wh = jnp.transpose(self.weight.astype(x.dtype), (2, 3, 1, 0))
+            out = lax.conv_general_dilated(
+                xh,
+                wh,
+                window_strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            if self.bias is not None:
+                out = out + self.bias.astype(x.dtype)
+            return jnp.transpose(out, (0, 3, 1, 2))
         out = lax.conv_general_dilated(
             x,
             self.weight.astype(x.dtype),
@@ -107,6 +131,20 @@ class ConvTranspose2d(Module):
         # matches torch's conv_transpose2d exactly: gradient-of-conv kernel
         # (transpose_kernel) with full padding shrunk by the torch padding
         p = self.kernel_size - 1 - self.padding
+        if CONV_LAYOUT == "nhwc":
+            xh = jnp.transpose(x, (0, 2, 3, 1))
+            wh = jnp.transpose(self.weight.astype(x.dtype), (2, 3, 1, 0))
+            out = lax.conv_transpose(
+                xh,
+                wh,
+                strides=(self.stride, self.stride),
+                padding=[(p, p)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            ).astype(x.dtype)
+            if self.bias is not None:
+                out = out + self.bias.astype(x.dtype)
+            return jnp.transpose(out, (0, 3, 1, 2))
         out = lax.conv_transpose(
             x,
             self.weight.astype(x.dtype),
