@@ -41,4 +41,31 @@ from . import optim
 
 from .core import Module, TensorList
 
+import jax.numpy as _jnp
+
+#: default computation dtype (reference exposes ``deepinv.dtype``)
+dtype = _jnp.float32
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences matching the reference namespace:
+    ``deepinv_tpu.Trainer``, ``deepinv_tpu.train``, ``deepinv_tpu.test`` and
+    the remaining submodules — imported on first use to keep base import
+    light."""
+    if name in ("Trainer", "train", "test"):
+        from . import training as _training
+
+        return getattr(_training, name)
+    if name == "metric":  # reference exposes deepinv.metric == loss.metric
+        from .loss import metric as _metric
+
+        return _metric
+    if name in ("models", "loss", "sampling", "transform", "datasets",
+                "training", "unfolded", "parallel", "utils", "native"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"

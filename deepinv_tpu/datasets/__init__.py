@@ -1,5 +1,5 @@
 from .datagenerator import generate_dataset, HDF5Dataset
-from .base import ArrayDataset, DataLoader, PatchDataset, random_split
+from .base import (ImageDataset, ArrayDataset, TensorDataset, DataLoader, PatchDataset, RandomPatchSampler, random_split, check_dataset)
 from .phantoms import shepp_logan, SheppLoganDataset, random_circles
 from .fastmri import FastMRISliceDataset, SimpleFastMRISliceDataset
 from .folder import (
@@ -15,3 +15,13 @@ from .folder import (
 )
 from .folder import FMD, Kohler, NBUDataset, LidcIdriSliceDataset
 from .mri_slices import CMRxReconSliceDataset, SKMTEASliceDataset, MRISliceTransform
+
+
+def download_archive(url, save_path, extract: bool = True):
+    """Gated download helper (reference datasets/utils.py download_archive).
+    This environment has no network egress; place the files locally and use
+    the dataset classes' ``root`` argument instead."""
+    raise RuntimeError(
+        f"no network egress in this environment - cannot download {url}; "
+        "provide the files locally instead"
+    )

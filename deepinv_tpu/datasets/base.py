@@ -10,10 +10,50 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["ArrayDataset", "DataLoader", "PatchDataset", "random_split"]
+__all__ = ["ImageDataset", "ArrayDataset", "TensorDataset", "DataLoader", "PatchDataset", "RandomPatchSampler", "random_split", "check_dataset"]
 
 
-class ArrayDataset:
+class ImageDataset:
+    """Base class for imaging datasets (reference datasets/base.py:107).
+
+    ``__getitem__`` may return ``x``, ``(x, y)``, ``(x, params)`` or
+    ``(x, y, params)``; :func:`check_dataset` validates the contract.
+    """
+
+    def check_dataset(self) -> None:
+        check_dataset(self)
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        raise NotImplementedError
+
+
+def check_dataset(dataset) -> None:
+    """Validate that a dataset returns one of the supported item formats
+    (reference datasets/base.py check_dataset)."""
+    item = dataset[0]
+    ok_leaf = lambda v: isinstance(v, np.ndarray) or np.isscalar(v) or hasattr(v, "shape")
+    if ok_leaf(item):
+        return
+    if isinstance(item, (tuple, list)):
+        if len(item) == 2 and ok_leaf(item[0]) and (ok_leaf(item[1]) or isinstance(item[1], dict)):
+            return
+        if (
+            len(item) == 3
+            and ok_leaf(item[0])
+            and ok_leaf(item[1])
+            and isinstance(item[2], dict)
+        ):
+            return
+        raise RuntimeError(
+            f"dataset must return x, (x, y), (x, params) or (x, y, params); got tuple of length {len(item)}"
+        )
+    raise RuntimeError(f"dataset returned unsupported type {type(item)}")
+
+
+class ArrayDataset(ImageDataset):
     """In-memory dataset over one or more aligned arrays."""
 
     def __init__(self, *arrays):
@@ -29,7 +69,110 @@ class ArrayDataset:
         return items if len(items) > 1 else items[0]
 
 
-class PatchDataset:
+class TensorDataset(ImageDataset):
+    """Dataset over explicitly passed arrays (reference datasets/base.py:142):
+    any of ``x``, ``y``, ``params`` keyword batches; missing ``x`` yields NaN
+    placeholders so ground-truth-free pipelines batch uniformly."""
+
+    def __init__(self, *, x=None, y=None, params=None):
+        if x is None and y is None:
+            raise ValueError("at least one of x or y must be given")
+        self.x = None if x is None else np.asarray(x)
+        self.y = None if y is None else np.asarray(y)
+        self.params = params
+        if self.x is not None and self.y is not None and len(self.x) != len(self.y):
+            raise ValueError(
+                f"x and y must have the same leading dim, got {len(self.x)} vs {len(self.y)}"
+            )
+
+    def __len__(self):
+        return len(self.x) if self.x is not None else len(self.y)
+
+    def __getitem__(self, i):
+        x = self.x[i] if self.x is not None else np.float32(np.nan)
+        out = [x]
+        if self.y is not None:
+            out.append(self.y[i])
+        if self.params is not None:
+            out.append({k: np.asarray(v)[i] for k, v in self.params.items()})
+        return tuple(out) if len(out) > 1 else out[0]
+
+
+class RandomPatchSampler(ImageDataset):
+    """One random fixed-size patch per volume per epoch
+    (reference datasets/random_sampler.py:11). Works on directories of
+    ``.npy`` nD images (or any loader callable), returning channel-first
+    patches; patch axes of size 1 are squeezed (slice extraction).
+
+    :param x_dir / y_dir: directory of ground-truth / measurement volumes
+        (either or both).
+    :param patch_size: int or per-spatial-axis tuple.
+    :param ch_axis: None (add singleton), 0 (channel-first) or -1
+        (channel-last, transposed).
+    :param seed: numpy seed; each ``__getitem__`` draws fresh coordinates.
+    """
+
+    def __init__(self, x_dir=None, y_dir=None, patch_size=32,
+                 file_format: str = ".npy", ch_axis=None, loader=None, seed=0):
+        import os
+
+        if x_dir is None and y_dir is None:
+            raise ValueError("provide x_dir and/or y_dir")
+        self.loader = loader if loader is not None else np.load
+        self.ch_axis = ch_axis
+        self.patch_size = patch_size
+        self.rng = np.random.default_rng(seed)
+
+        def listdir(d):
+            return sorted(f for f in os.listdir(d) if f.endswith(file_format))
+
+        if x_dir is not None and y_dir is not None:
+            common = sorted(set(listdir(x_dir)) & set(listdir(y_dir)))
+            self.files = [(os.path.join(x_dir, f), os.path.join(y_dir, f)) for f in common]
+        elif x_dir is not None:
+            self.files = [(os.path.join(x_dir, f), None) for f in listdir(x_dir)]
+        else:
+            self.files = [(None, os.path.join(y_dir, f)) for f in listdir(y_dir)]
+        if not self.files:
+            raise FileNotFoundError("no volumes found")
+
+    def _to_chw(self, a):
+        a = np.asarray(a, np.float32)
+        if self.ch_axis is None:
+            return a[None]
+        if self.ch_axis == -1:
+            return np.moveaxis(a, -1, 0)
+        return a
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i):
+        xf, yf = self.files[i]
+        vol = self._to_chw(self.loader(xf if xf is not None else yf))
+        sp = vol.shape[1:]
+        ps = self.patch_size
+        if isinstance(ps, int):
+            ps = (ps,) * len(sp)
+        ps = tuple(min(p, s) for p, s in zip(ps, sp))
+        start = tuple(self.rng.integers(0, s - p + 1) for p, s in zip(ps, sp))
+        sl = (slice(None),) + tuple(slice(o, o + p) for o, p in zip(start, ps))
+
+        def cut(v):
+            out = v[sl]
+            keep = [0] + [ax + 1 for ax, p in enumerate(ps) if p != 1]
+            return np.squeeze(out, axis=tuple(
+                ax + 1 for ax, p in enumerate(ps) if p == 1
+            )) if any(p == 1 for p in ps) else out
+
+        patch = cut(vol)
+        if xf is not None and yf is not None:
+            voly = self._to_chw(self.loader(yf))
+            return patch, cut(voly)
+        return patch
+
+
+class PatchDataset(ImageDataset):
     """Random patches from a stack of images (reference datasets/patch_ds).
 
     :param imgs: array (N, C, H, W); patches of ``patch_size`` are extracted

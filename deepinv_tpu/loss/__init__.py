@@ -64,3 +64,5 @@ from .perceptual import (
     NIQE,
     LPIPS,
 )
+from .augmentation import AugmentConsistencyLoss, EquivariantSplittingLoss, ReducedResolutionLoss
+from .metric import cal_mse, cal_mae, signal_noise_ratio

@@ -297,3 +297,34 @@ class QNR(Metric):
             d_s = d_s + jnp.abs(u_h - u_l)
         d_s = d_s / C
         return (1 - d_lambda) ** self.alpha * (1 - d_s) ** self.beta
+
+
+def cal_mse(a, b):
+    """Per-sample MSE (reference metric/functional.py:56)."""
+    return jnp.mean(jnp.abs(a - b) ** 2, axis=tuple(range(1, a.ndim)))
+
+
+def cal_mae(a, b):
+    """Per-sample MAE (reference metric/functional.py:61)."""
+    return jnp.mean(jnp.abs(a - b), axis=tuple(range(1, a.ndim)))
+
+
+def signal_noise_ratio(x_hat, x):
+    """Per-sample SNR in dB (reference metric/functional.py:28)."""
+    num = jnp.sum(jnp.abs(x) ** 2, axis=tuple(range(1, x.ndim)))
+    den = jnp.sum(jnp.abs(x_hat - x) ** 2, axis=tuple(range(1, x.ndim)))
+    return 10.0 * jnp.log10(num / jnp.clip(den, 1e-12, None))
+
+
+# perceptual/no-reference metrics live in loss.perceptual; mirror them here
+# so the namespace matches reference deepinv.loss.metric
+from .perceptual import (  # noqa: E402
+    HaarPSI,
+    GMSD,
+    CosineSimilarity,
+    RecoveryCoefficient,
+    BlurStrength,
+    SharpnessIndex,
+    NIQE,
+    LPIPS,
+)

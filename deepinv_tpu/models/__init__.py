@@ -18,6 +18,8 @@ from .dncnn import DnCNN
 from .drunet import DRUNet
 from .unet import UNet
 from .classic import (
+    generalized_anscombe_transform,
+    inverse_generalized_anscombe_transform,
     TVDenoiser,
     TVL1Denoiser,
     TGVDenoiser,
@@ -41,8 +43,12 @@ from .wrappers_models import (
     MMSE,
     WaveletNoiseEstimator,
     PatchCovarianceNoiseEstimator,
+    GSPnP,
+    EquivariantReconstructor,
+    DiffusersDenoiserWrapper,
+    ComplexDenoiserWrapper,
 )
-from .unrolled import MoDL, VarNet, VarNetBlock, PDNet, PanNet
+from .unrolled import MoDL, VarNet, VarNetBlock, PDNet, PDNet_PrimalBlock, PDNet_DualBlock, PanNet
 from .gan import (
     PatchGANDiscriminator,
     ESRGANDiscriminator,

@@ -18,6 +18,8 @@ __all__ = [
     "MedianFilter",
     "BilateralFilter",
     "AnscombeDenoiser",
+    "generalized_anscombe_transform",
+    "inverse_generalized_anscombe_transform",
 ]
 
 
@@ -225,3 +227,27 @@ class TVL1Denoiser(Denoiser):
         q0 = jnp.zeros_like(y)
         x, _, _, _ = jax.lax.fori_loop(0, self.n_it_max, body, (y, p0, q0, y))
         return x
+
+
+def generalized_anscombe_transform(y, gain: float = 1.0, sigma: float = 0.0, mu: float = 0.0):
+    r"""Generalized Anscombe VST for Poisson-Gaussian noise (reference
+    models/anscombe helpers): stabilizes ``y = gain*Poisson + N(mu, sigma^2)``
+    to approximately unit variance."""
+    return (2.0 / gain) * jnp.sqrt(
+        jnp.clip(gain * y + 0.375 * gain**2 + sigma**2 - gain * mu, 0.0, None)
+    )
+
+
+def inverse_generalized_anscombe_transform(z, gain: float = 1.0, sigma: float = 0.0, mu: float = 0.0):
+    r"""Closed-form unbiased inverse of the generalized Anscombe transform
+    (Makitalo & Foi)."""
+    z = jnp.clip(z, 1e-8, None)
+    ez = (
+        0.25 * z**2
+        + 0.25 * jnp.sqrt(1.5) / z
+        - 11.0 / 8.0 / z**2
+        + 5.0 / 8.0 * jnp.sqrt(1.5) / z**3
+        - 0.125
+        - sigma**2 / gain**2
+    )
+    return gain * ez + mu

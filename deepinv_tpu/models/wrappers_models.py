@@ -234,3 +234,91 @@ class PatchCovarianceNoiseEstimator(Module):
         # median eigenvalue approximates the noise floor (signal occupies the
         # top of the spectrum; the MP bulk median is close to sigma^2)
         return jnp.sqrt(jnp.clip(jnp.median(eig, axis=1), 0.0, None))
+
+
+class GSPnP(Denoiser):
+    r"""Gradient-step denoiser wrapper for ANY denoiser architecture
+    (reference GSPnP.py:19): ``D(x) = x - alpha * grad_x 0.5||x - N(x)||^2``,
+    computed with ``jax.grad`` (the reference uses double autograd).
+    :class:`GSDRUNet` is this wrapper specialized to DRUNet."""
+
+    def __init__(self, denoiser, alpha: float = 1.0):
+        self.student = denoiser
+        self.alpha = alpha
+
+    def potential(self, x, sigma):
+        n = self.student(x, sigma)
+        return 0.5 * self.alpha * jnp.sum((x - n) ** 2)
+
+    def potential_grad(self, x, sigma):
+        return jax.grad(lambda u: self.potential(u, sigma))(x)
+
+    def __call__(self, x, sigma=0.05, **kwargs):
+        return x - self.potential_grad(x, sigma)
+
+
+def _transformed_physics(physics, transform, params):
+    """Physics composed with a group action: ``A_g = A T_g`` and (for the
+    orthogonal actions used here) ``A_g^T = T_g^{-1} A^T``. Built as a plain
+    LinearPhysics so prox_l2/A_dagger go through the generic Krylov path
+    with the *composed* operator (a forwarding proxy would silently reuse
+    the base physics' decomposable shortcuts and break)."""
+    from ..physics.base import LinearPhysics
+
+    return LinearPhysics(
+        A=lambda x: physics.A(transform.transform(x, **params)),
+        A_adjoint=lambda y: transform.inverse(physics.A_adjoint(y), **params),
+    )
+
+
+class EquivariantReconstructor(Reconstructor):
+    r"""Reynolds-averaged reconstructor (reference equivariant.py:98):
+    ``R(y, A) = mean_g T_g Rtilde(y, A T_g)`` — exactly equivariant in the
+    limit, Monte-Carlo estimated with ``transform.n_trans`` samples.
+
+    :param model: base reconstructor ``Rtilde(y, physics)``.
+    :param transform: group action (default: random 90-degree rotation).
+    """
+
+    def __init__(self, model, transform=None, seed: int = 0):
+        if transform is None:
+            from ..transform import Rotate
+
+            transform = Rotate(multiples=90.0)
+        self.model = model
+        self.transform = transform
+        self.seed = seed
+
+    def __call__(self, y, physics, key=None, **kwargs):
+        from ..core.rng import ensure_key
+
+        key = ensure_key(key, self.seed)
+        x0 = physics.A_adjoint(y)
+        B = x0.shape[0]
+        params = self.transform.get_params(x0, key)
+        n = self.transform.n_trans
+        out = 0.0
+        for i in range(n):
+            p_i = jax.tree_util.tree_map(lambda v: v[i * B : (i + 1) * B], params)
+            phys_g = _transformed_physics(physics, self.transform, p_i)
+            x_g = self.model(y, phys_g, **kwargs)
+            out = out + self.transform.transform(x_g, **p_i)
+        return out / n
+
+
+class DiffusersDenoiserWrapper(Denoiser):
+    """Adapter for HuggingFace ``diffusers`` UNets (reference
+    diffusers_wrapper.py). The diffusers package and its pretrained weights
+    are not available in this environment, so construction raises with
+    guidance; the native :class:`deepinv_tpu.models.DiffUNet` family covers
+    the same role."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "DiffusersDenoiserWrapper requires the 'diffusers' package and "
+            "downloaded pretrained weights (no network egress here). Use "
+            "deepinv_tpu.models.DiffUNet / ADMUNet instead."
+        )
+
+
+ComplexDenoiserWrapper = ComplexDenoiser  # reference name alias

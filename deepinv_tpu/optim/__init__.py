@@ -20,6 +20,7 @@ from .data_fidelity import (
     AmplitudeLoss,
     LogPoissonLikelihood,
     ZeroFidelity,
+    ItohFidelity,
 )
 from .prior import (
     Prior,
@@ -45,6 +46,8 @@ from .iterators import (
     DRSIteration,
     CPIteration,
     MDIteration,
+    PMDIteration,
+    SMIteration,
     SIRTIteration,
     MLEMIteration,
 )
@@ -63,8 +66,19 @@ from .optimizers import (
     CP,
     MLEM,
     SIRT,
+    PMD,
+    PDCP,
 )
 from .dpir import DPIR, get_DPIR_params
 from .epll import EPLL, GaussianMixtureModel, patch_extractor
 from .patch_prior import PatchPrior, PatchNR
-from .utils import gradient_descent, check_conv, objective_function
+from .utils import (
+    gradient_descent,
+    check_conv,
+    objective_function,
+    AndersonAccelerationConfig,
+    BacktrackingConfig,
+    DEQConfig,
+)
+
+ZeroPrior = Zero  # reference name alias (prior.py Zero == ZeroPrior)

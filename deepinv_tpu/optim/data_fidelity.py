@@ -35,6 +35,7 @@ __all__ = [
     "AmplitudeLoss",
     "LogPoissonLikelihood",
     "ZeroFidelity",
+    "ItohFidelity",
 ]
 
 
@@ -114,6 +115,7 @@ class L2(DataFidelity):
 
     def __init__(self, sigma: float = 1.0):
         super().__init__(d=L2Distance(sigma=sigma))
+        self.sigma = sigma
         self.norm = 1 / (sigma**2)
 
     def prox(self, x, y, physics, *args, gamma=1.0, **kwargs):
@@ -194,3 +196,50 @@ class ZeroFidelity(DataFidelity):
 
     def prox(self, x, y, physics, *args, gamma=1.0, **kwargs):
         return x
+
+
+class ItohFidelity(L2):
+    r"""Itoh data fidelity for spatial phase unwrapping
+    (reference data_fidelity.py:341): :math:`\frac{1}{2\sigma^2}\|Dx - w_t(Dy)\|^2`
+    with D the forward finite-difference operator and ``w_t`` the wrapping
+    operator. Use with :class:`deepinv_tpu.physics.SpatialUnwrapping`.
+    """
+
+    def __init__(self, sigma: float = 1.0, threshold: float = 1.0):
+        super().__init__(sigma=sigma)
+        self.threshold = threshold
+
+    def D(self, x):
+        """Forward differences stacked on a trailing axis (zero at borders)."""
+        dh = jnp.diff(x, axis=-2, append=x[..., -1:, :])
+        dw = jnp.diff(x, axis=-1, append=x[..., -1:])
+        return jnp.stack([dh, dw], axis=-1)
+
+    def D_adjoint(self, v):
+        fwd = self.D
+        (xt,) = jax.linear_transpose(
+            fwd, jax.ShapeDtypeStruct(v.shape[:-1], v.dtype)
+        )(v)
+        return xt
+
+    def wrap(self, v):
+        t = self.threshold
+        return v - t * jnp.round(v / t)
+
+    def WD(self, y):
+        return self.wrap(self.D(y))
+
+    def fn(self, x, y, physics=None, *args, **kwargs):
+        return self.d.fn(self.D(x), self.WD(y))
+
+    def grad(self, x, y, physics=None, *args, **kwargs):
+        return self.D_adjoint(self.d.grad(self.D(x), self.WD(y)))
+
+    def prox(self, x, y, physics=None, *args, gamma=1.0, **kwargs):
+        """Prox via a few CG steps on (I + gamma/sigma^2 D^T D) u = x + gamma/sigma^2 D^T w(Dy)."""
+        from .linear import conjugate_gradient
+
+        a = gamma / (self.sigma**2)
+        rhs = x + a * self.D_adjoint(self.WD(y))
+        op = lambda u: u + a * self.D_adjoint(self.D(u))
+        return conjugate_gradient(op, rhs, max_iter=30, tol=1e-6)

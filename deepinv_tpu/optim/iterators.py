@@ -31,6 +31,8 @@ __all__ = [
     "DRSIteration",
     "CPIteration",
     "MDIteration",
+    "PMDIteration",
+    "SMIteration",
     "SIRTIteration",
     "MLEMIteration",
 ]
@@ -219,22 +221,34 @@ class CPIteration(OptimIterator):
 
     requires_prox_g = True
 
+    # optional explicit splitting operator (reference PDCP optimizers.py:2081);
+    # defaults to the physics forward operator
+    K = None
+    K_adjoint = None
+
+    def _ops(self, physics):
+        if self.K is not None:
+            return self.K, self.K_adjoint
+        return physics.A, physics.A_adjoint
+
     def init_state(self, x_init, y, physics):
-        u0 = jax.tree_util.tree_map(jnp.zeros_like, physics.A(x_init))
+        Kf, _ = self._ops(physics)
+        u0 = jax.tree_util.tree_map(jnp.zeros_like, Kf(x_init))
         return {"est": (x_init, x_init, u0), "it": jnp.asarray(0)}
 
     def __call__(self, X, data_fidelity, prior, params, y, physics):
         x, xbar, u = X["est"]
+        Kf, Kt = self._ops(physics)
         sigma = params.get("stepsize_dual", 1.0)
         tau = params["stepsize"]
         lam = params.get("lambda", 1.0)
-        # dual ascent on f*(u): u = prox_{sigma f*}(u + sigma A xbar)
+        # dual ascent on f*(u): u = prox_{sigma f*}(u + sigma K xbar)
         u = data_fidelity.prox_conjugate(
-            u + sigma * physics.A(xbar), y, physics, gamma=sigma
+            u + sigma * Kf(xbar), y, physics, gamma=sigma
         )
-        # primal descent on g: x = prox_{tau lambda g}(x - tau A^T u)
+        # primal descent on g: x = prox_{tau lambda g}(x - tau K^T u)
         x_new = prior.prox(
-            x - tau * physics.A_adjoint(u), params.get("g_param"), gamma=tau * lam
+            x - tau * Kt(u), params.get("g_param"), gamma=tau * lam
         )
         xbar = x_new + params.get("beta", 1.0) * (x_new - x)
         return {"est": (x_new, xbar, u), "it": X["it"] + 1}
@@ -306,4 +320,54 @@ class MLEMIteration(OptimIterator):
         else:
             denom = sensitivity
         x_new = x_new / jnp.clip(denom, eps, None)
+        return {"est": (x_new, x_new), "it": X["it"] + 1}
+
+
+class PMDIteration(MDIteration):
+    r"""Proximal mirror descent (reference optim_iterators/pgd.py:178):
+    ``u = grad h*(grad h(x) - gamma grad f(x)); x = prox^h_{gamma lam g}(u)``.
+    With the default ``BregmanL2`` potential this reduces to PGD."""
+
+    requires_grad_g = False
+    requires_prox_g = True
+
+    def __call__(self, X, data_fidelity, prior, params, y, physics):
+        x = X["est"][0]
+        grad = params["stepsize"] * data_fidelity.grad(x, y, physics)
+        u = self.bregman_potential.grad_conj(self.bregman_potential.grad(x) - grad)
+        x_new = prior.bregman_prox(
+            u,
+            self.bregman_potential,
+            params.get("g_param"),
+            gamma=params["stepsize"] * params.get("lambda", 1.0),
+        )
+        return {"est": (x_new, x_new), "it": X["it"] + 1}
+
+
+class SMIteration(OptimIterator):
+    r"""Spectral-method iteration for phase retrieval
+    (reference optim_iterators/spectral_methods.py:11): one power-iteration
+    step on ``M = B^* diag(T(y)) B + lamb I`` followed by the prior prox,
+    with normalization. ``physics`` must be a PhaseRetrieval."""
+
+    requires_prox_g = True
+
+    def __init__(self, lamb: float = 10.0, preprocessing=None, **kwargs):
+        super().__init__(**kwargs)
+        self.lamb = lamb
+        self.preprocessing = preprocessing if preprocessing is not None else (
+            lambda u: jnp.maximum(1 - 1 / jnp.clip(u, 1e-6, None), -5.0)
+        )
+
+    def __call__(self, X, data_fidelity, prior, params, y, physics):
+        x = X["est"][0]
+        yn = y / jnp.mean(y, axis=tuple(range(1, y.ndim)), keepdims=True)
+        diag = self.preprocessing(yn)
+        B, Bt = physics.B.A, physics.B.A_adjoint
+        v = Bt(diag * B(x)) + self.lamb * x
+        v = prior.prox(v, params.get("g_param"), gamma=params.get("stepsize", 1.0))
+        norm = jnp.sqrt(
+            jnp.sum(jnp.abs(v) ** 2, axis=tuple(range(1, v.ndim)), keepdims=True)
+        )
+        x_new = v / jnp.maximum(norm, 1e-12)
         return {"est": (x_new, x_new), "it": X["it"] + 1}

@@ -28,6 +28,8 @@ from .prior import Prior, Zero
 from .fixed_point import FixedPoint
 from .iterators import (
     OptimIterator,
+    PMDIteration,
+    SMIteration,
     GDIteration,
     PGDIteration,
     FISTAIteration,
@@ -55,6 +57,8 @@ __all__ = [
     "CP",
     "MLEM",
     "SIRT",
+    "PMD",
+    "PDCP",
 ]
 
 _ITERATORS = {
@@ -66,6 +70,8 @@ _ITERATORS = {
     "DRS": DRSIteration,
     "CP": CPIteration,
     "MD": MDIteration,
+    "PMD": PMDIteration,
+    "SM": SMIteration,
     "SIRT": SIRTIteration,
     "MLEM": MLEMIteration,
 }
@@ -89,8 +95,14 @@ def create_iterator(iteration, prior=None, cost_fn=None, g_first=False, **kwargs
         raise ValueError(
             f"unknown iteration {iteration!r}; choose from {sorted(_ITERATORS)}"
         )
-    if cls is MDIteration:
+    if cls in (MDIteration, PMDIteration):
         return cls(g_first=g_first, bregman_potential=kwargs.get("bregman_potential"))
+    if cls is SMIteration:
+        return cls(
+            g_first=g_first,
+            lamb=kwargs.get("lamb", 10.0),
+            preprocessing=kwargs.get("preprocessing"),
+        )
     return cls(g_first=g_first)
 
 
@@ -242,3 +254,33 @@ MD = _named("MD")
 CP = _named("CP")
 MLEM = _named("MLEM")
 SIRT = _named("SIRT")
+PMD = _named("PMD")
+
+
+def PDCP(
+    data_fidelity=None,
+    prior=None,
+    K=None,
+    K_adjoint=None,
+    params_algo=None,
+    max_iter: int = 100,
+    **kwargs,
+) -> BaseOptim:
+    """Primal-dual Chambolle-Pock with an explicit linear operator ``K``
+    (reference optimizers.py:2081). With the default identity ``K`` this is
+    the ``CP`` algorithm; pass ``K``/``K_adjoint`` for a splitting on
+    ``F(Kx)``."""
+    from .iterators import CPIteration
+
+    it = CPIteration(g_first=kwargs.pop("g_first", False))
+    if K is not None:
+        it.K = K
+        it.K_adjoint = K_adjoint
+    return BaseOptim(
+        it,
+        data_fidelity=data_fidelity,
+        prior=prior,
+        params_algo=params_algo,
+        max_iter=max_iter,
+        **kwargs,
+    )

@@ -50,3 +50,35 @@ def check_conv(X_prev, X, it, crit_conv: str = "residual", thres_conv: float = 1
             return jnp.asarray(False)
         return jnp.abs(cb - ca) / jnp.maximum(jnp.abs(cb), 1e-12) < thres_conv
     raise ValueError(crit_conv)
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class AndersonAccelerationConfig:
+    """API-parity config object (reference optimizers.py AndersonAccelerationConfig);
+    fields map onto BaseOptim's anderson_* constructor args."""
+
+    history_size: int = 5
+    beta_anderson_acc: float = 1.0
+    eps_anderson_acc: float = 1e-4
+
+
+@dataclass
+class BacktrackingConfig:
+    """API-parity config (reference optimizers.py:74): Armijo backtracking.
+    Maps onto FixedPoint(backtracking=True, backtracking_eta=eta)."""
+
+    eta: float = 0.5
+    gamma: float = 0.1
+
+
+@dataclass
+class DEQConfig:
+    """API-parity config for deep-equilibrium fixed points; maps onto
+    deepinv_tpu.unfolded.DEQ_builder arguments."""
+
+    max_iter_backward: int = 50
+    anderson_acceleration: bool = False
+    history_size: int = 5

@@ -26,11 +26,11 @@ from .noise import (
     RicianNoise,
     LaplaceNoise,
 )
-from .blur import Blur, BlurFFT, Downsampling, Upsampling, SpaceVaryingBlur, DownsamplingMatlab
+from .blur import Blur, BlurFFT, Downsampling, Upsampling, SpaceVaryingBlur, TiledSpaceVaryingBlur, DownsamplingMatlab
 from .inpainting import Inpainting, Demosaicing
 from .mri import MRI, MultiCoilMRI, DynamicMRI, SequentialMRI, MRIMixin
 from .compressed_sensing import CompressedSensing
-from .tomography import Tomography
+from .tomography import Tomography, TomographyWithAstra
 from .singlepixel import SinglePixelCamera
 from .structured_random import StructuredRandom
 from .phase_retrieval import (
@@ -55,6 +55,9 @@ from .wrappers import (
     PhysicsCropper,
     to_multiscale,
     VirtualLinearPhysics,
+    BlurMultiScaler,
+    BlurFFTMultiScaler,
+    InpaintingMultiScaler,
 )
 from . import generator
 from .radio import RadioInterferometry

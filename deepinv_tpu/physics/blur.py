@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +31,7 @@ from ..ops.conv import (
 )
 from .base import LinearPhysics, DecomposablePhysics
 
-__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur", "DownsamplingMatlab"]
+__all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur", "TiledSpaceVaryingBlur", "DownsamplingMatlab"]
 
 
 def _resolve_filter(filter, factor: int = 2):
@@ -274,6 +275,107 @@ class DownsamplingMatlab(LinearPhysics):
             H, W = y.shape[-2] * self.factor, y.shape[-1] * self.factor
         B, C = y.shape[:2]
         fwd = lambda x: imresize_matlab(x, scale=1.0 / self.factor)
+        (xt,) = jax.linear_transpose(
+            fwd, jax.ShapeDtypeStruct((B, C, H, W), y.dtype)
+        )(y)
+        return xt
+
+
+class TiledSpaceVaryingBlur(LinearPhysics):
+    r"""Space-varying blur via tiled convolution (reference blur.py:871):
+    ``y = sum_k h_k * (m_k . x)`` with blending masks ``m_k`` forming a
+    partition of unity over overlapping patches, 'valid' convolution.
+
+    :param filters: (B, C, K, h, w) per-tile PSFs (K = number of tiles, row
+        major); may also be passed at call time.
+    :param patch_size: tile size (int or (ph, pw)).
+    :param stride: tile stride (overlap = patch - stride).
+    :param blending_mode: 'bump' (smooth) or 'linear' (triangle) windows.
+    """
+
+    def __init__(self, filters=None, patch_size=None, stride=None,
+                 blending_mode: str = "bump", **kwargs):
+        super().__init__(**kwargs)
+        self.filters = filters
+        self.patch_size = (patch_size, patch_size) if isinstance(patch_size, int) else tuple(patch_size)
+        self.stride = (stride, stride) if isinstance(stride, int) else tuple(stride)
+        if blending_mode not in ("bump", "linear"):
+            raise ValueError("blending_mode must be 'bump' or 'linear'")
+        self.blending_mode = blending_mode
+
+    @staticmethod
+    def num_filters(img_size, patch_size, stride):
+        """Number of tiles K for an image size (reference blur.py:888)."""
+        H, W = img_size[-2:]
+        ph, pw = (patch_size, patch_size) if isinstance(patch_size, int) else patch_size
+        sh, sw = (stride, stride) if isinstance(stride, int) else stride
+        ny = -(-(max(H - ph, 0)) // sh) + 1
+        nx = -(-(max(W - pw, 0)) // sw) + 1
+        return ny * nx
+
+    def _masks(self, H, W, dtype):
+        """(K, Hp, Wp) partition-of-unity blending masks (host-side)."""
+        ph, pw = self.patch_size
+        sh, sw = self.stride
+
+        def wins(L, p, s):
+            n = -(-(max(L - p, 0)) // s) + 1
+            Lp = (n - 1) * s + p
+            t = np.linspace(-1, 1, p)
+            if self.blending_mode == "linear":
+                w = 1.0 - np.abs(t)
+            else:  # smooth bump, nonzero on the open tile
+                w = np.exp(-1.0 / np.clip(1 - t**2, 1e-9, None))
+            w = np.clip(w, 1e-12, None)
+            W_ = np.zeros((n, Lp))
+            for i in range(n):
+                W_[i, i * s : i * s + p] = w
+            W_ /= W_.sum(0, keepdims=True)
+            return W_, Lp
+
+        Wy, Hp = wins(H, ph, sh)
+        Wx, Wp = wins(W, pw, sw)
+        masks = (Wy[:, None, :, None] * Wx[None, :, None, :]).reshape(-1, Hp, Wp)
+        return jnp.asarray(masks, dtype), Hp, Wp
+
+    def A(self, x, filters=None, **params):
+        h = filters if filters is not None else self.filters
+        if h is None:
+            raise ValueError("filters must be provided")
+        B, C, H, W = x.shape
+        masks, Hp, Wp = self._masks(H, W, x.dtype)
+        K = masks.shape[0]
+        if h.shape[2] != K:
+            raise ValueError(f"expected {K} filters for this image size, got {h.shape[2]}")
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+        z = xp[:, :, None] * masks[None, None]  # (B, C, K, Hp, Wp)
+        kh, kw = h.shape[-2:]
+
+        def conv_one(zk, hk):  # (B, C, Hp, Wp), (B, C, kh, kw) -> valid conv
+            # depthwise: each (b, c) channel with its own filter
+            flat = zk.reshape(1, B * C, Hp, Wp)
+            filt = hk.reshape(B * C, 1, kh, kw)
+            out = jax.lax.conv_general_dilated(
+                flat, filt, (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=B * C,
+            )
+            return out.reshape(B, C, Hp - kh + 1, Wp - kw + 1)
+
+        hb = jnp.broadcast_to(h, (B, C) + h.shape[2:])  # (B, C, K, kh, kw)
+        y = jnp.sum(
+            jax.vmap(conv_one, in_axes=(2, 2), out_axes=0)(z, hb), axis=0
+        )
+        # crop to the valid region of the ORIGINAL image
+        return y[..., : H - kh + 1, : W - kw + 1]
+
+    def A_adjoint(self, y, filters=None, **params):
+        h = filters if filters is not None else self.filters
+        kh, kw = h.shape[-2:]
+        Ho, Wo = y.shape[-2:]
+        H, W = Ho + kh - 1, Wo + kw - 1
+        B, C = y.shape[:2]
+        fwd = lambda x: self.A(x, filters=h)
         (xt,) = jax.linear_transpose(
             fwd, jax.ShapeDtypeStruct((B, C, H, W), y.dtype)
         )(y)

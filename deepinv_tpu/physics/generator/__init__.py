@@ -6,6 +6,9 @@ from .blur import (
     ProductConvolutionBlurGenerator,
     TiledBlurGenerator,
     ConfocalBlurGenerator3D,
+    PSFGenerator,
+    DiffractionBlurGenerator3D,
+    bump_function,
 )
 from .mri import (
     BaseMaskGenerator,
@@ -22,4 +25,4 @@ from .inpainting import (
     Artifact2ArtifactSplittingMaskGenerator,
 )
 from .noise import SigmaGenerator, GainGenerator, DownsamplingGenerator
-from .zernike import zernike_basis
+from .zernike import zernike_basis, Zernike

@@ -104,6 +104,17 @@ class GaussianBlurGenerator(PhysicsGenerator):
         return {"filter": psfs[:, None], "sigma": sig, "angle": ang}
 
 
+class PSFGenerator(PhysicsGenerator):
+    r"""Base class for point-spread-function generators
+    (reference generator/blur.py:17): holds the PSF size; subclasses
+    implement ``sample`` returning ``{"filter": (B, C, h, w)}``."""
+
+    def __init__(self, psf_size=(31, 31), num_channels: int = 1, seed: int = 0):
+        super().__init__(seed=seed)
+        self.psf_size = (psf_size, psf_size) if isinstance(psf_size, int) else tuple(psf_size)
+        self.num_channels = num_channels
+
+
 class DiffractionBlurGenerator(PhysicsGenerator):
     r"""Optical diffraction PSFs from random Zernike aberrations
     (reference DiffractionBlurGenerator): pupil phase = sum_i c_i Z_i,
@@ -236,3 +247,83 @@ class ConfocalBlurGenerator3D(PhysicsGenerator):
 
         psfs = jax.vmap(one)(na, wl)
         return {"filter": psfs[:, None]}
+
+
+class DiffractionBlurGenerator3D(PSFGenerator):
+    r"""3D diffraction-limited PSF stacks (reference generator/blur.py:1112):
+    the 2D Zernike pupil is propagated to each defocus plane by the angular
+    spectrum phase ``exp(-2i pi k_z z)`` with
+    ``k_z = sqrt(kb^2 - k_lateral^2)``; the PSF at depth z is
+    ``|FFT(pupil_z)|^2``, normalized over the whole volume.
+
+    :param psf_size: (D, H, W) size of the generated 3D PSF.
+    :param fc: lateral cutoff frequency (pupil radius fraction).
+    :param kb: total wavenumber over sampling frequency (default 0.25).
+    :param stepz_pixel: axial/lateral voxel size ratio.
+    """
+
+    def __init__(self, psf_size=(9, 31, 31), fc: float = 0.2, kb: float = 0.25,
+                 stepz_pixel: float = 2.0, num_channels: int = 1,
+                 max_zernike_amplitude: float = 0.15, n_zernike: int = 8,
+                 seed: int = 0):
+        if len(psf_size) != 3:
+            raise ValueError("psf_size must be (D, H, W)")
+        super().__init__(psf_size=psf_size[1:], num_channels=num_channels, seed=seed)
+        self.depth = psf_size[0]
+        self.fc = fc
+        self.kb = kb
+        self.stepz_pixel = stepz_pixel
+        self.max_amp = max_zernike_amplitude
+        self.n_zernike = n_zernike
+        h, w = self.psf_size
+        g = max(h, w)
+        self._basis, self._pupil_mask = zernike_basis(
+            n_modes=n_zernike + 3, grid_size=g, radius=fc * g
+        )
+        # lateral frequency grid (cycles/pixel) and axial wavevector
+        fx = np.fft.fftshift(np.fft.fftfreq(g))
+        FX, FY = np.meshgrid(fx, fx, indexing="ij")
+        k_lat2 = FX**2 + FY**2
+        kz = np.sqrt(np.clip(kb**2 - k_lat2, 0.0, None))
+        self._kz = jnp.asarray(kz, jnp.float32)
+
+    def sample(self, batch_size, key, **kwargs):
+        D = self.depth
+        h, w = self.psf_size
+        basis = self._basis[3 : 3 + self.n_zernike]
+        coeffs = jax.random.uniform(
+            key, (batch_size, self.n_zernike), minval=-self.max_amp, maxval=self.max_amp
+        )
+        zs = (jnp.arange(D) - (D - 1) / 2.0) * self.stepz_pixel
+
+        def one(c):
+            phase = jnp.tensordot(c, basis, axes=1)
+            pupil0 = self._pupil_mask * jnp.exp(2j * jnp.pi * phase)
+
+            def plane(z):
+                pupil = pupil0 * jnp.exp(-2j * jnp.pi * self._kz * z)
+                field = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(pupil)))
+                return jnp.abs(field) ** 2
+
+            psf = jax.vmap(plane)(zs)  # (D, g, g)
+            g = psf.shape[-1]
+            top, left = (g - h) // 2, (g - w) // 2
+            psf = psf[:, top : top + h, left : left + w]
+            return psf / jnp.sum(psf)
+
+        psfs = jax.vmap(one)(coeffs)  # (B, D, h, w)
+        return {"filter": psfs[:, None], "coeff": coeffs}
+
+
+def bump_function(x, a: float = 1.0, b: float = 1.0):
+    r"""Smooth compactly-supported bump (reference functional/convolution.py
+    bump_function): 1 on [-a, a], smooth decay to 0 over width ``b``."""
+    x = jnp.asarray(x)
+    v = jnp.zeros_like(x)
+    v = jnp.where(jnp.abs(x) <= a, 1.0, v)
+    mid = (jnp.abs(x) > a) & (jnp.abs(x) < a + b)
+    t = jnp.clip((jnp.abs(x) - a) / b, 1e-7, 1 - 1e-7)
+    decay = jnp.exp(-1.0 / (1 - t**2)) / (
+        jnp.exp(-1.0 / (1 - t**2)) + jnp.exp(-1.0 / jnp.clip(t**2, 1e-7, None))
+    )
+    return jnp.where(mid, decay, v)

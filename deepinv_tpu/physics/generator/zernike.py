@@ -9,7 +9,7 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["zernike_basis", "noll_to_nm"]
+__all__ = ["zernike_basis", "noll_to_nm", "Zernike"]
 
 
 def noll_to_nm(j: int):
@@ -62,3 +62,18 @@ def zernike_basis(n_modes: int = 10, grid_size: int = 31, radius: float = 8.0):
         nrm = np.sqrt(np.sum(Z**2)) + 1e-12
         modes.append(Z / nrm)
     return jnp.asarray(np.stack(modes), jnp.float32), jnp.asarray(mask, jnp.complex64)
+
+
+class Zernike:
+    """Static utility namespace for Zernike polynomials
+    (reference generator/zernike.py:26). All methods are static."""
+
+    noll_to_nm = staticmethod(noll_to_nm)
+
+    @staticmethod
+    def radial(n, m, r):
+        return _zernike_radial(n, abs(m), np.clip(np.asarray(r, float), 0, 1))
+
+    @staticmethod
+    def basis(n_modes=10, grid_size=31, radius=8.0):
+        return zernike_basis(n_modes=n_modes, grid_size=grid_size, radius=radius)

@@ -113,12 +113,19 @@ class SpatialUnwrapping(Physics):
     spatial_unwrapping.py:8). ``A_dagger`` = Itoh integration of wrapped
     differences."""
 
-    def __init__(self, threshold: float = 2 * np.pi, **kwargs):
+    def __init__(self, threshold: float = 2 * np.pi, mode: str = "floor", **kwargs):
         super().__init__(**kwargs)
         self.threshold = threshold
+        if mode not in ("floor", "round"):
+            raise ValueError("mode must be 'floor' or 'round'")
+        self.mode = mode
 
     def A(self, x, **params):
-        return jnp.mod(x, self.threshold)
+        t = self.threshold
+        if self.mode == "round":
+            # symmetric wrap to [-t/2, t/2) (reference mode='round')
+            return x - t * jnp.round(x / t)
+        return jnp.mod(x, t)
 
     def __call__(self, x, key=None, **params):
         # the reference wraps after noise (spatial_unwrapping.py:61)

@@ -129,3 +129,17 @@ class Tomography(LinearPhysics):
 
     def fbp(self, y, **params):
         return self.A_dagger(y, **params)
+
+
+class TomographyWithAstra:
+    """Gated adapter for the ASTRA toolbox (reference tomography.py
+    TomographyWithAstra). ASTRA is a CUDA/CPU C++ library not available on
+    TPU; the native :class:`Tomography` (interp | fourier projectors,
+    parallel and fan beam) covers the same geometries on-device."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "TomographyWithAstra requires the 'astra-toolbox' package "
+            "(CUDA/CPU only). Use deepinv_tpu.physics.Tomography instead — "
+            "it provides parallel/fan-beam projectors natively on TPU."
+        )

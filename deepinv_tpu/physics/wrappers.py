@@ -76,6 +76,29 @@ class LinearPhysicsMultiScaler(PhysicsMultiScaler, LinearPhysics):
         return _downscale(at, s) * (4**s)
 
 
+class BlurMultiScaler(LinearPhysicsMultiScaler):
+    r"""Multiscale wrapper for blur physics (reference wrappers.py:281):
+    the blur evaluated from coarse-scale images, with measurements
+    downsamplable to coarse scales (``downsample_measurement``)."""
+
+    def downsample_measurement(self, y, scale=None):
+        s = self.scale if scale is None else scale
+        return _downscale(y, s)
+
+
+class BlurFFTMultiScaler(BlurMultiScaler):
+    r"""Multiscale wrapper for FFT blur physics (reference wrappers.py:345)."""
+
+
+class InpaintingMultiScaler(LinearPhysicsMultiScaler):
+    r"""Multiscale wrapper for inpainting physics (reference wrappers.py:415):
+    the coarse-scale mask is the average-pooled fine mask."""
+
+    def downsample_measurement(self, y, scale=None):
+        s = self.scale if scale is None else scale
+        return _downscale(y, s)
+
+
 def to_multiscale(physics: Physics, scale: int = 0) -> PhysicsMultiScaler:
     """Wrap a physics for multiscale evaluation (reference to_multiscale)."""
     if isinstance(physics, LinearPhysics):

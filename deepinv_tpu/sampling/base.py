@@ -132,3 +132,30 @@ def SKRock(prior, data_fidelity, step_size=1e-4, sigma=0.05, alpha=1.0, inner_it
         it, data_fidelity=data_fidelity, prior=prior, max_iter=max_iter,
         burnin_ratio=burnin_ratio, thinning=thinning, **kwargs,
     )
+
+
+class DiffusionSampler(BaseSampling):
+    """Turn a diffusion method into a Monte-Carlo posterior sampler
+    (reference diffusion.py:20): run the diffusion ``max_iter`` times and
+    compute mean/variance with Welford accumulation.
+
+    :param diffusion: a diffusion reconstructor ``model(y, physics, key)``
+        (e.g. :class:`DDRM`, :class:`DiffPIR`, :class:`DPS`,
+        :class:`PosteriorDiffusion`).
+    """
+
+    def __init__(self, diffusion, max_iter: int = 100, clip=(-1.0, 2.0),
+                 thres_conv: float = 1e-1, verbose: bool = False,
+                 save_chain: bool = False):
+        from .iterators import DiffusionIterator
+
+        super().__init__(
+            DiffusionIterator(clip=clip),
+            data_fidelity=None,
+            prior=diffusion,
+            max_iter=int(max_iter),
+            burnin_ratio=0.0,
+            thinning=1,
+            thresh_conv=thres_conv,
+            verbose=verbose,
+        )

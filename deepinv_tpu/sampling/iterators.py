@@ -102,3 +102,15 @@ class SKRockIterator(SamplingIterator):
             xts = -mu * step * posterior(xts) + nu * xts + kappa * xts_2
             xts_2 = xts_1
         return {"x": self._clip(xts)}
+
+
+class DiffusionIterator(SamplingIterator):
+    """One Monte-Carlo 'iteration' = a full diffusion run from fresh noise
+    (reference sampling_iterators/diffusion.py:7); used by
+    :class:`deepinv_tpu.sampling.DiffusionSampler` to estimate posterior
+    moments by repeated sampling."""
+
+    def __call__(self, X, y, physics, data_fidelity, prior, iteration, key):
+        # `prior` is the diffusion reconstructor: model(y, physics, key)
+        x = prior(y, physics, key=key)
+        return {"x": self._clip(x)}

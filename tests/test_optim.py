@@ -365,3 +365,60 @@ def test_hadamard_dense_matmul_path():
         sp._DENSE_MAX = old
     assert_close(dense, butterfly, rtol=1e-5, atol=1e-5)
     assert_close(sp.hadamard_1d(dense), x, rtol=1e-5, atol=1e-5)
+
+
+def test_itoh_fidelity_unwrapping():
+    """ItohFidelity: zero at the truth; LS solve unwraps a smooth ramp."""
+    import numpy as np
+    from deepinv_tpu.optim import ItohFidelity, conjugate_gradient
+    from deepinv_tpu.physics import SpatialUnwrapping
+
+    yy, xx = np.mgrid[0:24, 0:24] / 24
+    # keep |D x| < threshold/2 so the Itoh condition holds exactly
+    x = jnp.asarray(3.0 * xx + 1.2 * np.sin(2 * np.pi * yy), jnp.float32)[None, None]
+    phys = SpatialUnwrapping(threshold=1.0, mode="round")
+    y = phys.A(x)
+    fid = ItohFidelity(sigma=1.0)
+    assert float(fid.fn(x, y)[0]) < 1e-8
+    a = 1e6
+    rhs = jnp.zeros_like(y) + a * fid.D_adjoint(fid.WD(y))
+    z = conjugate_gradient(lambda u: u + a * fid.D_adjoint(fid.D(u)), rhs,
+                           max_iter=400, tol=1e-9)
+    err = z - x
+    err = err - err.mean()
+    assert float(jnp.abs(err).max()) < 1e-2
+
+
+def test_pmd_equals_pgd_and_pdcp_equals_cp(problem):
+    """PMD with the default BregmanL2 potential reduces to PGD; PDCP with
+    identity K reduces to CP (reference optimizers.py:2081)."""
+    from deepinv_tpu.optim import PMD, PDCP
+
+    x, physics, y = problem
+    pa = {"stepsize": 0.9, "lambda": 0.3}
+    a = PMD(data_fidelity=L2(), prior=Tikhonov(), params_algo=pa, max_iter=100)(y, physics)
+    b = optim_builder("PGD", data_fidelity=L2(), prior=Tikhonov(), params_algo=pa, max_iter=100)(y, physics)
+    assert_close(a, b, rtol=1e-5, atol=1e-6)
+    pa2 = {"stepsize": 0.5, "stepsize_dual": 0.5, "lambda": 0.3}
+    c = PDCP(data_fidelity=L2(), prior=Tikhonov(), params_algo=pa2, max_iter=100)(y, physics)
+    d = optim_builder("CP", data_fidelity=L2(), prior=Tikhonov(), params_algo=pa2, max_iter=100)(y, physics)
+    assert_close(c, d, rtol=1e-6, atol=1e-7)
+
+
+def test_spectral_method_iterator():
+    """SMIteration recovers the phase-retrieval direction like the
+    standalone spectral initializer."""
+    from deepinv_tpu.optim import Zero
+    from deepinv_tpu.physics import RandomPhaseRetrieval
+    from deepinv_tpu.physics.phase_retrieval import cosine_similarity
+
+    phys = RandomPhaseRetrieval(m=800, img_size=(1, 8, 8))
+    x = jax.random.normal(jax.random.key(3), (1, 1, 8, 8)).astype(jnp.complex64)
+    y = phys.A(x)
+    m = optim_builder(
+        "SM", data_fidelity=L2(), prior=Zero(), params_algo={"stepsize": 1.0},
+        max_iter=100,
+        custom_init=lambda yy, p: jax.random.normal(
+            jax.random.key(23), (1, 1, 8, 8)).astype(jnp.complex64),
+    )
+    assert float(cosine_similarity(m(y, phys), x)) > 0.7

@@ -540,3 +540,24 @@ def test_tomography_fanbeam():
     fbp = phys.A_dagger(y)
     corr = float(jnp.vdot(fbp / jnp.linalg.norm(fbp), x / jnp.linalg.norm(x)))
     assert corr > 0.8
+
+
+def test_tiled_space_varying_blur():
+    """Uniform per-tile filters reduce to a plain valid convolution;
+    adjointness via linear_transpose."""
+    from deepinv_tpu.physics import TiledSpaceVaryingBlur
+    from deepinv_tpu.ops import gaussian_blur
+
+    f = gaussian_blur(sigma=1.2)
+    K = TiledSpaceVaryingBlur.num_filters((48, 48), 24, 12)
+    filters = jnp.broadcast_to(f[:, :, None], (1, 1, K) + f.shape[-2:])
+    phys = TiledSpaceVaryingBlur(filters=filters, patch_size=24, stride=12)
+    x = jax.random.uniform(jax.random.key(0), (1, 1, 48, 48))
+    ref = jax.lax.conv_general_dilated(
+        x, f, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    assert_close(phys.A(x), ref, rtol=1e-5, atol=1e-6)
+    u = jax.random.normal(jax.random.key(1), x.shape)
+    v = jax.random.normal(jax.random.key(2), ref.shape)
+    s1 = jnp.vdot(phys.A(u), v)
+    s2 = jnp.vdot(u, phys.A_adjoint(v))
+    assert float(jnp.abs(s1 - s2)) < 1e-4
