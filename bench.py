@@ -1,93 +1,119 @@
-"""Benchmark: PnP-HQS DRUNet deblurring iteration throughput on one chip.
-
-This is BASELINE.json config #1 (PnP-HQS Gaussian deblurring, Blur physics +
-DRUNet prior): the hot loop is one closed-form FFT prox + one DRUNet forward
-per iteration, compiled as a single ``lax.scan`` XLA program.
+"""Benchmark: reconstruction iteration throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against the PyTorch reference running the
-identical workload (deepinv BlurFFT + DRUNet(pretrained=None) + HQS,
-8 iterations, 1x3x256x256) on this host's CPU with 8 torch threads:
-0.385 it/s (measured 2026-08-16; see BASELINE.md). The north-star target is
-5x an A100 running the torch reference; an A100 runs this workload at
-roughly 100x the CPU figure, so vs_baseline > ~500 clears that bar.
+
+Configs (select with ``BENCH_CONFIG``, default ``deblur``):
+
+- ``deblur`` — BASELINE.md config #1: PnP-HQS, BlurFFT + DRUNet, 1x3x256x256.
+  One iteration = closed-form FFT prox + DRUNet forward, whole recon is a
+  single ``lax.scan`` XLA program.
+- ``mri``   — config #2: PnP-PGD, masked-FFT MRI (30% mask) + DnCNN,
+  1x2x256x256 (the unrolled-MoDL iteration shape).
+- ``ct``    — config #3: PnP-PGD, Tomography (90 angles, 256px, Fourier-
+  slice NUFFT projector) + DnCNN.
+
+``vs_baseline`` divides by the PyTorch reference running the IDENTICAL
+workload on this host's CPU with 8 torch threads (measured 2026-08-16):
+deblur 0.385 it/s, mri 1.272 it/s, ct 0.726 it/s. The north-star target is
+5x an A100 running the torch reference; an A100 runs these workloads at
+roughly 100x the CPU figures, so vs_baseline > ~500 clears that bar.
+
+Timing is slope-based (marginal cost per iteration between an N-iteration
+and 4N-iteration program, min over repeats, outputs forced to host) because
+the axon tunnel adds ~40-70 ms of dispatch noise per call.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-from deepinv_tpu.physics import BlurFFT, GaussianNoise
+from deepinv_tpu.physics import BlurFFT, GaussianNoise, MRI, Tomography
 from deepinv_tpu.ops import gaussian_blur
 from deepinv_tpu.optim import optim_builder, L2, PnP
-from deepinv_tpu.models import DRUNet
+from deepinv_tpu.models import DRUNet, DnCNN
 
-TORCH_CPU_REFERENCE_ITS = 0.385  # measured: reference PnP-HQS(DRUNet) it/s
 N_ITER = 8
-SHAPE = (1, 3, 256, 256)
+
+CONFIGS = {
+    "deblur": dict(torch_cpu_its=0.385,
+                   metric="pnp_hqs_drunet_deblur_256px_iters_per_sec_chip"),
+    "mri": dict(torch_cpu_its=1.272,
+                metric="pnp_pgd_dncnn_mri_256px_iters_per_sec_chip"),
+    "ct": dict(torch_cpu_its=0.726,
+               metric="pnp_pgd_dncnn_ct90_256px_iters_per_sec_chip"),
+}
+
+
+def _problem(config, key):
+    if config == "deblur":
+        shape = (1, 3, 256, 256)
+        x = jax.jit(lambda k: jax.random.uniform(k, shape))(key)
+        physics = BlurFFT(img_size=shape[1:], filter=gaussian_blur(sigma=1.5),
+                          noise_model=GaussianNoise(0.01))
+        y = jax.jit(lambda p, v, k: p(v, key=k))(physics, x, jax.random.key(1))
+        denoiser = DRUNet(pretrained=None)  # standard nc=(64,128,256,512), nb=4
+        algo, params = "HQS", {"stepsize": 2.0, "g_param": 0.02}
+    elif config == "mri":
+        shape = (1, 2, 256, 256)
+        x = jax.jit(lambda k: jax.random.normal(k, shape))(key)
+        import numpy as np
+
+        mask = jnp.asarray(
+            (np.random.default_rng(0).random((256, 256)) < 0.3).astype(np.float32)
+        )
+        physics = MRI(mask=mask, img_size=(256, 256))
+        y = jax.jit(lambda p, v: p.A(v))(physics, x)
+        denoiser = DnCNN(2, 2, pretrained=None)
+        algo, params = "PGD", {"stepsize": 1.0, "g_param": 0.05}
+    elif config == "ct":
+        shape = (1, 1, 256, 256)
+        x = jax.jit(lambda k: jax.random.uniform(k, shape))(key)
+        physics = Tomography(img_width=256, angles=90, method="slice")
+        y = jax.jit(lambda p, v: p.A(v))(physics, x)
+        denoiser = DnCNN(1, 1, pretrained=None)
+        algo, params = "PGD", {"stepsize": 1.0, "g_param": 0.05}
+    else:
+        raise ValueError(f"unknown BENCH_CONFIG {config!r}")
+    return physics, y, denoiser, algo, params
 
 
 def main():
-    key = jax.random.key(0)
-    x = jax.jit(lambda k: jax.random.uniform(k, SHAPE))(key)
-    physics = BlurFFT(
-        img_size=SHAPE[1:],
-        filter=gaussian_blur(sigma=1.5),
-        noise_model=GaussianNoise(0.01),
-    )
-    y = jax.jit(lambda p, v, k: p(v, key=k))(physics, x, jax.random.key(1))
+    config = os.environ.get("BENCH_CONFIG", "deblur")
+    meta = CONFIGS[config]
+    physics, y, denoiser, algo, params = _problem(config, jax.random.key(0))
 
-    denoiser = DRUNet(pretrained=None)  # standard nc=(64,128,256,512), nb=4
-    model = optim_builder(
-        "HQS",
-        data_fidelity=L2(),
-        prior=PnP(denoiser),
-        params_algo={"stepsize": 2.0, "g_param": 0.02},
-        max_iter=N_ITER,
-    )
-
-    # Slope-based timing: the axon tunnel adds ~40-70 ms of dispatch noise
-    # per call, so we measure the *marginal* cost per iteration by comparing
-    # an N_ITER-iteration recon with a 4x longer one (min over repeats).
     import numpy as np
 
     def build(iters):
         m = optim_builder(
-            "HQS",
-            data_fidelity=L2(),
-            prior=PnP(denoiser),
-            params_algo={"stepsize": 2.0, "g_param": 0.02},
-            max_iter=iters,
+            algo, data_fidelity=L2(), prior=PnP(denoiser),
+            params_algo=params, max_iter=iters,
         )
         f = jax.jit(lambda mm, yv, p: mm(yv, p))
         _ = np.asarray(jax.device_get(f(m, y, physics))).ravel()[:1]
-        def timed():
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                o = f(m, y, physics)
-                _ = np.asarray(jax.device_get(o)).ravel()[:1]
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
-        return timed()
+
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = f(m, y, physics)
+            _ = np.asarray(jax.device_get(o)).ravel()[:1]
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
     t_short = build(N_ITER)
     t_long = build(N_ITER * 4)
     dt = (t_long - t_short) / (N_ITER * 3)
 
     its = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": "pnp_hqs_drunet_deblur_256px_iters_per_sec_chip",
-                "value": round(its, 2),
-                "unit": "iter/s",
-                "vs_baseline": round(its / TORCH_CPU_REFERENCE_ITS, 2),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": meta["metric"],
+        "value": round(its, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(its / meta["torch_cpu_its"], 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.radon import radon, iradon, radon_output_size, fanbeam
 from ..ops.radon_fourier import radon_fourier, iradon_fourier
+from ..ops.radon_slice import radon_slice, iradon_slice, radon_slice_adjoint
 from .base import LinearPhysics
 
 __all__ = ["Tomography"]
@@ -80,9 +81,9 @@ class Tomography(LinearPhysics):
             self.n_det = fp["n_detector_pixels"]
 
     def _theta_for(self, fn):
-        """Concrete angles for fourier-mode functions (their shear planning
-        runs at trace time), traced/differentiable array otherwise."""
-        if fn in (radon_fourier, iradon_fourier):
+        """Concrete angles for fourier/slice-mode functions (their sampling
+        plans are built at trace time), traced/differentiable otherwise."""
+        if fn in (radon_fourier, iradon_fourier, radon_slice, iradon_slice):
             return np.asarray(self._theta_deg, np.float32)
         return self.theta
 
@@ -90,7 +91,7 @@ class Tomography(LinearPhysics):
         if self.fan_beam:
             y = fanbeam(x, self.theta, **self.fan_parameters)
         else:
-            fwd = radon_fourier if self.method == "fourier" else radon
+            fwd = {"fourier": radon_fourier, "slice": radon_slice}.get(self.method, radon)
             y = fwd(x, self._theta_for(fwd), circle=self.circle)
         if self.normalize:
             y = y / self.img_width
@@ -99,10 +100,19 @@ class Tomography(LinearPhysics):
     def A_adjoint(self, y, **params):
         B, C = y.shape[:2]
         x_shape = (B, C, self.img_width, self.img_width)
+        if not self.fan_beam and self.method == "slice":
+            # explicit fast adjoint: sorted segment-sum scatter (see
+            # ops/radon_slice.py), exact transpose of radon_slice
+            if self.normalize:
+                y = y / self.img_width
+            return radon_slice_adjoint(
+                y, np.asarray(self._theta_deg, np.float32),
+                circle=self.circle, out_size=self.img_width,
+            )
         if self.fan_beam:
             fwd = lambda x: fanbeam(x, self.theta, **self.fan_parameters)
         else:
-            radon_fn = radon_fourier if self.method == "fourier" else radon
+            radon_fn = {"fourier": radon_fourier, "slice": radon_slice}.get(self.method, radon)
             fwd = lambda x: radon_fn(x, self._theta_for(radon_fn), circle=self.circle)
         (xt,) = jax.linear_transpose(
             fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
@@ -122,7 +132,7 @@ class Tomography(LinearPhysics):
             return xt * jnp.pi / (2 * self.theta.shape[0])
         if self.normalize:
             y = y * self.img_width
-        ifn = iradon_fourier if self.method == "fourier" else iradon
+        ifn = {"fourier": iradon_fourier, "slice": iradon_slice}.get(self.method, iradon)
         return ifn(
             y, self._theta_for(ifn), circle=self.circle, filtered=True, out_size=self.img_width
         )
