@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..ops.radon import radon, iradon
 from ..ops.radon_fourier import radon_fourier
+from ..ops.radon_slice import radon_slice
 from .base import LinearPhysics
 from .noise import PoissonNoise
 
@@ -49,6 +50,7 @@ class PET(LinearPhysics):
         self.img_width = int(img_width)
         theta = np.linspace(0, 180, angles, endpoint=False)
         self.theta = jnp.asarray(theta, jnp.float32)
+        self._theta_np = theta.astype(np.float32)
         self.method = method
         self.counts = counts
         if attenuation is not None:
@@ -61,8 +63,9 @@ class PET(LinearPhysics):
         )
 
     def _project(self, x):
-        fwd = radon_fourier if self.method == "fourier" else radon
-        return fwd(x, self.theta, circle=True)
+        fwd = {"fourier": radon_fourier, "slice": radon_slice}.get(self.method, radon)
+        th = self._theta_np if self.method in ("fourier", "slice") else self.theta
+        return fwd(x, th, circle=True)
 
     def A(self, x, **params):
         return self._project(x) * self.acf * self.sensitivity
@@ -89,9 +92,20 @@ class PET(LinearPhysics):
         )
         ones_y = jnp.ones_like(y)
         sens_img = self.A_adjoint(ones_y)
+        # MLEM assumes a nonnegative system matrix; the band-limited 'slice'
+        # projector has small negative Gibbs values, so clip measurements and
+        # updates, bound the ratio, and freeze pixels outside the scanner's
+        # sensitive region (sens ~ 0)
+        y_pos = jnp.clip(y, 0.0, None)
+        sens_pos = jnp.clip(sens_img, 0.0, None)
+        valid = (sens_pos > 1e-3 * jnp.max(sens_pos)).astype(y.dtype)
 
         def body(_, x):
-            ratio = y / jnp.clip(self.A(x), 1e-9, None)
-            return x * self.A_adjoint(ratio) / jnp.clip(sens_img, 1e-9, None)
+            pred = jnp.clip(self.A(x), 1e-6, None)
+            ratio = jnp.clip(y_pos / pred, 0.0, 1e3)
+            upd = jnp.clip(self.A_adjoint(ratio), 0.0, None) / jnp.clip(
+                sens_pos, 1e-9, None
+            )
+            return x * jnp.where(valid > 0, upd, 0.0)
 
         return jax.lax.fori_loop(0, n_iter, body, x)
