@@ -71,7 +71,11 @@ def _problem(config, key):
     elif config == "ct":
         shape = (1, 1, 256, 256)
         x = jax.jit(lambda k: jax.random.uniform(k, shape))(key)
-        physics = Tomography(img_width=256, angles=90, method="slice")
+        # normalize=True scales A by 1/W so ||A||<1 and stepsize 1.0 is
+        # stable (identical FLOPs; the unnormalized operator has ||A||~86
+        # and PGD at stepsize 1 diverges - timing a NaN program is cheating)
+        physics = Tomography(img_width=256, angles=90, method="slice",
+                             normalize=True)
         y = jax.jit(lambda p, v: p.A(v))(physics, x)
         denoiser = DnCNN(1, 1, pretrained=None)
         algo, params = "PGD", {"stepsize": 1.0, "g_param": 0.05}

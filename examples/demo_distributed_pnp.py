@@ -5,6 +5,12 @@ Run with a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 python examples/demo_distributed_pnp.py
 """
 
+# make the repo root importable when run as `python examples/<demo>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import jax
 import jax.numpy as jnp
 

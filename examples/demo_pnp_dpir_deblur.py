@@ -5,6 +5,12 @@ Runs on CPU or TPU; uses a random-weight DRUNet unless a ported checkpoint
 path is given.
 """
 
+# make the repo root importable when run as `python examples/<demo>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import time
 
 import jax

@@ -1,6 +1,12 @@
 """Self-supervised equivariant-imaging training on inpainting
 (counterpart of reference examples/self-supervised-learning)."""
 
+# make the repo root importable when run as `python examples/<demo>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import jax
 import numpy as np
 
