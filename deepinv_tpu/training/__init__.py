@@ -1,4 +1,5 @@
 from .trainer import Trainer, test
+from .checkpoint import OrbaxCheckpointer
 from .adversarial import AdversarialTrainer, AdversarialOptimizer
 
 

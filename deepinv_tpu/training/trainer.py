@@ -82,6 +82,7 @@ class Trainer:
         patience: int = 5,
         save_path: Optional[str] = None,
         ckpt_interval: int = 1,
+        ckpt_backend: str = "pickle",
         compare_no_learning: bool = False,
         no_learning_method: str = "A_adjoint",
         verbose: bool = True,
@@ -114,6 +115,10 @@ class Trainer:
         self.patience = patience
         self.save_path = save_path
         self.ckpt_interval = ckpt_interval
+        if ckpt_backend not in ("pickle", "orbax"):
+            raise ValueError("ckpt_backend must be 'pickle' or 'orbax'")
+        self.ckpt_backend = ckpt_backend
+        self._orbax = None
         self.compare_no_learning = compare_no_learning
         self.no_learning_method = no_learning_method
         self.verbose = verbose
@@ -352,9 +357,26 @@ class Trainer:
                 self._mlflow.log_metric(k, v, step=step)
 
     # -- checkpointing ----------------------------------------------------
+    def _orbax_mgr(self, path):
+        if self._orbax is None:
+            from .checkpoint import OrbaxCheckpointer
+
+            # all steps live in one manager directory: <save_path>/orbax
+            # (pickle-style per-epoch filenames map onto orbax step numbers)
+            d = path if os.path.splitext(path)[1] == "" else os.path.dirname(path) or "."
+            self._orbax = OrbaxCheckpointer(os.path.join(d, "orbax"))
+        return self._orbax
+
     def save_model(self, path: str, epoch: int = 0):
         """Save epoch, model, optimizer state and histories
-        (reference trainer.py:1167)."""
+        (reference trainer.py:1167). With ``ckpt_backend='orbax'`` the state
+        is written asynchronously via Orbax (overlaps the next epoch)."""
+        if self.ckpt_backend == "orbax":
+            self._orbax_mgr(path).save(
+                epoch, self.model, self.opt_state,
+                extra={"loss_history": np.asarray(self.loss_history, np.float32)},
+            )
+            return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = {
             "epoch": epoch,
@@ -370,6 +392,15 @@ class Trainer:
 
     def load_model(self, path: str):
         """Restore a checkpoint (reference trainer.py:562)."""
+        if self.ckpt_backend == "orbax":
+            mgr = self._orbax_mgr(path)
+            self.model, self.opt_state, extra, step = mgr.restore(
+                self.model, self.opt_state
+            )
+            self.epoch_start = step + 1
+            if "loss_history" in extra:
+                self.loss_history = list(np.asarray(extra["loss_history"]))
+            return self
         with open(path, "rb") as f:
             payload = pickle.load(f)
         self.model = jax.tree_util.tree_map(jnp.asarray, payload["model"])

@@ -213,3 +213,35 @@ def test_fastmri_dataset(tmp_path):
 
     simple = SimpleFastMRISliceDataset(np.random.rand(5, 32, 32).astype(np.float32))
     assert simple[0].shape == (2, 32, 32)
+
+
+def test_orbax_checkpointing(tmp_path):
+    """Orbax backend: async-capable step checkpoints, retention, exact
+    restore into a fresh Trainer."""
+    import numpy as np
+    from deepinv_tpu.training import Trainer
+    from deepinv_tpu.datasets import ArrayDataset, DataLoader, random_circles
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+    from deepinv_tpu.models import DnCNN
+
+    data = np.stack([random_circles(16, seed=i) for i in range(8)])
+    dl = DataLoader(ArrayDataset(data), batch_size=4, shuffle=False)
+
+    def make(key_seed):
+        return Trainer(
+            DnCNN(1, 1, depth=3, nf=4, key=jax.random.key(key_seed)),
+            Denoising(noise_model=GaussianNoise(0.1)),
+            train_dataloader=dl, online_measurements=True, epochs=2,
+            verbose=False, save_path=str(tmp_path), ckpt_backend="orbax",
+            seed=0,
+        )
+
+    t = make(0)
+    t.train()
+    t._orbax.wait()
+    assert t._orbax.latest_step() == 1
+
+    t2 = make(7)
+    t2.load_model(str(tmp_path))
+    assert t2.epoch_start == 2
+    assert float(jnp.abs(t2.model.in_conv.weight - t.model.in_conv.weight).max()) == 0.0
