@@ -68,4 +68,15 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
+_LAZY_NAMES = (
+    "Trainer", "train", "test", "metric", "models", "loss", "sampling",
+    "transform", "datasets", "training", "unfolded", "parallel", "utils",
+    "native",
+)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_NAMES))
+
+
 __version__ = "0.1.0"

@@ -168,6 +168,24 @@ class Trainer:
         self.best_metric = None
         self.best_model = None
         self._train_step_fn = None
+        # jitted helpers: eager physics/metric evaluation is not supported on
+        # all TPU runtimes (reductions/FFT outside jit), and jit also caches
+        # the compiled program across steps
+        self._measure_fn = None
+        self._metric_fns = None
+        self._nl_fn = None
+
+    def _measure(self, physics, x, key):
+        if self._measure_fn is None:
+            self._measure_fn = jax.jit(lambda p, xv, k: p(xv, key=k))
+        return self._measure_fn(physics, x, key)
+
+    def _metric_value(self, i, x_net, x) -> float:
+        if self._metric_fns is None:
+            self._metric_fns = [
+                jax.jit(lambda a, b, m=m: jnp.mean(m(a, b))) for m in self.metrics
+            ]
+        return float(np.asarray(self._metric_fns[i](x_net, x)))
 
     # -- jitted step ------------------------------------------------------
     def _build_train_step(self):
@@ -206,7 +224,7 @@ class Trainer:
             if self.physics_generator is not None:
                 params = self.physics_generator.step(x.shape[0], key=kg)
                 physics = physics.update(**params)
-            y = physics(x, key=kn)
+            y = self._measure(physics, x, kn)
             return x, y, physics
         else:
             if not isinstance(batch, (tuple, list)) or len(batch) < 2:
@@ -256,9 +274,9 @@ class Trainer:
                 self.model, self.opt_state, loss, x_net = self._train_step_fn(
                     self.model, self.opt_state, x, y, cur_physics, step_key
                 )
-                loss_meter.update(float(loss), n=x.shape[0])
-                for m, meter in zip(self.metrics, metric_meters):
-                    meter.update(float(jnp.mean(m(x_net, x))), n=x.shape[0])
+                loss_meter.update(float(np.asarray(loss)), n=x.shape[0])
+                for i, meter in enumerate(metric_meters):
+                    meter.update(self._metric_value(i, x_net, x), n=x.shape[0])
 
             self.loss_history.append(loss_meter.avg)
             self.log_metrics_mlops(
@@ -320,13 +338,19 @@ class Trainer:
                     batch, physics, jax.random.fold_in(key, step)
                 )
                 x_net = infer(self.model, y, cur_physics)
-                for m in self.metrics:
-                    meters[type(m).__name__].update(float(jnp.mean(m(x_net, x))), n=x.shape[0])
+                for i, m in enumerate(self.metrics):
+                    meters[type(m).__name__].update(
+                        self._metric_value(i, x_net, x), n=x.shape[0]
+                    )
                 if self.compare_no_learning:
-                    x_nl = self.no_learning_inference(y, cur_physics)
-                    for m in self.metrics:
+                    if self._nl_fn is None:
+                        self._nl_fn = jax.jit(
+                            lambda yv, p: self.no_learning_inference(yv, p)
+                        )
+                    x_nl = self._nl_fn(y, cur_physics)
+                    for i, m in enumerate(self.metrics):
                         nl_meters[type(m).__name__].update(
-                            float(jnp.mean(m(x_nl, x))), n=x.shape[0]
+                            self._metric_value(i, x_nl, x), n=x.shape[0]
                         )
         out = {}
         for name, meter in meters.items():

@@ -22,10 +22,10 @@ def main(size=64, angles=60):
     x = jnp.asarray(shepp_logan(size))[None, None]
     physics = Tomography(angles=angles, img_width=size, normalize=True,
                          method="fourier")
-    y = physics.A(x)
-    fbp = physics.A_dagger(y)
-    psnr = PSNR()
-    print(f"FBP PSNR: {float(jnp.mean(psnr(fbp, x))):.2f} dB")
+    y = jax.jit(physics.A)(x)
+    fbp = jax.jit(physics.A_dagger)(y)
+    psnr = jax.jit(lambda a, b: jnp.mean(PSNR()(a, b)))
+    print(f"FBP PSNR: {float(np.asarray(psnr(fbp, x))):.2f} dB")
 
     # unfolded PGD; swap the TV prox for a trainable DnCNN prior
     # (PnP(DnCNN(...))) and train with Trainer for the learned variant
@@ -37,8 +37,8 @@ def main(size=64, angles=60):
         max_iter=20,
         custom_init=lambda yv, p: p.A_dagger(yv),
     )
-    xhat = model(y, physics)
-    print(f"unfolded PGD-TV PSNR: {float(jnp.mean(psnr(xhat, x))):.2f} dB")
+    xhat = jax.jit(lambda m, yv, p: m(yv, p))(model, y, physics)
+    print(f"unfolded PGD-TV PSNR: {float(np.asarray(psnr(xhat, x))):.2f} dB")
 
 
 if __name__ == "__main__":

@@ -27,8 +27,8 @@ def main():
     model = DDRM(denoiser=lambda u, s: den(u, 0.7 * s), sigmas=np.linspace(1, 0, 50))
     xhat = model(y, physics, key=jax.random.key(2))
     psnr = PSNR()
-    print(f"adjoint: {float(jnp.mean(psnr(physics.A_adjoint(y), x))):.2f} dB -> "
-          f"DDRM: {float(jnp.mean(psnr(xhat, x))):.2f} dB")
+    print(f"adjoint: {float(np.mean(np.asarray(psnr(physics.A_adjoint(y), x)))):.2f} dB -> "
+          f"DDRM: {float(np.mean(np.asarray(psnr(xhat, x)))):.2f} dB")
 
 
 if __name__ == "__main__":

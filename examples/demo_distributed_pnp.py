@@ -11,8 +11,18 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 
+# this demo is about multi-device execution: run it on a virtual 8-device CPU
+# mesh so it demonstrates the collectives even on a single-chip (or no-TPU) host
+if "--xla_force_host_platform_device_count" not in _os.environ.get("XLA_FLAGS", ""):
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
+import numpy as np
 
 from deepinv_tpu.parallel import DistributedContext, distribute
 from deepinv_tpu.physics import Blur
@@ -39,7 +49,7 @@ def main():
     for _ in range(20):
         z = z - 0.5 * dfid.grad(z, y, dphys)
         z = den(z)
-    print("residual:", float(jnp.mean((z - x) ** 2)))
+    print("residual:", float(np.mean((np.asarray(z) - np.asarray(x)) ** 2)))
 
 
 if __name__ == "__main__":

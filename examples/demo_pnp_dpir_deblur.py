@@ -34,7 +34,8 @@ def main(pretrained=None, size=256, sigma_noise=0.03):
         filter=gaussian_blur(sigma=2.0),
         noise_model=GaussianNoise(sigma_noise),
     )
-    y = physics(x, key=jax.random.key(0))
+    # measure under jit (eager FFT is unsupported on some TPU runtimes)
+    y = jax.jit(lambda p, xv, k: p(xv, key=k))(physics, x, jax.random.key(0))
 
     if pretrained:
         denoiser = DRUNet(pretrained=pretrained)
@@ -49,9 +50,9 @@ def main(pretrained=None, size=256, sigma_noise=0.03):
     xhat.block_until_ready()
     print(f"compile+run: {time.perf_counter() - t0:.1f}s")
 
-    psnr = PSNR()
-    print(f"PSNR y: {float(jnp.mean(psnr(y, x))):.2f} dB -> "
-          f"xhat: {float(jnp.mean(psnr(xhat, x))):.2f} dB")
+    psnr = jax.jit(lambda a, b: jnp.mean(PSNR()(a, b)))
+    print(f"PSNR y: {float(np.asarray(psnr(y, x))):.2f} dB -> "
+          f"xhat: {float(np.asarray(psnr(xhat, x))):.2f} dB")
     plot([x, y, xhat], titles=["x", "y", "DPIR"], save_fn="dpir_deblur.png")
 
 
