@@ -10,7 +10,8 @@ Configs (select with ``BENCH_CONFIG``, default ``deblur``):
 - ``mri``   — config #2: PnP-PGD, masked-FFT MRI (30% mask) + DnCNN,
   1x2x256x256 (the unrolled-MoDL iteration shape).
 - ``ct``    — config #3: PnP-PGD, Tomography (90 angles, 256px, Fourier-
-  slice NUFFT projector) + DnCNN.
+  slice NUFFT projector; the data-fidelity gradient runs through the
+  Toeplitz-embedded normal operator) + DnCNN.
 
 ``vs_baseline`` divides by the PyTorch reference running the IDENTICAL
 workload on this host's CPU with 8 torch threads (measured 2026-08-16):

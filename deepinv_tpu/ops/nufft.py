@@ -16,10 +16,17 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import functools as _functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["nufft2", "nufft2_adjoint", "kb_kernel"]
+__all__ = [
+    "nufft2",
+    "nufft2_adjoint",
+    "kb_kernel",
+    "nufft2_toeplitz_spec",
+    "nufft2_normal",
+]
 
 
 def kb_kernel(r, J: int, beta: float):
@@ -37,8 +44,12 @@ def _kb_params(J: int, osf: float):
 
 def _scaling_image(N: int, G: int, J: int, beta: float):
     """Deapodization: reciprocal of the kernel's Fourier transform."""
-    # FT of the KB kernel (analytic, Jackson et al.)
-    x = (np.arange(N) - N / 2) / G
+    # FT of the KB kernel (analytic, Jackson et al.), centered at the NUFFT
+    # phase origin (the oversampled-grid center mapped into image coords —
+    # N/2 for even N, but (N+1)/2 for odd N; a half-pixel misalignment here
+    # costs ~100x accuracy on odd image sizes)
+    origin = G // 2 - (G - N) // 2
+    x = (np.arange(N) - origin) / G
     arg = (math.pi * J * x) ** 2 - beta**2
     arg = np.asarray(arg, np.complex128)
     val = np.real(np.sinh(np.sqrt(-arg + 0j)) / np.sqrt(-arg + 0j))
@@ -104,3 +115,51 @@ def nufft2_adjoint(y, omega, im_size, J: int = 4, osf: float = 2.0):
     # adjoint = conj . transpose . conj for a complex-linear map
     (xt,) = jax.linear_transpose(fwd, spec)(jnp.conj(y.astype(jnp.complex64)))
     return jnp.conj(xt)
+
+
+# ---------------------------------------------------------------------------
+# Toeplitz-embedded normal operator (generic): for the NDFT the normal map
+# A^H diag(w) A is EXACTLY a convolution with kernel
+# k(r) = sum_s w_s exp(i omega_s . r) (the phase origins cancel), so it can
+# be applied as a circular convolution on any grid >= 2N-1 — two FFTs and a
+# pointwise multiply, no gathers/scatters in the iteration. Accuracy equals
+# the NUFFT's own gridding class (~1e-3 relative). This is the standard
+# iterative-recon trick of MRI NUFFT toolboxes (cf. torchkbnufft's
+# calc_toeplitz_kernel, used by the reference's MultiCoilMRI backend).
+# ---------------------------------------------------------------------------
+
+
+def nufft2_toeplitz_spec(omega, im_size, weights=None, J: int = 4, osf: float = 2.0):
+    """Precompute the spectrum ``T`` of the Toeplitz-embedded normal operator
+    ``A^H diag(w) A`` for ``A = nufft2(., omega)`` on ``im_size`` images.
+    Apply with :func:`nufft2_normal`. One type-1 NUFFT at double size."""
+    from .radon_fourier import _next_smooth
+
+    N1, N2 = im_size
+    G1n, G2n = _next_smooth(2 * N1), _next_smooth(2 * N2)
+    w = jnp.ones(omega.shape[-1], jnp.complex64) if weights is None else (
+        jnp.asarray(weights).astype(jnp.complex64) * jnp.ones(omega.shape[-1], jnp.complex64)
+    )
+
+    @_functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+    def _build(w, omega, G1n, G2n, J, osf):
+        k = nufft2_adjoint(w, omega, (G1n, G2n), J=J, osf=osf)
+        (Gq1, Gq2), _, _ = _grid_setup((G1n, G2n), J, osf)
+        o1 = Gq1 // 2 - (Gq1 - G1n) // 2
+        o2 = Gq2 // 2 - (Gq2 - G2n) // 2
+        return jnp.fft.fft2(jnp.roll(k, (-o1, -o2), axis=(-2, -1)))
+
+    return _build(w, omega, G1n, G2n, J, osf)
+
+
+def nufft2_normal(x, spec):
+    """Apply ``A^H diag(w) A`` via a precomputed Toeplitz spectrum: embed,
+    two FFTs + pointwise multiply, crop. Complex output (take ``.real`` for
+    real-image physics)."""
+    N1, N2 = x.shape[-2:]
+    G1n, G2n = spec.shape[-2:]
+    xe = jnp.pad(
+        x.astype(jnp.complex64),
+        [(0, 0)] * (x.ndim - 2) + [(0, G1n - N1), (0, G2n - N2)],
+    )
+    return jnp.fft.ifft2(jnp.fft.fft2(xe) * spec)[..., :N1, :N2]

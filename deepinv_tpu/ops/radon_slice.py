@@ -33,7 +33,13 @@ import jax.numpy as jnp
 from .radon import _pad_image, _circle_mask, ramp_filter
 from .nufft import nufft2, _grid_setup, _kb_params
 
-__all__ = ["radon_slice", "iradon_slice", "radon_slice_adjoint"]
+__all__ = [
+    "radon_slice",
+    "iradon_slice",
+    "radon_slice_adjoint",
+    "radon_slice_normal_spec",
+    "radon_slice_normal",
+]
 
 
 def _slice_plan(W: int, theta_deg: np.ndarray, J: int, osf: float):
@@ -150,6 +156,75 @@ def _adjoint_plan(W: int, theta_key, J: int, osf: float):
     # return numpy (host) arrays: jnp constants created inside a trace must
     # not be cached across traces (tracer leak)
     return src[order], bounds, wts[order].astype(np.float32), (G1, G2), beta
+
+
+# ---------------------------------------------------------------------------
+# Toeplitz-embedded normal operator: A^T A as two FFTs (no gathers at all).
+#
+# For the NDFT E (E_s x = sum_r x[r] e^{-i omega_s.(r - r0)}) the normal
+# operator E^H diag(w) E is EXACTLY a convolution with kernel
+# k(r) = sum_s w_s e^{i omega_s.r} (phase origins cancel), so it can be
+# applied as a circular convolution on any grid >= 2W-1: the classic NUFFT
+# Toeplitz embedding (used by MRI toolboxes for iterative recon). The slice
+# projector's sample-space normal weights collapse to w_s = 1/W (the radial
+# ifft is unitary up to 1/W and the alignment phases have unit modulus), so
+#
+#   A^T A x  ~=  cropT( ifft2( T * fft2( embed(x) ) ) ),
+#   T = fft2( type1_nufft(1/W, omega, im=(Gn, Gn)) rolled to offset 0 )
+#
+# exact up to KB-gridding accuracy (~1e-4 rel, the projector's own accuracy
+# class). On a v5e this replaces the 37 ms gather/segment-sum adjoint with a
+# ~2 ms FFT pair — the hot loop of every iterative CT solver.
+# ---------------------------------------------------------------------------
+
+
+def _normal_spec_impl(W: int, theta_key, J: int, osf: float):
+    from .nufft import nufft2_toeplitz_spec
+
+    theta = np.asarray(theta_key, np.float64)
+    r = 2 * np.pi * np.fft.fftfreq(W)
+    th = np.deg2rad(theta)
+    om = np.stack([
+        (-np.sin(th)[:, None] * r[None, :]).reshape(-1),
+        (np.cos(th)[:, None] * r[None, :]).reshape(-1),
+    ])
+    # sample-space normal weights collapse to 1/W (radial ifft is unitary up
+    # to 1/W; the alignment phases have unit modulus)
+    return nufft2_toeplitz_spec(
+        jnp.asarray(om, jnp.float32), (W, W), weights=1.0 / W, J=J, osf=osf
+    )
+
+
+def radon_slice_normal_spec(img_width: int, theta, circle: bool = False,
+                            J: int = 4, osf: float = 2.0):
+    """Precompute the Toeplitz spectrum ``T`` of ``A^T A`` for
+    :func:`radon_slice` with these angles (one-time, at construction)."""
+    theta = np.asarray(theta, np.float64)
+    W = img_width if circle else img_width + int(
+        math.ceil(math.sqrt(2) * img_width - img_width)
+    )
+    return _normal_spec_impl(W, tuple(theta.tolist()), J, osf)
+
+
+def radon_slice_normal(x, spec, circle: bool = False):
+    """Apply ``A^T A`` for :func:`radon_slice` via the precomputed Toeplitz
+    spectrum: pad, two ``Gn x Gn`` FFTs and a pointwise multiply, crop."""
+    from .nufft import nufft2_normal
+
+    W0 = x.shape[-1]
+    xp = _pad_image(x, circle)
+    W = xp.shape[-1]
+    if circle:
+        xp = xp * _circle_mask(W, xp.dtype)
+    out = jnp.real(nufft2_normal(xp, spec)).astype(x.dtype)
+    # transpose of the padding/masking steps (mirrors radon_slice_adjoint)
+    if circle:
+        out = out * _circle_mask(W, out.dtype)
+        return out
+    pad = W - W0
+    new_center = (W0 + pad) // 2
+    before = new_center - W0 // 2
+    return out[..., before : before + W0, before : before + W0]
 
 
 def radon_slice_adjoint(sino, theta, circle: bool = False, J: int = 4,

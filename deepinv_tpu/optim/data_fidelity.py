@@ -121,6 +121,18 @@ class L2(DataFidelity):
     def prox(self, x, y, physics, *args, gamma=1.0, **kwargs):
         return physics.prox_l2(x, y, self.norm * gamma, **kwargs)
 
+    def grad(self, x, y, physics, *args, **kwargs):
+        if getattr(physics, "fast_normal", False):
+            # A^T(Ax - y) split so the normal operator runs via the physics'
+            # fast (Toeplitz/closed-form) path; A^T y is loop-invariant and
+            # gets hoisted out of scan/while reconstruction loops by XLA
+            import jax.tree_util as jtu
+
+            ata = physics.A_adjoint_A(x)
+            aty = physics.A_adjoint(y)
+            return jtu.tree_map(lambda a, b: (a - b) * self.norm, ata, aty)
+        return super().grad(x, y, physics, *args, **kwargs)
+
 
 class IndicatorL2(DataFidelity):
     r"""Indicator of ||Ax - y|| <= r (data_fidelity.py:585)."""

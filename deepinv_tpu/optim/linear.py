@@ -355,8 +355,10 @@ def _lsq_bwd(treedef, solver, max_iter, tol, res, g):
     physics = jax.tree_util.tree_unflatten(treedef, leaves)
     gam = jnp.asarray(gamma)
 
+    ATA = getattr(physics, "A_adjoint_A", None)
+
     def H(v):
-        hv = physics.A_adjoint(physics.A(v))
+        hv = ATA(v) if ATA is not None else physics.A_adjoint(physics.A(v))
         return jax.tree_util.tree_map(lambda a, b: _gmul(gam, a) + b, hv, v)
 
     # adjoint system: (gamma A^T A + I) u = g  (self-adjoint)

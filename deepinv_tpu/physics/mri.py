@@ -141,7 +141,7 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
     :param img_size: used when mask is None.
     """
 
-    def __init__(self, mask=None, coil_maps=1, img_size=(320, 320), three_d: bool = False, kspace_trajectory=None, **kwargs):
+    def __init__(self, mask=None, coil_maps=1, img_size=(320, 320), three_d: bool = False, kspace_trajectory=None, fast_normal: bool = True, **kwargs):
         super().__init__(**kwargs)
         self.three_d = three_d
         # non-Cartesian mode (reference: torchkbnufft path, mri.py:166):
@@ -155,6 +155,34 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
             H, W = self.mask.shape[-2:]
             coil_maps = jnp.ones((1, coil_maps, H, W), dtype=jnp.complex64)
         self.coil_maps = jnp.asarray(coil_maps)
+        # non-Cartesian Toeplitz-embedded normal operator (shared across
+        # coils): A^H A = sum_c S_c^H (F^H F) S_c runs as two FFTs per coil
+        # instead of a NUFFT forward/adjoint pair (the same trick
+        # torchkbnufft exposes as calc_toeplitz_kernel)
+        if self.kspace_trajectory is not None and fast_normal:
+            from ..ops.nufft import nufft2_toeplitz_spec
+
+            self._normal_spec = nufft2_toeplitz_spec(
+                self.kspace_trajectory, self.img_size
+            )
+        else:
+            self._normal_spec = None
+
+    @property
+    def fast_normal(self) -> bool:
+        return self._normal_spec is not None
+
+    def A_adjoint_A(self, x, **params):
+        if self._normal_spec is not None:
+            from ..ops.nufft import nufft2_normal
+
+            phys = self.update(**params) if params else self
+            xc = self.to_complex(x)  # (B,1,H,W)
+            sx = xc * phys.coil_maps[:, :, ...]  # (B,N,H,W)
+            imgs = nufft2_normal(sx, self._normal_spec)
+            out = jnp.sum(jnp.conj(phys.coil_maps) * imgs, axis=1, keepdims=True)
+            return jnp.concatenate([jnp.real(out), jnp.imag(out)], axis=1)
+        return self.A_adjoint(self.A(x, **params), **params)
 
     def A(self, x, mask=None, coil_maps=None, **params):
         phys = self.update(mask=mask, coil_maps=coil_maps)

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.nufft import nufft2, nufft2_adjoint
+from ..ops.nufft import nufft2, nufft2_adjoint, nufft2_toeplitz_spec, nufft2_normal
 from .base import LinearPhysics
 
 __all__ = ["RadioInterferometry"]
@@ -32,6 +32,7 @@ class RadioInterferometry(LinearPhysics):
         interp_points: int = 4,
         k_oversampling: float = 2.0,
         real_projection: bool = True,
+        fast_normal: bool = True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -43,6 +44,30 @@ class RadioInterferometry(LinearPhysics):
         self.J = interp_points
         self.osf = k_oversampling
         self.real_projection = real_projection
+        # Toeplitz-embedded normal operator A^H |W|^2 A: two FFTs per
+        # application instead of a full NUFFT forward/adjoint pair
+        # (ops/nufft.py nufft2_toeplitz_spec; iterative-solver hot path)
+        self._normal_spec = (
+            nufft2_toeplitz_spec(
+                self.samples_loc, self.img_size,
+                weights=jnp.abs(self.dataWeight) ** 2,
+                J=self.J, osf=self.osf,
+            )
+            if fast_normal
+            else None
+        )
+
+    @property
+    def fast_normal(self) -> bool:
+        return self._normal_spec is not None
+
+    def A_adjoint_A(self, x, **params):
+        if self._normal_spec is not None:
+            out = nufft2_normal(x, self._normal_spec)
+            if self.real_projection:
+                out = jnp.real(out)
+            return out
+        return self.A_adjoint(self.A(x, **params), **params)
 
     def A(self, x, **params):
         if x.ndim == 4:  # (B, C, H, W) -> treat channels as batch

@@ -598,3 +598,91 @@ def test_radon_slice_projector():
     assert float(jnp.abs(s1 - s2) / jnp.abs(s1)) < 1e-3
     fbp = t.A_dagger(y)
     assert float(jnp.mean((fbp - x) ** 2)) < 0.01
+
+
+def test_radon_slice_toeplitz_normal():
+    """Toeplitz-embedded A^T A (two FFTs, gather-free) matches
+    adjoint-of-forward to NUFFT gridding accuracy — odd and even sizes,
+    with and without the inscribed-circle restriction/normalization."""
+    import numpy as np
+    from deepinv_tpu.ops.radon_slice import (
+        radon_slice, radon_slice_adjoint, radon_slice_normal_spec,
+        radon_slice_normal)
+    from deepinv_tpu.physics import Tomography
+
+    for W0, nang, circle in [(32, 15, False), (31, 11, True), (37, 17, False)]:
+        theta = np.linspace(0, 180, nang, endpoint=False)
+        x = jax.random.uniform(jax.random.key(W0), (2, 1, W0, W0))
+        ref = radon_slice_adjoint(
+            radon_slice(x, theta, circle=circle), theta, circle=circle,
+            out_size=W0)
+        spec = radon_slice_normal_spec(W0, theta, circle=circle)
+        out = radon_slice_normal(x, spec, circle=circle)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 4e-3, (W0, nang, circle, rel)
+
+    # physics-level: A_adjoint_A override + normalization scaling
+    x = jax.random.uniform(jax.random.key(0), (1, 1, 32, 32))
+    t_fast = Tomography(img_width=32, angles=15, method="slice", normalize=True)
+    t_ref = Tomography(img_width=32, angles=15, method="slice",
+                       normalize=True, fast_normal=False)
+    assert t_fast.fast_normal and not t_ref.fast_normal
+    a = t_fast.A_adjoint_A(x)
+    b = t_ref.A_adjoint_A(x)
+    assert float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b)) < 4e-3
+    # jittable with physics as a pytree argument
+    c = jax.jit(lambda p, v: p.A_adjoint_A(v))(t_fast, x)
+    assert float(jnp.abs(c - a).max()) < 1e-6
+
+
+def test_nufft_toeplitz_physics():
+    """Radio interferometry + non-Cartesian MultiCoilMRI run A^H A via the
+    shared Toeplitz-embedded normal operator (ops/nufft.py), matching the
+    explicit adjoint-of-forward to gridding accuracy."""
+    import numpy as np
+    from deepinv_tpu.physics import RadioInterferometry, MultiCoilMRI
+
+    rng = np.random.default_rng(0)
+    M = 300
+    loc = ((rng.random((2, M)) - 0.5) * 2 * np.pi * 0.9).astype(np.float32)
+    w = (0.5 + rng.random(M)).astype(np.float32)
+    for N in (24, 25):
+        x = jnp.asarray(rng.random((1, 1, N, N)), jnp.float32)
+        p1 = RadioInterferometry((N, N), loc, dataWeight=w)
+        p0 = RadioInterferometry((N, N), loc, dataWeight=w, fast_normal=False)
+        a, b = p1.A_adjoint_A(x), p0.A_adjoint_A(x)
+        assert float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b)) < 5e-3
+
+    N, C = 24, 3
+    maps = (rng.random((1, C, N, N)) + 1j * rng.random((1, C, N, N))).astype(
+        np.complex64)
+    x = jnp.asarray(rng.random((2, 2, N, N)), jnp.float32)
+    p1 = MultiCoilMRI(coil_maps=maps, img_size=(N, N), kspace_trajectory=loc)
+    p0 = MultiCoilMRI(coil_maps=maps, img_size=(N, N), kspace_trajectory=loc,
+                      fast_normal=False)
+    a, b = p1.A_adjoint_A(x), p0.A_adjoint_A(x)
+    assert float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b)) < 5e-3
+
+
+def test_nufft_odd_size_accuracy():
+    """KB-NUFFT matches the direct NDFT on odd image sizes too (the
+    deapodization must center on the NUFFT phase origin, not N/2)."""
+    import numpy as np
+    from deepinv_tpu.ops.nufft import nufft2
+
+    for N in (16, 17, 37):
+        M = 120
+        rng = np.random.default_rng(0)
+        om = (rng.random((2, M)) - 0.5) * 2 * np.pi * 0.9
+        x = rng.random((1, N, N)).astype(np.float32)
+        G = 2 * N
+        origin = G // 2 - (G - N) // 2
+        nn = np.arange(N) - origin
+        E = np.exp(
+            -1j * (om[0][:, None, None] * nn[None, :, None]
+                   + om[1][:, None, None] * nn[None, None, :])
+        ).reshape(M, N * N)
+        ref = E @ x.ravel()
+        out = np.asarray(nufft2(jnp.asarray(x), jnp.asarray(om, jnp.float32)))[0]
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 2e-3, (N, rel)
