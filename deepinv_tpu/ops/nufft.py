@@ -137,19 +137,23 @@ def nufft2_toeplitz_spec(omega, im_size, weights=None, J: int = 4, osf: float = 
 
     N1, N2 = im_size
     G1n, G2n = _next_smooth(2 * N1), _next_smooth(2 * N2)
-    w = jnp.ones(omega.shape[-1], jnp.complex64) if weights is None else (
-        jnp.asarray(weights).astype(jnp.complex64) * jnp.ones(omega.shape[-1], jnp.complex64)
-    )
+    if weights is None:
+        weights = jnp.ones((), jnp.float32)
 
     @_functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-    def _build(w, omega, G1n, G2n, J, osf):
+    def _build(weights, omega, G1n, G2n, J, osf):
+        # per-sample weights broadcast inside jit (eager broadcasts are not
+        # supported on all TPU runtimes)
+        w = jnp.broadcast_to(
+            jnp.asarray(weights).astype(jnp.complex64), (omega.shape[-1],)
+        )
         k = nufft2_adjoint(w, omega, (G1n, G2n), J=J, osf=osf)
         (Gq1, Gq2), _, _ = _grid_setup((G1n, G2n), J, osf)
         o1 = Gq1 // 2 - (Gq1 - G1n) // 2
         o2 = Gq2 // 2 - (Gq2 - G2n) // 2
         return jnp.fft.fft2(jnp.roll(k, (-o1, -o2), axis=(-2, -1)))
 
-    return _build(w, omega, G1n, G2n, J, osf)
+    return _build(weights, omega, G1n, G2n, J, osf)
 
 
 def nufft2_normal(x, spec):

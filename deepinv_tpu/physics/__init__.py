@@ -30,7 +30,7 @@ from .blur import Blur, BlurFFT, Downsampling, Upsampling, SpaceVaryingBlur, Til
 from .inpainting import Inpainting, Demosaicing
 from .mri import MRI, MultiCoilMRI, DynamicMRI, SequentialMRI, MRIMixin
 from .compressed_sensing import CompressedSensing
-from .tomography import Tomography, TomographyWithAstra
+from .tomography import Tomography, Tomography3D, TomographyWithAstra
 from .singlepixel import SinglePixelCamera
 from .structured_random import StructuredRandom
 from .phase_retrieval import (

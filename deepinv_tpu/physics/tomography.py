@@ -31,7 +31,7 @@ from ..ops.radon_slice import (
 )
 from .base import LinearPhysics
 
-__all__ = ["Tomography"]
+__all__ = ["Tomography", "Tomography3D"]
 
 
 class Tomography(LinearPhysics):
@@ -184,3 +184,57 @@ class TomographyWithAstra:
             "(CUDA/CPU only). Use deepinv_tpu.physics.Tomography instead — "
             "it provides parallel/fan-beam projectors natively on TPU."
         )
+
+
+class Tomography3D(LinearPhysics):
+    r"""3D parallel-beam CT: rotation about the z axis, so every z-slice
+    projects independently through the 2D Radon transform (the reference
+    covers 3D geometries through the astra bridge, tomography.py:353; its
+    3D 'parallel' case is exactly this slice-stacked operator; cone beam
+    remains gated with :class:`TomographyWithAstra`).
+
+    Volumes are (B, C, D, H, W) with square slices; sinograms are
+    (B, C, D, n_det, n_angles). All 2D projector backends are available
+    (``method='interp' | 'fourier' | 'slice'``), including the slice
+    method's Toeplitz-embedded ``A_adjoint_A`` fast path which applies
+    batched over depth.
+    """
+
+    def __init__(self, angles, img_size, **kwargs):
+        img_size = tuple(img_size)
+        if len(img_size) != 3 or img_size[-1] != img_size[-2]:
+            raise ValueError("img_size must be (D, H, W) with H == W")
+        self.depth = img_size[0]
+        noise_model = kwargs.pop("noise_model", None)
+        super().__init__(noise_model=noise_model)
+        self._slice_physics = Tomography(
+            angles=angles, img_width=img_size[-1], **kwargs
+        )
+        self.img_width = img_size[-1]
+        self.n_det = self._slice_physics.n_det
+        self.theta = self._slice_physics.theta
+
+    def _per_slice(self, fn, v):
+        # (B, C, D, h, w) -> fold depth into channels (the 2D projectors
+        # treat leading dims as batch), apply, unfold
+        B, C, D = v.shape[:3]
+        out = fn(v.reshape(B, C * D, *v.shape[3:]))
+        return out.reshape(B, C, D, *out.shape[2:])
+
+    def A(self, x, **params):
+        return self._per_slice(self._slice_physics.A, x)
+
+    def A_adjoint(self, y, **params):
+        return self._per_slice(self._slice_physics.A_adjoint, y)
+
+    def A_adjoint_A(self, x, **params):
+        return self._per_slice(self._slice_physics.A_adjoint_A, x)
+
+    @property
+    def fast_normal(self) -> bool:
+        return getattr(self._slice_physics, "fast_normal", False)
+
+    def A_dagger(self, y, **params):
+        """Per-slice filtered backprojection (the 3D-parallel analogue of
+        the reference's FBP/FDK A_dagger, tomography.py:713)."""
+        return self._per_slice(self._slice_physics.A_dagger, y)

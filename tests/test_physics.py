@@ -635,6 +635,37 @@ def test_radon_slice_toeplitz_normal():
     assert float(jnp.abs(c - a).max()) < 1e-6
 
 
+def test_tomography3d():
+    """Slice-stacked 3D parallel-beam CT: adjointness, FBP, fast normal."""
+    import numpy as np
+    from deepinv_tpu.physics import Tomography3D
+    from deepinv_tpu.datasets import shepp_logan
+
+    D, W = 3, 32
+    vol = jnp.stack(
+        [jnp.asarray(shepp_logan(W)) * (1 + 0.1 * i) for i in range(D)]
+    )[None, None]
+    p = Tomography3D(angles=20, img_size=(D, W, W), method="slice",
+                     normalize=True)
+    y = p.A(vol)
+    assert y.shape[:3] == (1, 1, D)
+    u = jax.random.normal(jax.random.key(1), vol.shape)
+    v = jax.random.normal(jax.random.key(2), y.shape)
+    s1 = jnp.vdot(p.A(u), v)
+    s2 = jnp.vdot(u, p.A_adjoint(v))
+    assert float(jnp.abs(s1 - s2) / jnp.abs(s1)) < 1e-3
+    fbp = p.A_dagger(y)
+    assert float(jnp.mean((fbp - vol) ** 2)) < 0.05
+    # fast normal path matches adjoint-of-forward on image-like volumes
+    assert p.fast_normal
+    a = p.A_adjoint_A(vol)
+    b = p.A_adjoint(p.A(vol))
+    assert float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b)) < 1e-2
+    # jittable with the physics as a pytree argument
+    out = jax.jit(lambda pp, vv: pp.A(vv))(p, vol)
+    assert float(jnp.abs(out - y).max()) < 1e-5
+
+
 def test_nufft_toeplitz_physics():
     """Radio interferometry + non-Cartesian MultiCoilMRI run A^H A via the
     shared Toeplitz-embedded normal operator (ops/nufft.py), matching the
