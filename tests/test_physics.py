@@ -525,6 +525,36 @@ def test_pet():
     assert float(jnp.mean(jnp.abs(yn - y))) > 0
 
 
+def test_pet_3d_resolution_background():
+    """PET reference-surface features: 3D volumes (per-plane projection),
+    Gaussian resolution model, additive background, operator-norm
+    normalization (reference pet.py:112-304)."""
+    from deepinv_tpu.physics import PET
+    from deepinv_tpu.datasets import shepp_logan
+
+    D = 3
+    vol = jnp.stack(
+        [jnp.asarray(shepp_logan(24)) * (1 + 0.2 * i) for i in range(D)]
+    )[None, None] * 5
+    p = PET(img_size=(D, 24, 24), angles=30, fwhm=2.0, normalize=True)
+    y = p.A(vol)
+    assert y.shape[:3] == (1, 1, D)
+    # normalized operator has unit norm (power method agreement)
+    nrm = float(p.compute_norm(jax.random.uniform(jax.random.key(0), vol.shape),
+                               max_iter=30))
+    assert abs(nrm - 1.0) < 0.1
+    err = p.adjointness_test(
+        jax.random.normal(jax.random.key(1), vol.shape), key=jax.random.key(2))
+    assert abs(complex(err)) < 1e-3
+    # background enters measurements and is subtracted in MLEM
+    bg = jnp.full(y.shape, 0.01)
+    pb = PET(img_size=(D, 24, 24), angles=30, fwhm=2.0, background=bg)
+    yb = pb.A(vol, add_background=True)
+    assert float(jnp.abs(yb - pb.A(vol) - bg).max()) < 1e-5
+    rec = pb.osem(yb, n_iter=8)
+    assert float(jnp.mean((rec - vol) ** 2)) < float(jnp.mean((1 - vol) ** 2))
+
+
 def test_tomography_fanbeam():
     from deepinv_tpu.physics import Tomography
     from deepinv_tpu.datasets import shepp_logan
