@@ -140,3 +140,17 @@ class _StackTransform(Transform):
         return jnp.concatenate(
             [self.t1.transform(x, **p1), self.t2.transform(x, **p2)], axis=0
         )
+
+    def invert_params(self, params):
+        return {
+            "p1": self.t1.invert_params(params["p1"]),
+            "p2": self.t2.invert_params(params["p2"]),
+        }
+
+    def inverse(self, x, p1=None, p2=None):
+        # the stacked batch is [t1's n1*B samples, then t2's n2*B samples]
+        n1 = self.t1.n_trans * (x.shape[0] // self.n_trans)
+        return jnp.concatenate(
+            [self.t1.inverse(x[:n1], **p1), self.t2.inverse(x[n1:], **p2)],
+            axis=0,
+        )

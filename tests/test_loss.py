@@ -128,6 +128,23 @@ def test_ei_transforms_invertibility(key):
         assert_close(xr, x, rtol=1e-4, atol=1e-4)
 
 
+def test_stacked_transform_inverse(key):
+    """t1 + t2 stacks transforms along the batch; inverse/symmetrize must
+    invert each half with its own sub-transform (regression: the stack used
+    to hit the base invert_params on nested param dicts)."""
+    x = jax.random.uniform(key, (2,) + IMSIZE)
+    T = Rotate(multiples=90) + Reflect(dim=(-1,))
+    params = T.get_params(x, key)
+    xt = T.transform(x, **params)
+    assert xt.shape[0] == 2 * T.n_trans
+    xr = T.inverse(xt, **params)
+    for i in range(T.n_trans):
+        assert_close(xr[2 * i : 2 * i + 2], x, rtol=1e-4, atol=1e-4)
+    # symmetrizing the identity returns the input
+    sym = T.symmetrize(lambda u: u)
+    assert_close(sym(x, key=key), x, rtol=1e-4, atol=1e-4)
+
+
 def test_r2r_loss(key):
     physics = Denoising(noise_model=GaussianNoise(0.1))
     x = jax.random.uniform(key, (2,) + IMSIZE)
