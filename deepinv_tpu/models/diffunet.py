@@ -19,7 +19,7 @@ from ..core import Module
 from .base import Denoiser, handle_sigma
 from .layers import Conv2d, Linear, UpsampleNearest, AvgPool2d
 
-__all__ = ["DiffUNet", "ADMUNet", "EDMPrecond", "GroupNorm", "NCSNpp"]
+__all__ = ["DiffUNet", "EDMPrecond", "GroupNorm", "NCSNpp"]
 
 
 class GroupNorm(Module):
@@ -191,7 +191,8 @@ class DiffUNet(Denoiser):
         return x - s.reshape(-1, 1, 1, 1) * eps
 
 
-ADMUNet = DiffUNet
+# The faithful guided-diffusion architecture (reference DiffUNet /
+# ADMUNet, loads published checkpoints bit-exactly) lives in models/adm.py
 
 
 class EDMPrecond(Denoiser):

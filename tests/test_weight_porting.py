@@ -1,0 +1,95 @@
+"""Torch-to-JAX weight porting, validated against the actual reference
+models: instantiate the reference architecture with random torch weights,
+port the state dict through ``models.convert``, and compare outputs on the
+same input. Bit-level agreement here means real pretrained checkpoints load
+correctly. Skips when the reference checkout or torch is unavailable.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from test_namespace_parity import reference  # noqa: F401  (fixture)
+
+
+@pytest.fixture(scope="module")
+def torch(reference):  # noqa: F811
+    import torch as _torch
+
+    return _torch
+
+
+def test_drunet_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our DRUNet reproduces the reference DRUNet bit-for-bit given the same
+    (randomly initialized) torch weights — the architecture and the
+    checkpoint mapping are exact (reference models/drunet.py:23)."""
+    from deepinv.models import DRUNet as RefDRUNet
+    from deepinv_tpu.models import DRUNet
+    from deepinv_tpu.models.convert import port_drunet
+
+    ref = RefDRUNet(in_channels=3, out_channels=3, pretrained=None)
+    x = torch.rand(1, 3, 48, 48, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref(x, 0.05).numpy()
+
+    sd = {k: np.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+    m = port_drunet(DRUNet(in_channels=3, out_channels=3, pretrained=None), sd)
+    y = np.asarray(jax.jit(lambda mm, v: mm(v, 0.05))(m, jnp.asarray(x.numpy())))
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+
+def test_admunet_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our ADMUNet reproduces the reference guided-diffusion DiffUNet
+    bit-for-bit: same state-dict names, same outputs in both forward modes —
+    published FFHQ/ImageNet diffusion checkpoints load directly
+    (reference models/diffunet.py:16)."""
+    from deepinv.models import DiffUNet as RefDiffUNet
+    from deepinv_tpu.models import ADMUNet
+
+    ref = RefDiffUNet(pretrained=None)
+    # randomize ALL weights — the zero-initialized output convs would make
+    # an untouched random model produce identically-zero outputs (vacuous)
+    g = torch.Generator().manual_seed(7)
+    sd = {k: torch.randn(v.shape, generator=g) * 0.05
+          for k, v in ref.state_dict().items()}
+    for k in list(sd):
+        if "alphas" in k:
+            sd[k] = ref.state_dict()[k]
+    ref.load_state_dict(sd)
+    ref.eval()
+
+    m = ADMUNet(pretrained=None).load_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items() if "alphas" not in k})
+
+    x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref.forward_diffusion(2 * x - 1, torch.tensor([17])).numpy()
+    y = np.asarray(jax.jit(lambda mm, v, t: mm.forward_diffusion(v, t))(
+        m, jnp.asarray((2 * x - 1).numpy()), jnp.asarray([17])))
+    assert np.abs(y - y_ref).max() < 1e-4, np.abs(y - y_ref).max()
+
+    # noise-level mode incl. the circular padding path (odd sizes)
+    x2 = torch.rand(2, 3, 37, 41, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        d_ref = ref(x2, torch.tensor([0.1, 0.2]), type_t="noise_level").numpy()
+    d = np.asarray(jax.jit(lambda mm, v, s: mm(v, s))(
+        m, jnp.asarray(x2.numpy()), jnp.asarray([0.1, 0.2])))
+    assert np.abs(d - d_ref).max() < 1e-4, np.abs(d - d_ref).max()
+
+
+def test_dncnn_port_bit_faithful(reference, torch):  # noqa: F811
+    """Same check for DnCNN (reference models/dncnn.py)."""
+    from deepinv.models import DnCNN as RefDnCNN
+    from deepinv_tpu.models import DnCNN
+    from deepinv_tpu.models.convert import port_dncnn
+
+    ref = RefDnCNN(in_channels=1, out_channels=1, pretrained=None)
+    x = torch.rand(2, 1, 33, 37, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        y_ref = ref(x, 0.05).numpy()
+
+    sd = {k: np.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+    m = port_dncnn(DnCNN(1, 1, pretrained=None), sd)
+    y = np.asarray(jax.jit(lambda mm, v: mm(v, 0.05))(m, jnp.asarray(x.numpy())))
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
