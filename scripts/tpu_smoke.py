@@ -124,6 +124,37 @@ def main():
         fwd = jax.jit(lambda p, v: p.A_adjoint(p.A(v)))
         all_ok &= check(f"A/adjoint {name}", lambda: fwd(phys, gray))
 
+    # slice projector + Toeplitz normal operator, 3D CT, PET, radio NUFFT
+    from deepinv_tpu.physics import Tomography3D, PET, RadioInterferometry
+
+    for name, ctor, xin in [
+        ("tomography slice+toeplitz",
+         lambda: Tomography(img_width=64, angles=30, method="slice", normalize=True),
+         gray),
+        ("tomography3d",
+         lambda: Tomography3D(angles=20, img_size=(2, 48, 48), method="slice"),
+         jax.random.normal(key, (1, 1, 2, 48, 48))),
+        ("pet (fwhm+3d)",
+         lambda: PET(img_size=(2, 48, 48), angles=24, fwhm=2.0),
+         jax.random.uniform(key, (1, 1, 2, 48, 48))),
+        ("radio nufft",
+         lambda: RadioInterferometry(
+             (48, 48),
+             np.clip(np.random.default_rng(0).normal(size=(2, 1000)), -2.8, 2.8
+                     ).astype(np.float32)),
+         jax.random.uniform(key, (1, 1, 48, 48))),
+    ]:
+        phys = None
+
+        def build_p(c=ctor):
+            nonlocal phys
+            phys = c()
+            return jnp.zeros(())
+
+        all_ok &= check(f"construct {name}", build_p)
+        nrm = jax.jit(lambda p, v: p.A_adjoint_A(v))
+        all_ok &= check(f"AtA       {name}", lambda: nrm(phys, xin))
+
     from deepinv_tpu.ops.pallas import chambolle_prox
     all_ok &= check("pallas TV prox (VMEM loop)",
                     lambda: jax.jit(lambda v: chambolle_prox(v, 0.1, 50))(gray))
