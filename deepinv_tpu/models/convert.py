@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet"]
+__all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram"]
 
 
 def load_torch_checkpoint(path):
@@ -45,6 +45,47 @@ def port_dncnn(model, sd):
     for i, c in enumerate(model.conv_list):
         _set_conv(c, sd, f"conv_list.{i}")
     _set_conv(model.out_conv, sd, "out_conv")
+    return model
+
+
+def port_ram(model, sd):
+    """Map the reference RAM state dict (huggingface mterris/ram) onto our
+    bit-faithful RAM (models/ram.py; reference deepinv/models/ram.py:63-117).
+
+    All convs in the checkpoint are bias-free; learnable scalars are
+    ``fact_realign`` and each ResBlock's ``gain``.
+    """
+    model.fact_realign = jnp.asarray(sd["fact_realign"])
+
+    for i, c in enumerate(model.m_head.convs):
+        _set_conv(c, sd, f"m_head.conv{i}")
+    for i, c in enumerate(model.m_tail.convs):
+        _set_conv(c, sd, f"m_tail.conv{i}")
+    for name in ("pool1", "pool2", "pool3", "up3", "up2", "up1"):
+        _set_conv(getattr(model, name), sd, name)
+
+    def port_headblock(hb, prefix):
+        _set_conv(hb.convin, sd, prefix + ".convin")
+        if prefix + ".zero_conv_skip.weight" in sd:
+            _set_conv(hb.zero_conv_skip, sd, prefix + ".zero_conv_skip")
+        for i in range(hb.depth - 1):
+            _set_conv(hb.convs1[i], sd, f"{prefix}.conv1{i}")
+            _set_conv(hb.convs2[i], sd, f"{prefix}.conv2{i}")
+            _set_conv(hb.skipconvs[i], sd, f"{prefix}.skipconv{i}")
+
+    for name in ("m_down1", "m_down2", "m_down3", "m_body",
+                 "m_up3", "m_up2", "m_up1"):
+        blk = getattr(model, name)
+        for j, res in enumerate(blk.enc):
+            p = f"{name}.enc.{j}"
+            _set_conv(res.conv1, sd, p + ".conv1")
+            _set_conv(res.conv2, sd, p + ".conv2")
+            res.gain = jnp.asarray(sd[p + ".gain"])
+            mc = res.PhysicsBlock
+            for i, hb in enumerate(mc.decoding_conv.tails):
+                port_headblock(hb, f"{p}.PhysicsBlock.decoding_conv.tail{i}")
+            for i, hb in enumerate(mc.encoding_conv.heads):
+                port_headblock(hb, f"{p}.PhysicsBlock.encoding_conv.head{i}")
     return model
 
 

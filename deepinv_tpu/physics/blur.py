@@ -44,7 +44,8 @@ def _resolve_filter(filter, factor: int = 2):
         if filter == "bicubic":
             return bicubic_filter(factor)
         if filter == "sinc":
-            return sinc_filter(factor)
+            # length scales with the factor (reference blur.py:143)
+            return sinc_filter(factor, length=4 * factor)
         raise ValueError(f"unknown filter {filter!r}")
     if filter is None:
         return None

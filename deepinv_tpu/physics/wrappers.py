@@ -1,138 +1,294 @@
 """Physics wrappers: multiscale and cropping
 (reference deepinv/physics/wrappers.py:11-612, virtual.py:6).
+
+The multiscale wrappers evaluate a base physics from coarse-scale images:
+``A_s(x_s) = A(U_s x_s)`` where ``U_s`` is a sinc-filtered zero-fill
+upsampling (an :class:`Upsampling` physics), matching the reference
+semantics so measurement-conditioned models trained against them (RAM)
+port bit-for-bit. ``scale`` is passed explicitly to every method so the
+wrapper stays functional under ``jit``; the mutating ``set_scale`` is kept
+for reference-API compatibility in eager code.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..core import Module
+from ..ops.conv import conv2d
 from .base import Physics, LinearPhysics
+from .blur import Blur, BlurFFT, Upsampling
 
 __all__ = [
     "PhysicsMultiScaler",
     "LinearPhysicsMultiScaler",
+    "BlurMultiScaler",
+    "BlurFFTMultiScaler",
+    "InpaintingMultiScaler",
+    "coarse_blur_filter",
     "PhysicsCropper",
     "to_multiscale",
     "VirtualLinearPhysics",
 ]
 
 
-def _downscale(x, scale: int):
-    """Average-pool downscale by 2**scale."""
-    for _ in range(scale):
-        x = 0.25 * (
-            x[..., 0::2, 0::2] + x[..., 1::2, 0::2] + x[..., 0::2, 1::2] + x[..., 1::2, 1::2]
-        )
-    return x
-
-
-def _upscale(x, scale: int):
-    """Nearest-neighbor upscale by 2**scale (adjoint-consistent with
-    average pooling up to scaling)."""
-    for _ in range(scale):
-        x = jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
-    return x
-
-
 class PhysicsMultiScaler(Physics):
     r"""Evaluate a physics at multiple scales (reference wrappers.py:11):
     ``A_s(x_s) = A(U_s x_s)`` where ``U_s`` upsamples the coarse image to the
-    native resolution.
+    native resolution with an anti-aliasing filter (default sinc).
+
+    :param physics: base physics operating at the fine scale.
+    :param img_size: (C, H, W) fine-scale image size.
+    :param filter: upsampling filter name or kernel ('sinc' default).
+    :param factors: upsampling factor per scale index (scale s uses
+        ``factors[s-1]``; scale 0 is the base physics).
     """
 
-    def __init__(self, physics: Physics, scale: int = 0, **kwargs):
+    def __init__(self, physics: Physics, img_size=None, filter="sinc",
+                 factors=(2, 4, 8), scale: int = 0, **kwargs):
         super().__init__(**kwargs)
-        self.physics = physics
+        self.base = physics
+        self.img_size = tuple(img_size) if img_size is not None else None
+        self.factors = tuple(factors)
+        self.upsamplings = [
+            Upsampling(img_size=self.img_size, filter=filter, factor=f)
+            for f in self.factors
+        ]
         self.scale = scale
         self.noise_model = physics.noise_model
         self.sensor_model = physics.sensor_model
 
+    # -- scale selection ----------------------------------------------------
+    def set_scale(self, scale=None):
+        """Mutating scale setter (reference wrappers.py:62). Prefer passing
+        ``scale=`` to each call (functional, jit-safe)."""
+        if scale is not None:
+            self.scale = scale
+
     def with_scale(self, scale: int):
         return self.replace(scale=scale)
 
-    def A(self, x, scale=None, **params):
-        s = self.scale if scale is None else scale
-        return self.physics.A(_upscale(x, s), **params)
+    def _s(self, scale):
+        return self.scale if scale is None else scale
 
-    def A_dagger(self, y, scale=None, **params):
-        s = self.scale if scale is None else scale
-        return _downscale(self.physics.A_dagger(y, **params), s)
+    # -- operator -----------------------------------------------------------
+    def A(self, x, scale=None, **params):
+        s = self._s(scale)
+        if s == 0:
+            return self.base.A(x, **params)
+        return self.base.A(self.upsamplings[s - 1].A(x), **params)
+
+    def upsample(self, x, scale=None):
+        s = self._s(scale)
+        return x if s == 0 else self.upsamplings[s - 1].A(x)
+
+    def downsample(self, x, scale=None):
+        s = self._s(scale)
+        return x if s == 0 else self.upsamplings[s - 1].A_adjoint(x)
+
+    def downsample_measurement(self, y, scale=None):
+        raise NotImplementedError(
+            "downsample_measurement is physics-specific; see BlurMultiScaler, "
+            "BlurFFTMultiScaler, InpaintingMultiScaler (reference wrappers.py:87)."
+        )
+
+    def update(self, **params):
+        return self.replace(base=self.base.update(**params))
 
 
 class LinearPhysicsMultiScaler(PhysicsMultiScaler, LinearPhysics):
-    r"""Linear multiscale wrapper (reference wrappers.py:117)."""
-
-    def __init__(self, physics: LinearPhysics, scale: int = 0, **kwargs):
-        PhysicsMultiScaler.__init__(self, physics, scale=scale, **kwargs)
+    r"""Linear multiscale wrapper (reference wrappers.py:117):
+    ``A_s^T = U_s^T A^T``."""
 
     def A_adjoint(self, y, scale=None, **params):
-        s = self.scale if scale is None else scale
-        at = self.physics.A_adjoint(y, **params)
-        # adjoint of nearest-upsample = sum-pool = 4^s * avg-pool
-        return _downscale(at, s) * (4**s)
+        s = self._s(scale)
+        at = self.base.A_adjoint(y, **params)
+        return at if s == 0 else self.upsamplings[s - 1].A_adjoint(at)
+
+    def A_adjoint_A(self, x, scale=None, **params):
+        return self.A_adjoint(self.A(x, scale=scale, **params), scale=scale, **params)
+
+    def A_dagger(self, y, scale=None, **params):
+        s = self._s(scale)
+        if s == 0:
+            return self.base.A_dagger(y, **params)
+        return LinearPhysics.A_dagger(self.with_scale(s), y, **params)
+
+    def prox_l2(self, z, y, gamma, scale=None, **params):
+        s = self._s(scale)
+        if s == 0:
+            return self.base.prox_l2(z, y, gamma, **params)
+        return LinearPhysics.prox_l2(self.with_scale(s), z, y, gamma, **params)
+
+
+def coarse_blur_filter(in_filter, downsampling_filter, scale: int = 2):
+    r"""Blur filter of the coarse-scale operator (reference wrappers.py:242):
+    the fine filter convolved with the anti-aliasing filter and decimated,
+    renormalized to preserve the filter mass."""
+    in_filter = jnp.asarray(in_filter)
+    df = jnp.asarray(downsampling_filter)
+
+    diff_h = max(df.shape[-2] - in_filter.shape[-2], 0)
+    diff_w = max(df.shape[-1] - in_filter.shape[-1], 0)
+    pad_left, pad_top = diff_w // 2, diff_h // 2
+    new_filt = jnp.pad(
+        in_filter,
+        [(0, 0)] * (in_filter.ndim - 2)
+        + [(pad_top, diff_h - pad_top), (pad_left, diff_w - pad_left)],
+    )
+    # pad so the strided "valid" convolution covers the whole support
+    ph, pw = df.shape[-2] // 2, df.shape[-1] // 2
+    new_filt = jnp.pad(new_filt, [(0, 0)] * (new_filt.ndim - 2) + [(ph, ph), (pw, pw)])
+
+    B, C, H, W = new_filt.shape
+    inp = new_filt.reshape(B * C, 1, H, W)
+    ker = jnp.broadcast_to(df[:1, :1], (1, 1) + df.shape[-2:])
+    out = jax.lax.conv_general_dilated(
+        inp, ker, window_strides=(scale, scale), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    coarse = out.reshape(B, C, out.shape[-2], out.shape[-1])
+    return coarse / jnp.sum(coarse) * jnp.sum(new_filt)
 
 
 class BlurMultiScaler(LinearPhysicsMultiScaler):
-    r"""Multiscale wrapper for blur physics (reference wrappers.py:281):
-    the blur evaluated from coarse-scale images, with measurements
-    downsamplable to coarse scales (``downsample_measurement``)."""
+    r"""Multiscale blur (reference wrappers.py:281): coarse scales use a
+    pre-coarsened kernel so ``A_s^T A_s`` runs on the coarse grid directly."""
+
+    def __init__(self, physics, img_size=None, filter="sinc", factors=(2, 4, 8),
+                 **kwargs):
+        super().__init__(physics, img_size=img_size, filter=filter,
+                         factors=factors, **kwargs)
+        self.scaled_physics = [
+            Blur(
+                filter=coarse_blur_filter(physics.filter, ups.filter, ups.factor),
+                padding=physics.padding,
+            )
+            for ups in self.upsamplings
+        ]
 
     def downsample_measurement(self, y, scale=None):
-        s = self.scale if scale is None else scale
-        return _downscale(y, s)
+        s = self._s(scale)
+        return y if s == 0 else self.upsamplings[s - 1].A_adjoint(y)
+
+    def A_adjoint_A(self, x, scale=None, **params):
+        s = self._s(scale)
+        if s == 0:
+            return self.base.A_adjoint_A(x, **params)
+        return self.scaled_physics[s - 1].A_adjoint_A(x) / self.factors[s - 1] ** 2
 
 
-class BlurFFTMultiScaler(BlurMultiScaler):
-    r"""Multiscale wrapper for FFT blur physics (reference wrappers.py:345)."""
+class BlurFFTMultiScaler(LinearPhysicsMultiScaler):
+    r"""Multiscale FFT blur (reference wrappers.py:345)."""
+
+    def __init__(self, physics, img_size=None, filter="sinc", factors=(2, 4, 8),
+                 **kwargs):
+        super().__init__(physics, img_size=img_size, filter=filter,
+                         factors=factors, **kwargs)
+        img_size = self.img_size if self.img_size is not None else physics.img_size
+        self.scaled_physics = [
+            BlurFFT(
+                img_size=(img_size[0],
+                          math.ceil(img_size[1] / ups.factor),
+                          math.ceil(img_size[2] / ups.factor)),
+                filter=coarse_blur_filter(physics.filter, ups.filter, ups.factor),
+            )
+            for ups in self.upsamplings
+        ]
+
+    def downsample_measurement(self, y, scale=None):
+        s = self._s(scale)
+        return y if s == 0 else self.upsamplings[s - 1].A_adjoint(y)
+
+    def A_adjoint_A(self, x, scale=None, **params):
+        s = self._s(scale)
+        if s == 0:
+            return self.base.A_adjoint_A(x, **params)
+        return self.scaled_physics[s - 1].A_adjoint_A(x) / self.factors[s - 1] ** 2
 
 
 class InpaintingMultiScaler(LinearPhysicsMultiScaler):
-    r"""Multiscale wrapper for inpainting physics (reference wrappers.py:415):
-    the coarse-scale mask is the average-pooled fine mask."""
+    r"""Multiscale inpainting (reference wrappers.py:415): the coarse mask is
+    the sinc-downsampled fine mask."""
+
+    def __init__(self, physics, img_size=None, filter="sinc", factors=(2, 4, 8),
+                 **kwargs):
+        from .inpainting import Inpainting
+
+        super().__init__(physics, img_size=img_size, filter=filter,
+                         factors=factors, **kwargs)
+        self.scaled_physics = []
+        for ups in self.upsamplings:
+            mask = physics.mask
+            coarse = ups.A_adjoint(mask[None] if mask.ndim == 3 else mask)
+            coarse = coarse[0] if mask.ndim == 3 else coarse
+            self.scaled_physics.append(
+                Inpainting(img_size=coarse.shape[-3:], mask=coarse)
+            )
 
     def downsample_measurement(self, y, scale=None):
-        s = self.scale if scale is None else scale
-        return _downscale(y, s)
+        s = self._s(scale)
+        return y if s == 0 else self.upsamplings[s - 1].A_adjoint(y)
+
+    def A_adjoint_A(self, x, scale=None, **params):
+        s = self._s(scale)
+        if s == 0:
+            return self.base.A_adjoint_A(x, **params)
+        return self.scaled_physics[s - 1].A_adjoint_A(x) / self.factors[s - 1] ** 2
 
 
-def to_multiscale(physics: Physics, scale: int = 0) -> PhysicsMultiScaler:
-    """Wrap a physics for multiscale evaluation (reference to_multiscale)."""
+def to_multiscale(physics: Physics, img_size=None, factors=(2, 4, 8),
+                  **kwargs) -> PhysicsMultiScaler:
+    """Wrap a physics for multiscale evaluation, dispatching to the
+    specialized wrapper when one exists (reference wrappers.py:481)."""
+    from .inpainting import Inpainting
+
+    if isinstance(physics, BlurFFT):
+        return BlurFFTMultiScaler(physics, img_size=img_size, factors=factors, **kwargs)
+    if isinstance(physics, Blur):
+        return BlurMultiScaler(physics, img_size=img_size, factors=factors, **kwargs)
+    if isinstance(physics, Inpainting):
+        return InpaintingMultiScaler(physics, img_size=img_size, factors=factors, **kwargs)
     if isinstance(physics, LinearPhysics):
-        return LinearPhysicsMultiScaler(physics, scale=scale)
-    return PhysicsMultiScaler(physics, scale=scale)
+        return LinearPhysicsMultiScaler(physics, img_size=img_size, factors=factors, **kwargs)
+    return PhysicsMultiScaler(physics, img_size=img_size, factors=factors, **kwargs)
 
 
 class PhysicsCropper(LinearPhysics):
-    r"""Crop the physics input domain (reference wrappers.py:565):
-    ``A_crop(x) = A(pad(x))`` for working on a region of interest."""
+    r"""Pad/crop the physics input domain (reference wrappers.py:565):
+    ``A_pad(x) = A(remove_pad(x))`` where ``remove_pad`` drops ``crop``
+    rows/columns from the top/left and ``pad`` (the adjoint) restores them
+    with zeros. ``crop`` is ``(pad_h, pad_w)`` or ``(pad_c, pad_h, pad_w)``."""
 
     def __init__(self, physics: LinearPhysics, crop, **kwargs):
         super().__init__(**kwargs)
-        self.physics = physics
-        self.crop = tuple(crop)  # (top, left, height, width) in the native grid
+        self.base = physics
+        self.crop = tuple(crop)
+        if len(self.crop) not in (2, 3):
+            raise ValueError("Crop must be a tuple of length 2 or 3.")
         self.noise_model = physics.noise_model
 
-    def _pad(self, x, full_shape):
-        top, left, h, w = self.crop
-        H, W = full_shape
-        return jnp.pad(
-            x,
-            [(0, 0)] * (x.ndim - 2) + [(top, H - top - h), (left, W - left - w)],
-        )
+    def remove_pad(self, x):
+        if len(self.crop) == 2:
+            return x[..., self.crop[0]:, self.crop[1]:]
+        return x[..., self.crop[0]:, self.crop[1]:, self.crop[2]:]
 
-    def A(self, x, full_shape=None, **params):
-        if full_shape is None:
-            raise ValueError("PhysicsCropper.A requires full_shape=(H, W)")
-        return self.physics.A(self._pad(x, full_shape), **params)
+    def pad(self, x):
+        pads = [(c, 0) for c in self.crop]
+        return jnp.pad(x, [(0, 0)] * (x.ndim - len(pads)) + pads)
+
+    def A(self, x, **params):
+        return self.base.A(self.remove_pad(x), **params)
 
     def A_adjoint(self, y, **params):
-        at = self.physics.A_adjoint(y, **params)
-        top, left, h, w = self.crop
-        return at[..., top : top + h, left : left + w]
+        return self.pad(self.base.A_adjoint(y, **params))
+
+    def update(self, **params):
+        return self.replace(base=self.base.update(**params))
 
 
 class VirtualLinearPhysics(LinearPhysics):

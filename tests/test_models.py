@@ -380,7 +380,7 @@ def test_promptir_and_poisson2sparse(key):
     u = jax.random.normal(key, (1, 1, 16, 16))
     assert cl(u).shape == u.shape
 
-    ram = RAM(in_channels=1, nc=(8, 16, 16), nb=1)
+    ram = RAM(in_channels=[1], nc=(8, 8, 8, 8), nb=1)
     physics = Inpainting(img_size=(1, 32, 32), mask=0.6, key=jax.random.key(1),
                          noise_model=GaussianNoise(0.05))
     xt = jax.random.uniform(key, (1, 1, 32, 32))

@@ -78,6 +78,47 @@ def test_admunet_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(d - d_ref).max() < 1e-4, np.abs(d - d_ref).max()
 
 
+def test_ram_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our RAM reproduces the reference RAM foundation model given the same
+    (randomly initialized) torch weights, in both denoiser and physics-
+    conditioned modes — the published mterris/ram checkpoint loads directly
+    (reference models/ram.py:20)."""
+    from deepinv.models import RAM as RefRAM
+    from deepinv.physics import Inpainting as RefInpainting
+    from deepinv.physics import GaussianNoise as RefGaussianNoise
+    from deepinv_tpu.models import RAM
+    from deepinv_tpu.models.convert import port_ram
+    from deepinv_tpu.physics import Inpainting, GaussianNoise
+
+    ref = RefRAM(pretrained=False)
+    ref.eval()
+    sd = {k: np.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+    m = port_ram(RAM(pretrained=None), sd)
+
+    # denoiser mode (physics=None -> Denoising under the hood)
+    x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref(x, sigma=0.1).numpy()
+    y = np.asarray(m(jnp.asarray(x.numpy()), sigma=0.1))
+    scale = max(np.abs(y_ref).max(), 1.0)
+    assert np.abs(y - y_ref).max() / scale < 2e-4, np.abs(y - y_ref).max()
+
+    # physics-conditioned mode: inpainting + Gaussian noise, shared mask
+    mask = (torch.rand(1, 64, 64, generator=torch.Generator().manual_seed(2)) > 0.4).float()
+    ref_phys = RefInpainting(img_size=(1, 64, 64), mask=mask,
+                             noise_model=RefGaussianNoise(0.05))
+    xg = torch.rand(2, 1, 64, 64, generator=torch.Generator().manual_seed(3))
+    yg = ref_phys(xg)
+    with torch.no_grad():
+        r_ref = ref(yg, ref_phys).numpy()
+
+    phys = Inpainting(img_size=(1, 64, 64), mask=jnp.asarray(mask.numpy()),
+                      noise_model=GaussianNoise(0.05))
+    r = np.asarray(m(jnp.asarray(yg.numpy()), phys))
+    scale = max(np.abs(r_ref).max(), 1.0)
+    assert np.abs(r - r_ref).max() / scale < 2e-4, np.abs(r - r_ref).max()
+
+
 def test_dncnn_port_bit_faithful(reference, torch):  # noqa: F811
     """Same check for DnCNN (reference models/dncnn.py)."""
     from deepinv.models import DnCNN as RefDnCNN
