@@ -2,3 +2,4 @@ from .context import DistributedContext
 from .physics import DistributedStackedLinearPhysics, stack_homogeneous
 from .processing import DistributedProcessing
 from .distribute import distribute, DistributedDataFidelity
+from .pipeline import pipeline, PipelineParallel

@@ -177,3 +177,88 @@ def test_data_parallel_trainer():
     m_dp = run(True)
     m_sp = run(False)
     assert_close(m_dp.in_conv.weight, m_sp.in_conv.weight, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_parallel_unrolled():
+    """GPipe pipeline over a 'pp' axis: chunks of unrolled PGD iterations
+    pipelined across 4 devices match the sequential unrolled network, in
+    value and in gradient w.r.t. the per-stage stepsizes."""
+    from deepinv_tpu.parallel import DistributedContext, pipeline, PipelineParallel
+
+    pctx = DistributedContext(axis_names=("pp",), devices=jax.devices()[:4])
+    physics = Inpainting(img_size=(1, 16, 16), mask=0.5, key=jax.random.key(0))
+    S, K, M, B = 4, 2, 3, 2
+    stepsizes = jnp.linspace(0.9, 1.2, S).reshape(S, 1)
+
+    def stage_apply(step, carry):
+        x, y = carry
+        for _ in range(K):
+            x = x - step[0] * physics.A_adjoint(physics.A(x) - y)
+            x = jnp.clip(x, 0.0, 1.0)
+        return (x, y)
+
+    xt = jax.random.uniform(jax.random.key(1), (M, B, 1, 16, 16))
+    y = jax.vmap(physics.A)(xt)
+    x0 = jax.vmap(physics.A_adjoint)(y)
+
+    def run_seq(steps, x0, y):
+        def one(x0i, yi):
+            c = (x0i, yi)
+            for i in range(S):
+                c = stage_apply(steps[i], c)
+            return c[0]
+        return jax.vmap(one)(x0, y)
+
+    def run_pp(steps, x0, y):
+        return pipeline(steps, stage_apply, (x0, y), pctx, pp_axis="pp")[0]
+
+    out_seq = run_seq(stepsizes, x0, y)
+    out_pp = jax.jit(run_pp)(stepsizes, x0, y)
+    assert_close(out_pp, out_seq, rtol=1e-5, atol=1e-6)
+
+    g_seq = jax.grad(lambda s: jnp.sum((run_seq(s, x0, y) - xt) ** 2))(stepsizes)
+    g_pp = jax.jit(jax.grad(lambda s: jnp.sum((run_pp(s, x0, y) - xt) ** 2)))(stepsizes)
+    assert_close(g_pp, g_seq, rtol=1e-4, atol=1e-5)
+
+    # module wrapper over a flat batch carry
+    wrap = PipelineParallel(stepsizes, stage_apply, pctx, n_microbatches=M)
+    flat = (x0.reshape(M * B, 1, 16, 16), y.reshape(M * B, 1, 16, 16))
+    out_w = wrap(flat)[0].reshape(M, B, 1, 16, 16)
+    assert_close(out_w, out_seq, rtol=1e-5, atol=1e-6)
+
+
+def test_tensor_parallel_conv_channels():
+    """Tensor parallelism for conv stacks: hidden channels sharded over a
+    'tp' axis give the same forward and gradients as replicated weights —
+    XLA SPMD inserts the channel all-reduces."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from deepinv_tpu.models import DnCNN
+
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.array(devices), axis_names=("tp",))
+    model = DnCNN(in_channels=1, out_channels=1, depth=4, nf=8)
+    x = jax.random.uniform(jax.random.key(0), (2, 1, 16, 16))
+
+    def loss(m, v):
+        return jnp.sum(m(v, 0.1) ** 2)
+
+    ref_out = model(x, 0.1)
+    ref_grad = jax.grad(loss)(model, x)
+
+    # shard hidden conv weights: O-dim for the in conv, I-dim checked by XLA
+    def shard_leaf(path_conv):
+        w = path_conv.weight
+        if w.shape[0] % 4 == 0:
+            return path_conv.replace(
+                weight=jax.device_put(w, NamedSharding(mesh, P("tp", None, None, None))))
+        return path_conv
+
+    model_tp = model.replace(
+        in_conv=shard_leaf(model.in_conv),
+        conv_list=[shard_leaf(c) for c in model.conv_list],
+    )
+    x_tp = jax.device_put(x, NamedSharding(mesh, P()))
+    out = jax.jit(lambda m, v: m(v, 0.1))(model_tp, x_tp)
+    assert_close(out, ref_out, rtol=1e-5, atol=1e-6)
+    g = jax.jit(jax.grad(loss))(model_tp, x_tp)
+    assert_close(g.in_conv.weight, ref_grad.in_conv.weight, rtol=1e-4, atol=1e-5)
