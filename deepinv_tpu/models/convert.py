@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram"]
+__all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram",
+           "port_swinir", "port_scunet", "port_restormer"]
 
 
 def load_torch_checkpoint(path):
@@ -25,6 +26,10 @@ def load_torch_checkpoint(path):
         import torch
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
+    for wrap in ("params_ema", "params", "state_dict"):
+        if wrap in sd and isinstance(sd[wrap], dict):
+            sd = sd[wrap]
+            break
     out = {}
     for k, v in sd.items():
         out[k] = np.asarray(v.numpy() if hasattr(v, "numpy") else v)
@@ -45,6 +50,129 @@ def port_dncnn(model, sd):
     for i, c in enumerate(model.conv_list):
         _set_conv(c, sd, f"conv_list.{i}")
     _set_conv(model.out_conv, sd, "out_conv")
+    return model
+
+
+def _set_linear(lin, sd, prefix):
+    lin.weight = jnp.asarray(sd[prefix + ".weight"])
+    if prefix + ".bias" in sd:
+        lin.bias = jnp.asarray(sd[prefix + ".bias"])
+    return lin
+
+
+def port_swinir(model, sd):
+    """Map the reference SwinIR state dict (JingyunLiang/SwinIR releases,
+    reference models/swinir.py:795) onto our bit-faithful SwinIR."""
+    _set_conv(model.conv_first, sd, "conv_first")
+    _set_linear(model.patch_norm, sd, "patch_embed.norm")
+    _set_linear(model.norm, sd, "norm")
+    _set_conv(model.conv_after_body, sd, "conv_after_body")
+    for i, layer in enumerate(model.layers):
+        lp = f"layers.{i}"
+        for j, blk in enumerate(layer.blocks):
+            bp = f"{lp}.residual_group.blocks.{j}"
+            _set_linear(blk.norm1, sd, bp + ".norm1")
+            _set_linear(blk.norm2, sd, bp + ".norm2")
+            blk.attn.relative_position_bias_table = jnp.asarray(
+                sd[bp + ".attn.relative_position_bias_table"])
+            _set_linear(blk.attn.qkv, sd, bp + ".attn.qkv")
+            _set_linear(blk.attn.proj, sd, bp + ".attn.proj")
+            _set_linear(blk.fc1, sd, bp + ".mlp.fc1")
+            _set_linear(blk.fc2, sd, bp + ".mlp.fc2")
+        _set_conv(layer.conv, sd, lp + ".conv")
+    if model.upsampler == "pixelshuffle":
+        _set_conv(model.conv_before_upsample, sd, "conv_before_upsample.0")
+        for k, up in enumerate(model.upsample):
+            _set_conv(up, sd, f"upsample.{2 * k}")
+        _set_conv(model.conv_last, sd, "conv_last")
+    elif model.upsampler == "pixelshuffledirect":
+        _set_conv(model.upsample[0], sd, "upsample.0")
+    elif model.upsampler == "nearest+conv":
+        _set_conv(model.conv_before_upsample, sd, "conv_before_upsample.0")
+        _set_conv(model.conv_up1, sd, "conv_up1")
+        if hasattr(model, "conv_up2"):
+            _set_conv(model.conv_up2, sd, "conv_up2")
+        _set_conv(model.conv_hr, sd, "conv_hr")
+        _set_conv(model.conv_last, sd, "conv_last")
+    else:
+        _set_conv(model.conv_last, sd, "conv_last")
+    return model
+
+
+def port_scunet(model, sd):
+    """Map the reference SCUNet state dict (cszn/SCUNet
+    ``scunet_color_real_psnr.pth``; reference models/scunet.py:284) onto our
+    bit-faithful SCUNet."""
+
+    def port_ctb(blk, prefix):
+        _set_conv(blk.conv1_1, sd, prefix + ".conv1_1")
+        _set_conv(blk.conv1_2, sd, prefix + ".conv1_2")
+        _set_conv(blk.conv_a, sd, prefix + ".conv_block.0")
+        _set_conv(blk.conv_b, sd, prefix + ".conv_block.2")
+        tb = blk.trans_block
+        _set_linear(tb.ln1, sd, prefix + ".trans_block.ln1")
+        _set_linear(tb.ln2, sd, prefix + ".trans_block.ln2")
+        _set_linear(tb.mlp_fc1, sd, prefix + ".trans_block.mlp.0")
+        _set_linear(tb.mlp_fc2, sd, prefix + ".trans_block.mlp.2")
+        _set_linear(tb.msa.embedding_layer, sd,
+                    prefix + ".trans_block.msa.embedding_layer")
+        _set_linear(tb.msa.linear, sd, prefix + ".trans_block.msa.linear")
+        tb.msa.relative_position_params = jnp.asarray(
+            sd[prefix + ".trans_block.msa.relative_position_params"])
+
+    _set_conv(model.m_head, sd, "m_head.0")
+    _set_conv(model.m_tail, sd, "m_tail.0")
+    for name in ("m_down1", "m_down2", "m_down3"):
+        mods = getattr(model, name)
+        for i, blk in enumerate(mods[:-1]):
+            port_ctb(blk, f"{name}.{i}")
+        _set_conv(mods[-1], sd, f"{name}.{len(mods) - 1}")
+    for i, blk in enumerate(model.m_body):
+        port_ctb(blk, f"m_body.{i}")
+    for name in ("m_up3", "m_up2", "m_up1"):
+        mods = getattr(model, name)
+        _set_conv(mods[0], sd, f"{name}.0")
+        for i, blk in enumerate(mods[1:]):
+            port_ctb(blk, f"{name}.{i + 1}")
+    return model
+
+
+def port_restormer(model, sd):
+    """Map the reference Restormer state dict (deepinv-hosted
+    gaussian_*_denoising_blind.pth / deraining.pth / ...; reference
+    models/restormer.py:14) onto our bit-faithful Restormer."""
+
+    def port_tb(blk, prefix):
+        _set_linear(blk.norm1, sd, prefix + ".norm1.body")
+        _set_linear(blk.norm2, sd, prefix + ".norm2.body")
+        blk.attn.temperature = jnp.asarray(sd[prefix + ".attn.temperature"])
+        _set_conv(blk.attn.qkv, sd, prefix + ".attn.qkv")
+        _set_conv(blk.attn.qkv_dw, sd, prefix + ".attn.qkv_dwconv")
+        _set_conv(blk.attn.proj, sd, prefix + ".attn.project_out")
+        _set_conv(blk.ffn.inp, sd, prefix + ".ffn.project_in")
+        _set_conv(blk.ffn.dw, sd, prefix + ".ffn.dwconv")
+        _set_conv(blk.ffn.out, sd, prefix + ".ffn.project_out")
+
+    _set_conv(model.patch_embed, sd, "patch_embed.proj")
+    enc_names = ["encoder_level1", "encoder_level2", "encoder_level3", "latent"]
+    for l, name in enumerate(enc_names):
+        for i, blk in enumerate(model.enc[l]):
+            port_tb(blk, f"{name}.{i}")
+    for conv, name in zip(model.downs, ["down1_2", "down2_3", "down3_4"]):
+        _set_conv(conv.conv, sd, f"{name}.body.0")
+    for up, name in zip(model.ups, ["up4_3", "up3_2", "up2_1"]):
+        _set_conv(up.conv, sd, f"{name}.body.0")
+    _set_conv(model.reduce[0], sd, "reduce_chan_level3")
+    _set_conv(model.reduce[1], sd, "reduce_chan_level2")
+    dec_names = ["decoder_level3", "decoder_level2", "decoder_level1"]
+    for l, name in enumerate(dec_names):
+        for i, blk in enumerate(model.dec[l]):
+            port_tb(blk, f"{name}.{i}")
+    for i, blk in enumerate(model.refine):
+        port_tb(blk, f"refinement.{i}")
+    if getattr(model, "dual_pixel_task", False):
+        _set_conv(model.skip_conv, sd, "skip_conv")
+    _set_conv(model.out_conv, sd, "output")
     return model
 
 

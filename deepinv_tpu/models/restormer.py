@@ -1,14 +1,16 @@
-"""Restormer denoiser (reference deepinv/models/restormer.py:751).
+"""Restormer denoiser (reference deepinv/models/restormer.py:751) —
+bit-faithful port.
 
 Channel-wise multi-head transposed attention (MDTA) + gated depthwise-conv
 FFN (GDFN) in a 4-level encoder-decoder. Attention contracts over the
 *spatial* dimension (C x C attention matrices) — linear in pixels, and the
-C x C matmuls map directly onto the MXU.
+C x C matmuls map directly onto the MXU. Same module tree as the reference,
+so the published deepinv/Restormer checkpoints
+(gaussian_color_denoising_blind.pth, deraining.pth, ...) port leaf-for-leaf
+via ``convert.port_restormer`` (tests/test_weight_porting.py).
 """
 
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -22,27 +24,38 @@ __all__ = ["Restormer"]
 
 
 class _LayerNormC(Module):
-    """Bias-free LayerNorm over the channel dim."""
+    """Restormer LayerNorm over the channel dim (reference restormer.py:556).
 
-    def __init__(self, channels):
+    ``BiasFree`` divides by the (mean-removed) std WITHOUT centering x —
+    faithful to the reference, which published weights depend on.
+    """
+
+    def __init__(self, channels, ln_type: str = "BiasFree"):
         self.weight = jnp.ones((channels,))
+        self.ln_type = ln_type
+        if ln_type != "BiasFree":
+            self.bias = jnp.zeros((channels,))
 
     def __call__(self, x):
-        mu = jnp.mean(x, axis=1, keepdims=True)
         var = jnp.var(x, axis=1, keepdims=True)
-        return (x - mu) / jnp.sqrt(var + 1e-5) * self.weight[None, :, None, None]
+        w = self.weight[None, :, None, None]
+        if self.ln_type == "BiasFree":
+            return x / jnp.sqrt(var + 1e-5) * w
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + 1e-5) * w + self.bias[None, :, None, None]
 
 
 class _MDTA(Module):
-    """Multi-dconv-head transposed attention (Restormer eq. 2)."""
+    """Multi-dconv-head transposed attention (reference restormer.py:643)."""
 
-    def __init__(self, channels, num_heads, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def __init__(self, channels, num_heads, bias=False, key=None):
+        k1, k2, k3 = jax.random.split(key if key is not None else jax.random.key(0), 3)
         self.num_heads = num_heads
         self.temperature = jnp.ones((num_heads, 1, 1))
-        self.qkv = Conv2d(channels, channels * 3, 1, 1, 0, bias=False, key=k1)
-        self.qkv_dw = Conv2d(channels * 3, channels * 3, 3, 1, 1, bias=False, groups=channels * 3, key=k2)
-        self.proj = Conv2d(channels, channels, 1, 1, 0, bias=False, key=k3)
+        self.qkv = Conv2d(channels, channels * 3, 1, 1, 0, bias=bias, key=k1)
+        self.qkv_dw = Conv2d(channels * 3, channels * 3, 3, 1, 1, bias=bias,
+                             groups=channels * 3, key=k2)
+        self.proj = Conv2d(channels, channels, 1, 1, 0, bias=bias, key=k3)
 
     def __call__(self, x):
         B, C, H, W = x.shape
@@ -54,8 +67,9 @@ class _MDTA(Module):
             return v_.reshape(B, h, C // h, H * W)
 
         q, k, v = heads(q), heads(k), heads(v)
-        q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6, None)
-        k = k / jnp.clip(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6, None)
+        # torch F.normalize: x / max(||x||, 1e-12)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
         attn = jax.nn.softmax(
             jnp.einsum("bhcn,bhdn->bhcd", q, k) * self.temperature[None], axis=-1
         )
@@ -64,27 +78,29 @@ class _MDTA(Module):
 
 
 class _GDFN(Module):
-    """Gated depthwise-conv feed-forward network (Restormer eq. 3)."""
+    """Gated depthwise-conv feed-forward network (reference restormer.py:613)."""
 
-    def __init__(self, channels, expansion, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+    def __init__(self, channels, expansion, bias=False, key=None):
+        k1, k2, k3 = jax.random.split(key if key is not None else jax.random.key(0), 3)
         hidden = int(channels * expansion)
-        self.inp = Conv2d(channels, hidden * 2, 1, 1, 0, bias=False, key=k1)
-        self.dw = Conv2d(hidden * 2, hidden * 2, 3, 1, 1, bias=False, groups=hidden * 2, key=k2)
-        self.out = Conv2d(hidden, channels, 1, 1, 0, bias=False, key=k3)
+        self.inp = Conv2d(channels, hidden * 2, 1, 1, 0, bias=bias, key=k1)
+        self.dw = Conv2d(hidden * 2, hidden * 2, 3, 1, 1, bias=bias,
+                         groups=hidden * 2, key=k2)
+        self.out = Conv2d(hidden, channels, 1, 1, 0, bias=bias, key=k3)
 
     def __call__(self, x):
         a, b = jnp.split(self.dw(self.inp(x)), 2, axis=1)
-        return self.out(jax.nn.gelu(a) * b)
+        return self.out(jax.nn.gelu(a, approximate=False) * b)
 
 
 class _TransformerBlock(Module):
-    def __init__(self, channels, num_heads, expansion, key):
+    def __init__(self, channels, num_heads, expansion, key, bias=False,
+                 ln_type="BiasFree"):
         k1, k2 = jax.random.split(key)
-        self.norm1 = _LayerNormC(channels)
-        self.attn = _MDTA(channels, num_heads, k1)
-        self.norm2 = _LayerNormC(channels)
-        self.ffn = _GDFN(channels, expansion, k2)
+        self.norm1 = _LayerNormC(channels, ln_type)
+        self.attn = _MDTA(channels, num_heads, bias, k1)
+        self.norm2 = _LayerNormC(channels, ln_type)
+        self.ffn = _GDFN(channels, expansion, bias, k2)
 
     def __call__(self, x):
         x = x + self.attn(self.norm1(x))
@@ -113,52 +129,71 @@ class _Up(Module):
 
 
 class Restormer(Denoiser):
-    """Restormer (reference restormer.py:751), compact configuration.
+    """Restormer (reference restormer.py:14). Blind denoiser: ``sigma`` unused.
 
-    :param dim: base embedding dim (48 in the paper).
-    :param num_blocks: transformer blocks per level.
+    Defaults match the published checkpoints (dim 48, blocks (4,6,6,8),
+    4 refinement blocks, BiasFree LayerNorm).
+
+    :param pretrained: path to a reference ``.pth`` checkpoint (the
+        ``params`` wrapping is handled).
     """
 
     def __init__(
         self,
         in_channels: int = 3,
         out_channels: int = 3,
-        dim: int = 24,
-        num_blocks=(2, 2, 2, 2),
-        num_refinement_blocks: int = 2,
+        dim: int = 48,
+        num_blocks=(4, 6, 6, 8),
+        num_refinement_blocks: int = 4,
         heads=(1, 2, 4, 8),
         expansion: float = 2.66,
+        bias: bool = False,
+        LayerNorm_type: str = "BiasFree",
+        dual_pixel_task: bool = False,
+        pretrained=None,
         key=None,
     ):
         key = key if key is not None else jax.random.key(0)
         ks = iter(jax.random.split(key, 256))
-        self.patch_embed = Conv2d(in_channels, dim, 3, 1, 1, bias=False, key=next(ks))
+
+        def tb(c, h):
+            return _TransformerBlock(c, h, expansion, next(ks), bias, LayerNorm_type)
+
+        self.patch_embed = Conv2d(in_channels, dim, 3, 1, 1, bias=bias, key=next(ks))
 
         dims = [dim, dim * 2, dim * 4, dim * 8]
         self.enc = [
-            [_TransformerBlock(dims[l], heads[l], expansion, next(ks)) for _ in range(num_blocks[l])]
-            for l in range(4)
+            [tb(dims[l], heads[l]) for _ in range(num_blocks[l])] for l in range(4)
         ]
         self.downs = [_Down(dims[l], next(ks)) for l in range(3)]
         self.ups = [_Up(dims[l + 1], next(ks)) for l in reversed(range(3))]
         # channel reducers after skip concat (levels 2 and 1; level 0 keeps 2*dim)
         self.reduce = [
-            Conv2d(dims[2] * 2, dims[2], 1, 1, 0, bias=False, key=next(ks)),
-            Conv2d(dims[1] * 2, dims[1], 1, 1, 0, bias=False, key=next(ks)),
+            Conv2d(dims[2] * 2, dims[2], 1, 1, 0, bias=bias, key=next(ks)),
+            Conv2d(dims[1] * 2, dims[1], 1, 1, 0, bias=bias, key=next(ks)),
         ]
         self.dec = [
-            [_TransformerBlock(dims[2], heads[2], expansion, next(ks)) for _ in range(num_blocks[2])],
-            [_TransformerBlock(dims[1], heads[1], expansion, next(ks)) for _ in range(num_blocks[1])],
-            [_TransformerBlock(dims[0] * 2, heads[0], expansion, next(ks)) for _ in range(num_blocks[0])],
+            [tb(dims[2], heads[2]) for _ in range(num_blocks[2])],
+            [tb(dims[1], heads[1]) for _ in range(num_blocks[1])],
+            [tb(dims[0] * 2, heads[0]) for _ in range(num_blocks[0])],
         ]
         self.refine = [
-            _TransformerBlock(dims[0] * 2, heads[0], expansion, next(ks))
-            for _ in range(num_refinement_blocks)
+            tb(dims[0] * 2, heads[0]) for _ in range(num_refinement_blocks)
         ]
-        self.out_conv = Conv2d(dims[0] * 2, out_channels, 3, 1, 1, bias=False, key=next(ks))
+        self.dual_pixel_task = dual_pixel_task
+        if dual_pixel_task:
+            self.skip_conv = Conv2d(dims[0], dims[0] * 2, 1, 1, 0, bias=bias, key=next(ks))
+        self.out_conv = Conv2d(dims[0] * 2, out_channels, 3, 1, 1, bias=bias, key=next(ks))
+
+        if pretrained is not None:
+            from .convert import load_torch_checkpoint, port_restormer
+
+            ported = port_restormer(self, load_torch_checkpoint(pretrained))
+            self.__dict__.update(ported.__dict__)
 
     def _forward(self, x):
-        h = self.patch_embed(x)
+        emb = self.patch_embed(x)
+        h = emb
         skips = []
         for l in range(3):
             for b in self.enc[l]:
@@ -182,6 +217,9 @@ class Restormer(Denoiser):
             h = b(h)
         for b in self.refine:
             h = b(h)
+        if self.dual_pixel_task:
+            h = h + self.skip_conv(emb)
+            return self.out_conv(h)
         return self.out_conv(h) + x
 
     def __call__(self, x, sigma=None, **kwargs):

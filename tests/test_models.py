@@ -344,7 +344,7 @@ def test_swinir_scunet(key):
 
     for m in [
         SwinIR(embed_dim=12, depths=(2, 2), num_heads=(2, 2), window_size=8),
-        SCUNet(dim=8, n_blocks=1, window_size=4),
+        SCUNet(dim=8, config=(1,) * 7, head_dim=4, window_size=4),
     ]:
         x = jax.random.normal(key, (1, 3, 37, 31))
         out = m(x)

@@ -100,6 +100,23 @@ def _make_stubs(root):
         def check_integrity(*a, **k): return False
         def calculate_md5(*a, **k): return ""
     """)
+    _write(os.path.join(root, "timm", "__init__.py"), "from . import layers\n")
+    _write(os.path.join(root, "timm", "layers.py"), """\
+        import torch
+        import torch.nn as nn
+        def trunc_normal_(t, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            with torch.no_grad():
+                t.normal_(mean, std).clamp_(a * std + mean, b * std + mean)
+            return t
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+            def forward(self, x):  # eval-mode identity
+                return x
+    """)
     dist = os.path.join(root, "deepinv-0.4.1.dist-info")
     _write(os.path.join(dist, "METADATA"),
            "Metadata-Version: 2.1\nName: deepinv\nVersion: 0.4.1\n")
@@ -119,6 +136,7 @@ def reference(tmp_path_factory):
     sys.path.insert(0, REFERENCE)
     try:
         import deepinv
+        import timm  # noqa: F401  (stubbed; cache while stub path is active)
     except Exception as e:  # pragma: no cover - environment-specific
         pytest.skip(f"reference deepinv not importable: {e}")
     finally:

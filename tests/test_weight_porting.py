@@ -119,6 +119,107 @@ def test_ram_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(r - r_ref).max() / scale < 2e-4, np.abs(r - r_ref).max()
 
 
+def test_swinir_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our SwinIR reproduces the reference SwinIR (denoising config) given
+    the same randomly initialized torch weights — published
+    JingyunLiang/SwinIR DN checkpoints port directly
+    (reference models/swinir.py:795)."""
+    from deepinv.models import SwinIR as RefSwinIR
+    from deepinv_tpu.models import SwinIR
+    from deepinv_tpu.models.convert import port_swinir
+
+    cfg = dict(img_size=32, in_chans=3, embed_dim=12, depths=(2, 2),
+               num_heads=(2, 2), window_size=8, mlp_ratio=2.0, upscale=1,
+               upsampler="")
+    ref = RefSwinIR(pretrained=None, **cfg)
+    ref.eval()
+    sd = {k: np.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+    m = port_swinir(SwinIR(**cfg), sd)
+
+    # odd size exercises the reflect check_img_size path + SW-MSA masks
+    x = torch.rand(2, 3, 36, 44, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+    y = np.asarray(jax.jit(lambda mm, v: mm(v))(m, jnp.asarray(x.numpy())))
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+    # classical-SR head
+    cfg_sr = dict(cfg, upscale=2, upsampler="pixelshuffle")
+    ref_sr = RefSwinIR(pretrained=None, **cfg_sr)
+    ref_sr.eval()
+    sd_sr = {k: np.asarray(v.numpy()) for k, v in ref_sr.state_dict().items()}
+    m_sr = port_swinir(SwinIR(**cfg_sr), sd_sr)
+    x2 = torch.rand(1, 3, 16, 16, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        s_ref = ref_sr(x2).numpy()
+    s = np.asarray(m_sr(jnp.asarray(x2.numpy())))
+    assert s.shape == s_ref.shape
+    assert np.abs(s - s_ref).max() < 1e-5, np.abs(s - s_ref).max()
+
+
+def test_scunet_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our SCUNet reproduces the reference SCUNet given the same randomly
+    initialized torch weights — the published scunet_color_real_psnr.pth
+    checkpoint ports directly (reference models/scunet.py:284)."""
+    from deepinv.models import SCUNet as RefSCUNet
+    from deepinv_tpu.models import SCUNet
+    from deepinv_tpu.models.convert import port_scunet
+
+    ref = RefSCUNet(in_nc=3, config=(1,) * 7, dim=64, pretrained=None)
+    ref.eval()
+    sd = {k: np.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+    m = port_scunet(SCUNet(in_nc=3, config=(1,) * 7, dim=64, pretrained=None), sd)
+
+    # odd size exercises the replicate pad-to-64 path + SW-MSA masks
+    x = torch.rand(1, 3, 70, 66, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+    y = np.asarray(jax.jit(lambda mm, v: mm(v))(m, jnp.asarray(x.numpy())))
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+
+def test_restormer_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our Restormer reproduces the reference Restormer given the same
+    randomly initialized torch weights — the published deepinv/Restormer
+    checkpoints port directly (reference models/restormer.py:14)."""
+    from deepinv.models import Restormer as RefRestormer
+    from deepinv_tpu.models import Restormer
+    from deepinv_tpu.models.convert import port_restormer
+
+    cfg = dict(in_channels=3, out_channels=3, dim=8, num_blocks=(1, 1, 1, 1),
+               num_refinement_blocks=1, heads=(1, 2, 4, 8))
+    ref = RefRestormer(pretrained=None, **cfg)
+    ref.eval()
+    # randomize: default torch init leaves dwconvs near-uniform otherwise
+    g = torch.Generator().manual_seed(5)
+    sd = {k: torch.randn(v.shape, generator=g) * 0.2
+          for k, v in ref.state_dict().items()}
+    ref.load_state_dict(sd)
+    sd = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+    m = port_restormer(Restormer(pretrained=None, **cfg), sd)
+
+    x = torch.rand(1, 3, 35, 42, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+    y = np.asarray(jax.jit(lambda mm, v: mm(v))(m, jnp.asarray(x.numpy())))
+    scale = max(np.abs(y_ref).max(), 1.0)
+    assert np.abs(y - y_ref).max() / scale < 1e-5, np.abs(y - y_ref).max()
+
+    # WithBias layernorm + dual-pixel head variant
+    cfg2 = dict(cfg, in_channels=6, dual_pixel_task=True,
+                LayerNorm_type="WithBias", bias=True)
+    ref2 = RefRestormer(pretrained=None, **cfg2)
+    ref2.eval()
+    sd2 = {k: np.asarray(v.numpy()) for k, v in ref2.state_dict().items()}
+    m2 = port_restormer(Restormer(pretrained=None, **cfg2), sd2)
+    x2 = torch.rand(1, 6, 32, 32, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        y2_ref = ref2(x2).numpy()
+    y2 = np.asarray(m2(jnp.asarray(x2.numpy())))
+    scale = max(np.abs(y2_ref).max(), 1.0)
+    assert np.abs(y2 - y2_ref).max() / scale < 1e-5, np.abs(y2 - y2_ref).max()
+
+
 def test_dncnn_port_bit_faithful(reference, torch):  # noqa: F811
     """Same check for DnCNN (reference models/dncnn.py)."""
     from deepinv.models import DnCNN as RefDnCNN
