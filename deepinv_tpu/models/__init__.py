@@ -56,7 +56,8 @@ from .gan import (
     DCGANDiscriminator,
     CSGMGenerator,
 )
-from .diffunet import DiffUNet, EDMPrecond, GroupNorm, NCSNpp
+from .diffunet import DiffUNet, EDMPrecond, GroupNorm
+from .ncsnpp import NCSNpp
 from .adm import ADMUNet
 from .restormer import Restormer
 from .dip import DeepImagePrior, ConvDecoder

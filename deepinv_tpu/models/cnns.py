@@ -6,10 +6,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..core import Module
 from .base import Denoiser, Reconstructor, handle_sigma
-from .layers import Conv2d, ConvTranspose2d, Sequential, PixelShuffle, BatchNorm2d
+from .layers import (Conv2d, ConvTranspose2d, Sequential, PixelShuffle,
+                     BatchNorm2d, he_init)
 
 __all__ = ["FFDNet", "SRResNet", "AutoEncoder", "DScCP"]
 
@@ -56,41 +58,125 @@ class FFDNet(Denoiser):
         return out[..., :H, :W]
 
 
-class _ResidualBlockSR(Module):
-    def __init__(self, nf, key):
-        k1, k2 = jax.random.split(key)
-        self.conv1 = Conv2d(nf, nf, 3, 1, 1, key=k1)
-        self.conv2 = Conv2d(nf, nf, 3, 1, 1, key=k2)
-        self.bn1 = BatchNorm2d(nf)
-        self.bn2 = BatchNorm2d(nf)
+class PReLU(Module):
+    """torch nn.PReLU: max(0,x) + w*min(0,x), one shared weight by default."""
+
+    def __init__(self, num_parameters: int = 1, init: float = 0.25):
+        self.weight = jnp.full((num_parameters,), init)
 
     def __call__(self, x):
-        h = jax.nn.relu(self.bn1(self.conv1(x)))
-        return x + self.bn2(self.conv2(h))
+        w = self.weight
+        if w.shape[0] > 1:
+            w = w[None, :, None, None]
+        return jnp.maximum(x, 0) + w * jnp.minimum(x, 0)
+
+
+class _InstanceNorm2d(Module):
+    """torch nn.InstanceNorm2d defaults: no affine, per-instance stats."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5):
+        self.eps = eps
+
+    def __call__(self, x):
+        mu = jnp.mean(x, axis=(2, 3), keepdims=True)
+        var = jnp.var(x, axis=(2, 3), keepdims=True)
+        return (x - mu) / jnp.sqrt(var + self.eps)
+
+
+class _LayerNorm2d(Module):
+    """Channel layernorm (reference srresnet.py:172)."""
+
+    def __init__(self, num_channels: int, eps: float = 1e-6):
+        self.weight = jnp.ones((num_channels,))
+        self.bias = jnp.zeros((num_channels,))
+        self.eps = eps
+
+    def __call__(self, x):
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
+        x = (x - mu) / jnp.sqrt(var + self.eps)
+        return self.weight[None, :, None, None] * x + self.bias[None, :, None, None]
+
+
+class _Identity(Module):
+    def __init__(self, num_features: int = 0):
+        pass
+
+    def __call__(self, x):
+        return x
+
+
+_SR_NORMS = {"batch_norm": BatchNorm2d, "instance_norm": _InstanceNorm2d,
+             "layer_norm": _LayerNorm2d, None: _Identity}
+
+
+class _SRBlock(Module):
+    """Conv-Norm-Act-Conv-Norm residual block (reference srresnet.py:156)."""
+
+    def __init__(self, feats, norm, key):
+        k1, k2 = jax.random.split(key)
+        self.conv1 = Conv2d(feats, feats, 3, 1, 1, key=k1)
+        self.n1 = _SR_NORMS[norm](feats)
+        self.act = PReLU()
+        self.conv2 = Conv2d(feats, feats, 3, 1, 1, key=k2)
+        self.n2 = _SR_NORMS[norm](feats)
+
+    def __call__(self, x):
+        return x + self.n2(self.conv2(self.act(self.n1(self.conv1(x)))))
 
 
 class SRResNet(Reconstructor):
-    """SRResNet super-resolution backbone (reference srresnet.py:185)."""
+    """SRResNet super-resolution network (reference srresnet.py:20) —
+    bit-faithful: the published srresnet_ckpt.pth.tar (RGB 4x, DIV2K,
+    final_relu=True) ports via ``convert.port_srresnet``.
 
-    def __init__(self, in_channels: int = 3, out_channels: int = 3, scale: int = 2, nf: int = 64, n_blocks: int = 16, key=None):
+    :param norm: 'batch_norm' | 'instance_norm' | 'layer_norm' | None.
+    :param final_relu: clamp output to be non-negative (required by the
+        published weights).
+    """
+
+    def __init__(self, num_blocks: int = 16, im_c: int = 3, feats: int = 64,
+                 upscale: int = 4, norm: str | None = "batch_norm",
+                 final_kernel_size: int = 9, final_relu: bool = False,
+                 pretrained=None, key=None):
+        import math as _math
+
+        if upscale < 1 or (upscale & (upscale - 1)) != 0:
+            raise ValueError(f"upscale must be a power of two, got {upscale}")
+        if final_kernel_size % 2 == 0:
+            raise ValueError(f"final_kernel_size must be odd, got {final_kernel_size}")
         key = key if key is not None else jax.random.key(0)
-        ks = iter(jax.random.split(key, n_blocks + 4))
-        self.head = Conv2d(in_channels, nf, 9, 1, 4, key=next(ks))
-        self.blocks = [_ResidualBlockSR(nf, next(ks)) for _ in range(n_blocks)]
-        self.mid = Conv2d(nf, nf, 3, 1, 1, key=next(ks))
-        self.up = Conv2d(nf, nf * scale * scale, 3, 1, 1, key=next(ks))
-        self.shuffle = PixelShuffle(scale)
-        self.tail = Conv2d(nf, out_channels, 9, 1, 4, key=next(ks))
-        self.scale = scale
+        ks = iter(jax.random.split(key, 2 * num_blocks + 8))
+        self.fe_conv = Conv2d(im_c, feats, 9, 1, 4, key=next(ks))
+        self.fe_act = PReLU()
+        self.blocks = [_SRBlock(feats, norm, next(ks)) for _ in range(num_blocks)]
+        self.block_conv = Conv2d(feats, feats, 3, 1, 1, key=next(ks))
+        self.block_norm = _SR_NORMS[norm](feats)
+        n_up = int(_math.log2(upscale))
+        self.up_convs = [Conv2d(feats, feats * 4, 3, 1, 1, key=next(ks))
+                         for _ in range(n_up)]
+        self.up_acts = [PReLU() for _ in range(n_up)]
+        self.shuffle = PixelShuffle(2)
+        p = (final_kernel_size - 1) // 2
+        self.final_conv = Conv2d(feats, im_c, final_kernel_size, 1, p, key=next(ks))
+        self.final_relu = final_relu
+
+        if pretrained is not None:
+            from .convert import load_torch_checkpoint, port_srresnet
+
+            ported = port_srresnet(self, load_torch_checkpoint(pretrained))
+            self.__dict__.update(ported.__dict__)
 
     def __call__(self, y, physics=None, **kwargs):
-        h0 = jax.nn.relu(self.head(y))
-        h = h0
+        lf = self.fe_act(self.fe_conv(y))
+        x = lf
         for b in self.blocks:
-            h = b(h)
-        h = self.mid(h) + h0
-        h = jax.nn.relu(self.shuffle(self.up(h)))
-        return self.tail(h)
+            x = b(x)
+        x = lf + self.block_norm(self.block_conv(x))
+        for conv, act in zip(self.up_convs, self.up_acts):
+            x = act(self.shuffle(conv(x)))
+        x = self.final_conv(x)
+        return jax.nn.relu(x) if self.final_relu else x
 
 
 class AutoEncoder(Denoiser):
@@ -120,29 +206,85 @@ class AutoEncoder(Denoiser):
 
 
 class DScCP(Denoiser):
-    """Deep sparse-coding Chambolle-Pock denoiser (reference dsccp.py:156):
-    unrolled CP iterations with learned analysis convolutions."""
+    """Deep strongly-convex Chambolle-Pock denoiser (reference dsccp.py:15)
+    — bit-faithful: unrolled accelerated CP with *tied* analysis/synthesis
+    convolutions (the transpose conv shares the conv kernel), per-layer
+    ``mu`` and power-method stepsizes; ckpt_dsccp.pth.tar ports via
+    ``convert.port_dsccp``.
 
-    def __init__(self, depth: int = 20, nf: int = 64, in_channels: int = 3, key=None):
+    The per-layer operator norm is a fixed-50-iteration power method (the
+    reference iterates to 1e-4 from a random start); statically unrolled by
+    ``lax.fori_loop`` so the forward stays one XLA program.
+    """
+
+    def __init__(self, depth: int = 20, n_channels_per_layer: int = 64,
+                 in_channels: int = 3, pretrained=None, key=None):
         key = key if key is not None else jax.random.key(0)
-        ks = iter(jax.random.split(key, 2 * depth + 1))
-        self.conv_a = [Conv2d(in_channels, nf, 3, 1, 1, bias=False, key=next(ks)) for _ in range(depth)]
-        self.conv_s = [Conv2d(nf, in_channels, 3, 1, 1, bias=False, key=next(ks)) for _ in range(depth)]
+        ks = iter(jax.random.split(key, depth + 1))
+        nf = n_channels_per_layer
+        # tied weights: conv[2k] OIHW (nf, C, 3, 3); conv[2k+1] is its adjoint
+        self.weights = [
+            he_init(next(ks), (nf, in_channels, 3, 3), in_channels * 9)
+            for _ in range(depth)
+        ]
         self.depth = depth
-        self.tau = jnp.full((depth,), 0.5)
-        self.sigma_cp = jnp.full((depth,), 0.5)
+        self.mu = jnp.ones((depth,))
+        self.power_iters = 50
+        if pretrained is not None:
+            from .convert import load_torch_checkpoint, port_dsccp
 
-    def __call__(self, x, sigma=0.05, **kwargs):
-        sig = handle_sigma(sigma, x)
-        u = jnp.zeros_like(self.conv_a[0](x))
-        z = x
-        x_bar = x
+            ported = port_dsccp(self, load_torch_checkpoint(pretrained))
+            self.__dict__.update(ported.__dict__)
+
+    @staticmethod
+    def _analysis(w, x):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    @staticmethod
+    def _synthesis(w, u):
+        # torch ConvTranspose2d(u, w, padding=1) == conv with the swapped,
+        # spatially flipped kernel
+        wt = jnp.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+        return lax.conv_general_dilated(
+            u, wt, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    def _op_norm(self, w, shape, key):
+        """||K^T K|| by fixed-iteration power method (reference dsccp.py:130)."""
+        x0 = jax.random.normal(key, shape)
+        x0 = x0 / jnp.linalg.norm(x0.reshape(-1))
+
+        def body(_, carry):
+            xt, _ = carry
+            xt = self._synthesis(w, self._analysis(w, xt))
+            val = jnp.linalg.norm(xt.reshape(-1))
+            return xt / val, val
+
+        _, val = lax.fori_loop(0, self.power_iters, body, (x0, jnp.array(1.0)))
+        return val
+
+    def __call__(self, x, sigma=0.03, key=None, **kwargs):
+        from ..core.rng import ensure_key
+
+        key = ensure_key(key, 0)
+        sig = handle_sigma(sigma, x)[:, :, :1, :1]  # (B,1,1,1)
+        x_prev = x
+        x_curr = x
+        u = self._analysis(self.weights[0], x)
+        gamma = 1.0
+        keys = jax.random.split(key, self.depth)
         for k in range(self.depth):
-            # dual ascent with soft clipping (l-inf ball of radius sigma)
-            u = u + self.sigma_cp[k] * self.conv_a[k](x_bar)
-            u = jnp.clip(u, -1.0, 1.0)
-            # primal descent + data proximal
-            z_new = (z - self.tau[k] * self.conv_s[k](u) + self.tau[k] * x) / (1 + self.tau[k])
-            x_bar = 2 * z_new - z
-            z = z_new
-        return z
+            tau = 0.99 / self._op_norm(self.weights[k], x.shape, keys[k])
+            alphak = 1.0 / jnp.sqrt(1 + 2 * gamma * self.mu[k])
+            u_ = u + tau / self.mu[k] * self._analysis(
+                self.weights[k], (1 + alphak) * x_curr - alphak * x_prev)
+            u = jnp.clip(u_, -(sig**2), sig**2)
+            x_ = ((self.mu[k] / (self.mu[k] + 1)) * x
+                  + (1 / (1 + self.mu[k])) * x_curr
+                  - (self.mu[k] / (self.mu[k] + 1)) * self._synthesis(self.weights[k], u))
+            x_next = jnp.clip(x_, 0.0, 1.0)
+            x_prev = x_curr
+            x_curr = x_next
+        return x_curr

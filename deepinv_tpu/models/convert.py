@@ -13,7 +13,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram",
-           "port_swinir", "port_scunet", "port_restormer"]
+           "port_swinir", "port_scunet", "port_restormer", "port_ncsnpp",
+           "port_srresnet", "port_dsccp"]
 
 
 def load_torch_checkpoint(path):
@@ -173,6 +174,102 @@ def port_restormer(model, sd):
     if getattr(model, "dual_pixel_task", False):
         _set_conv(model.skip_conv, sd, "skip_conv")
     _set_conv(model.out_conv, sd, "output")
+    return model
+
+
+def port_ncsnpp(model, sd):
+    """Map the reference NCSNpp/DDPM++ (EDM SongUNet) state dict
+    (edm-*-uncond-{ve,vp}.pt; reference models/ncsnpp.py:18) onto our
+    bit-faithful NCSNpp."""
+
+    def port_updown(conv, prefix):
+        if conv.weight is not None:
+            conv.weight = jnp.asarray(sd[prefix + ".weight"])
+        if conv.bias is not None and prefix + ".bias" in sd:
+            conv.bias = jnp.asarray(sd[prefix + ".bias"])
+
+    def port_gn(gn, prefix):
+        gn.weight = jnp.asarray(sd[prefix + ".weight"])
+        gn.bias = jnp.asarray(sd[prefix + ".bias"])
+
+    def port_unetblock(blk, prefix):
+        port_gn(blk.norm0, prefix + ".norm0")
+        port_updown(blk.conv0, prefix + ".conv0")
+        blk.affine_w = jnp.asarray(sd[prefix + ".affine.weight"])
+        blk.affine_b = jnp.asarray(sd[prefix + ".affine.bias"])
+        port_gn(blk.norm1, prefix + ".norm1")
+        port_updown(blk.conv1, prefix + ".conv1")
+        if blk.skip is not None:
+            port_updown(blk.skip, prefix + ".skip")
+        if blk.num_heads:
+            port_gn(blk.norm2, prefix + ".norm2")
+            port_updown(blk.qkv, prefix + ".qkv")
+            port_updown(blk.proj, prefix + ".proj")
+
+    if "map_noise.freqs" in sd:
+        model.map_noise.freqs = jnp.asarray(sd["map_noise.freqs"])
+    if model.map_augment_w is not None and "map_augment.weight" in sd:
+        model.map_augment_w = jnp.asarray(sd["map_augment.weight"])
+    model.map_layer0_w = jnp.asarray(sd["map_layer0.weight"])
+    model.map_layer0_b = jnp.asarray(sd["map_layer0.bias"])
+    model.map_layer1_w = jnp.asarray(sd["map_layer1.weight"])
+    model.map_layer1_b = jnp.asarray(sd["map_layer1.bias"])
+
+    from .ncsnpp import UNetBlock, UpDownConv2d
+
+    for names, blocks, top in ((model.enc_names, model.enc_blocks, "enc"),
+                               (model.dec_names, model.dec_blocks, "dec")):
+        for name, blk in zip(names, blocks):
+            prefix = f"{top}.{name}"
+            if isinstance(blk, UNetBlock):
+                port_unetblock(blk, prefix)
+            elif isinstance(blk, UpDownConv2d):
+                port_updown(blk, prefix)
+            else:  # GroupNorm (aux_norm)
+                port_gn(blk, prefix)
+    return model
+
+
+def port_srresnet(model, sd):
+    """Map the reference SRResNet state dict (srresnet_ckpt.pth.tar;
+    reference models/srresnet.py:20) onto our bit-faithful SRResNet."""
+
+    def port_norm(norm, prefix):
+        for attr, name in (("weight", "weight"), ("bias", "bias"),
+                           ("running_mean", "running_mean"),
+                           ("running_var", "running_var")):
+            k = f"{prefix}.{name}"
+            if k in sd and hasattr(norm, attr):
+                setattr(norm, attr, jnp.asarray(sd[k]))
+
+    def port_prelu(act, prefix):
+        if prefix + ".weight" in sd:
+            act.weight = jnp.asarray(sd[prefix + ".weight"])
+
+    _set_conv(model.fe_conv, sd, "fe.0")
+    port_prelu(model.fe_act, "fe.1")
+    for i, blk in enumerate(model.blocks):
+        _set_conv(blk.conv1, sd, f"blocks.{i}.layers.0")
+        port_norm(blk.n1, f"blocks.{i}.layers.1")
+        port_prelu(blk.act, f"blocks.{i}.layers.2")
+        _set_conv(blk.conv2, sd, f"blocks.{i}.layers.3")
+        port_norm(blk.n2, f"blocks.{i}.layers.4")
+    _set_conv(model.block_conv, sd, "block.0")
+    port_norm(model.block_norm, "block.1")
+    for s_i, (conv, act) in enumerate(zip(model.up_convs, model.up_acts)):
+        _set_conv(conv, sd, f"upsampling.{s_i}.0")
+        port_prelu(act, f"upsampling.{s_i}.2")
+    _set_conv(model.final_conv, sd, "final_conv.0")
+    return model
+
+
+def port_dsccp(model, sd):
+    """Map the reference DScCP state dict (ckpt_dsccp.pth.tar; reference
+    models/dsccp.py:15). conv.{2k} and conv.{2k+1} are tied in the
+    reference, so only the even entries are read."""
+    model.weights = [jnp.asarray(sd[f"conv.{2 * k}.weight"])
+                     for k in range(model.depth)]
+    model.mu = jnp.asarray(sd["mu"])
     return model
 
 

@@ -19,7 +19,7 @@ from ..core import Module
 from .base import Denoiser, handle_sigma
 from .layers import Conv2d, Linear, UpsampleNearest, AvgPool2d
 
-__all__ = ["DiffUNet", "EDMPrecond", "GroupNorm", "NCSNpp"]
+__all__ = ["DiffUNet", "EDMPrecond", "GroupNorm"]
 
 
 class GroupNorm(Module):
@@ -212,23 +212,3 @@ class EDMPrecond(Denoiser):
         c_noise = jnp.log(jnp.clip(s[:, 0, 0, 0], 1e-8, None)) / 4
         F = self.model(c_in * x, c_noise)
         return c_skip * x + c_out * F
-
-
-class NCSNpp(DiffUNet):
-    """NCSN++ score network (reference models/ncsnpp.py:422).
-
-    Shares the ADM-style backbone (time-conditioned ResBlocks + attention);
-    NCSN++ specifics kept: deeper default widths, scale-by-sigma output
-    (score parametrization s(x, sigma) = (D(x) - x)/sigma^2).
-    """
-
-    def __init__(self, in_channels: int = 3, out_channels: int = 3, nc=(64, 128, 128, 256), num_res_blocks: int = 2, key=None):
-        super().__init__(
-            in_channels=in_channels, out_channels=out_channels, nc=nc,
-            num_res_blocks=num_res_blocks, attn_level=2, key=key,
-        )
-
-    def score(self, x, sigma):
-        s = jnp.asarray(sigma, x.dtype).reshape(-1, 1, 1, 1)
-        denoised = self(x, sigma)
-        return (denoised - x) / jnp.clip(s**2, 1e-8, None)

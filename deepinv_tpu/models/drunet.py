@@ -26,20 +26,31 @@ from .utils import test_pad
 __all__ = ["DRUNet"]
 
 
-class ResBlock(Module):
-    """C-ReLU-C residual block (reference drunet.py:310)."""
+_ACTS = {
+    "R": jax.nn.relu,
+    "L": lambda x: jax.nn.leaky_relu(x, 1e-2),
+    "E": jax.nn.elu,
+    "S": jax.nn.softplus,
+    "s": jax.nn.softplus,
+}
 
-    def __init__(self, nc: int, bias: bool = False, key=None):
+
+class ResBlock(Module):
+    """C-act-C residual block (reference drunet.py:310); ``act_mode`` as in
+    the reference: R=ReLU, L=LeakyReLU, E=ELU (GSDRUNet), S=Softplus."""
+
+    def __init__(self, nc: int, bias: bool = False, act_mode: str = "R", key=None):
         k1, k2 = jax.random.split(key if key is not None else jax.random.key(0))
         self.conv1 = Conv2d(nc, nc, 3, 1, 1, bias=bias, key=k1)
         self.conv2 = Conv2d(nc, nc, 3, 1, 1, bias=bias, key=k2)
+        self.act_mode = act_mode
         # reference init uses gain 0.2 (weights_init_drunet) so stacked
         # residual blocks stay stable at random init
         self.conv1 = self.conv1.replace(weight=self.conv1.weight * 0.2)
         self.conv2 = self.conv2.replace(weight=self.conv2.weight * 0.2)
 
     def __call__(self, x):
-        return x + self.conv2(jax.nn.relu(self.conv1(x)))
+        return x + self.conv2(_ACTS[self.act_mode](self.conv1(x)))
 
 
 class DRUNet(Denoiser):
@@ -49,6 +60,7 @@ class DRUNet(Denoiser):
         out_channels: int = 3,
         nc=(64, 128, 256, 512),
         nb: int = 4,
+        act_mode: str = "R",
         pretrained=None,
         key=None,
     ):
@@ -60,19 +72,20 @@ class DRUNet(Denoiser):
         self.m_head = Conv2d(in_channels + 1, nc[0], 3, 1, 1, bias=False, key=next(ks))
 
         def down_stage(cin, cout):
-            blocks = [ResBlock(cin, key=next(ks)) for _ in range(nb)]
+            blocks = [ResBlock(cin, act_mode=act_mode, key=next(ks)) for _ in range(nb)]
             down = Conv2d(cin, cout, 2, 2, 0, bias=False, key=next(ks))
             return Sequential(*blocks, down)
 
         def up_stage(cin, cout):
             up = ConvTranspose2d(cin, cout, 2, 2, 0, bias=False, key=next(ks))
-            blocks = [ResBlock(cout, key=next(ks)) for _ in range(nb)]
+            blocks = [ResBlock(cout, act_mode=act_mode, key=next(ks)) for _ in range(nb)]
             return Sequential(up, *blocks)
 
         self.m_down1 = down_stage(nc[0], nc[1])
         self.m_down2 = down_stage(nc[1], nc[2])
         self.m_down3 = down_stage(nc[2], nc[3])
-        self.m_body = Sequential(*[ResBlock(nc[3], key=next(ks)) for _ in range(nb)])
+        self.m_body = Sequential(
+            *[ResBlock(nc[3], act_mode=act_mode, key=next(ks)) for _ in range(nb)])
         self.m_up3 = up_stage(nc[3], nc[2])
         self.m_up2 = up_stage(nc[2], nc[1])
         self.m_up1 = up_stage(nc[1], nc[0])

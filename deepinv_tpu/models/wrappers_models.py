@@ -33,13 +33,24 @@ class GSDRUNet(Denoiser):
     symmetric Jacobian. ``jax.grad`` replaces the reference's double
     autograd."""
 
-    def __init__(self, student=None, alpha: float = 1.0, key=None, **kwargs):
+    def __init__(self, student=None, alpha: float = 1.0, nb: int = 2,
+                 act_mode: str = "E", pretrained=None, key=None, **kwargs):
         if student is None:
             from .drunet import DRUNet
 
-            student = DRUNet(key=key, **kwargs)
+            # reference GSDRUNet: ELU DRUNet with 2 blocks (GSPnP.py:123)
+            student = DRUNet(nb=nb, act_mode=act_mode, key=key, **kwargs)
         self.student = student
         self.alpha = alpha
+        if pretrained is not None:
+            from .convert import load_torch_checkpoint, port_drunet
+
+            sd = load_torch_checkpoint(pretrained)
+            # GSDRUNet ckpts prefix the DRUNet under student_grad.model.
+            prefix = "student_grad.model."
+            sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+                  for k, v in sd.items()}
+            self.student = port_drunet(self.student, sd)
 
     def potential(self, x, sigma):
         n = self.student(x, sigma)

@@ -179,7 +179,7 @@ def test_cnn_denoisers(key):
     from deepinv_tpu.models import FFDNet, AutoEncoder, DScCP
 
     x = jax.random.uniform(key, (2, 3, 32, 32))
-    for model in [FFDNet(), DScCP(depth=4, nf=8)]:
+    for model in [FFDNet(), DScCP(depth=4, n_channels_per_layer=8)]:
         out = model(x, 0.05)
         assert out.shape == x.shape, type(model).__name__
         assert bool(jnp.all(jnp.isfinite(out)))
@@ -191,7 +191,7 @@ def test_cnn_denoisers(key):
 def test_srresnet(key):
     from deepinv_tpu.models import SRResNet
 
-    model = SRResNet(scale=2, nf=8, n_blocks=2)
+    model = SRResNet(upscale=2, feats=8, num_blocks=2)
     y = jax.random.uniform(key, (1, 3, 16, 16))
     out = model(y)
     assert out.shape == (1, 3, 32, 32)

@@ -220,6 +220,120 @@ def test_restormer_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(y2 - y2_ref).max() / scale < 1e-5, np.abs(y2 - y2_ref).max()
 
 
+def test_gsdrunet_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our GSDRUNet (gradient-step ELU-DRUNet) reproduces the reference
+    given the same torch weights — GSDRUNet_torch.ckpt ports directly
+    (reference models/GSPnP.py:85). Checks the denoiser output AND the
+    potential gradient used by GS-PnP."""
+    from deepinv.models import GSDRUNet as RefGSDRUNet
+    from deepinv_tpu.models import GSDRUNet
+
+    ref = RefGSDRUNet(pretrained=None, in_channels=1, out_channels=1,
+                      nc=(8, 16, 16, 16))
+    ref.eval()
+    sd = {("student_grad.model." + k if not k.startswith("student_grad") else k):
+          np.asarray(v.detach().numpy()) for k, v in ref.state_dict().items()}
+    m = GSDRUNet(in_channels=1, out_channels=1, nc=(8, 16, 16, 16),
+                 pretrained=sd)
+
+    x = torch.rand(1, 1, 32, 32, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        pass
+    y_ref = ref(x, torch.tensor(0.05)).detach().numpy()
+    # the reference's potential_grad marks x as requiring grad in-place
+    y = np.asarray(jax.jit(lambda mm, v: mm(v, 0.05))(
+        m, jnp.asarray(x.detach().numpy())))
+    assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+
+@pytest.mark.parametrize("model_type", ["ncsn", "ddpm"])
+def test_ncsnpp_port_bit_faithful(reference, torch, model_type):  # noqa: F811
+    """Our NCSNpp/DDPM++ (EDM SongUNet) reproduces the reference given the
+    same torch weights — edm-*-uncond-{ve,vp}.pt checkpoints port directly
+    (reference models/ncsnpp.py:18)."""
+    from deepinv.models import NCSNpp as RefNCSNpp
+    from deepinv_tpu.models import NCSNpp
+    from deepinv_tpu.models.convert import port_ncsnpp
+
+    cfg = dict(model_type=model_type, img_resolution=32, in_channels=2,
+               out_channels=2, model_channels=32, channel_mult=(1, 2),
+               num_blocks=2, attn_resolutions=(16,), dropout=0.0)
+    ref = RefNCSNpp(pretrained=None, **cfg)
+    ref.eval()
+    # randomize: zero-init output convs would zero the aux head otherwise
+    g = torch.Generator().manual_seed(11)
+    # keep resample_filter buffers: real checkpoints store the deterministic
+    # filter, which our UpDownConv2d builds statically
+    sd = {k: (torch.randn(v.shape, generator=g) * 0.1
+              if v.dtype.is_floating_point and "resample_filter" not in k else v)
+          for k, v in ref.state_dict().items()}
+    ref.load_state_dict(sd)
+    sd_np = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+    m = port_ncsnpp(NCSNpp(pretrained=None, **cfg), sd_np)
+
+    x = torch.rand(2, 2, 32, 32, generator=torch.Generator().manual_seed(0))
+    sig = torch.tensor([0.05, 0.4])
+    with torch.no_grad():
+        y_ref = ref(x, sig).numpy()
+    y = np.asarray(jax.jit(lambda mm, v, s: mm(v, s))(
+        m, jnp.asarray(x.numpy()), jnp.asarray(sig.numpy())))
+    scale = max(np.abs(y_ref).max(), 1.0)
+    assert np.abs(y - y_ref).max() / scale < 2e-5, np.abs(y - y_ref).max()
+
+
+def test_srresnet_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our SRResNet reproduces the reference given the same torch weights —
+    srresnet_ckpt.pth.tar ports directly (reference models/srresnet.py:20)."""
+    from deepinv.models import SRResNet as RefSRResNet
+    from deepinv_tpu.models import SRResNet
+
+    cfg = dict(num_blocks=2, im_c=3, feats=8, upscale=4, final_relu=True)
+    ref = RefSRResNet(pretrained=None, **cfg)
+    ref.eval()
+    # randomize batchnorm running stats too (published ckpts carry them)
+    g = torch.Generator().manual_seed(3)
+    sd = {}
+    for k, v in ref.state_dict().items():
+        if v.dtype.is_floating_point:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.2
+            if "running_var" in k:
+                sd[k] = sd[k].abs() + 0.5
+        else:
+            sd[k] = v
+    ref.load_state_dict(sd)
+    sd_np = {k: np.asarray(v.numpy()) for k, v in sd.items()}
+    m = SRResNet(pretrained=sd_np, **cfg)
+
+    x = torch.rand(2, 3, 9, 11, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+    y = np.asarray(jax.jit(lambda mm, v: mm(v))(m, jnp.asarray(x.numpy())))
+    assert y.shape == y_ref.shape
+    scale = max(np.abs(y_ref).max(), 1.0)
+    assert np.abs(y - y_ref).max() / scale < 1e-5, np.abs(y - y_ref).max()
+
+
+def test_dsccp_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our DScCP reproduces the reference given the same torch weights —
+    ckpt_dsccp.pth.tar ports directly (reference models/dsccp.py:15). The
+    stepsizes come from independent power methods on both sides (random
+    start, 1e-4 tol), so parity is checked at 1e-3."""
+    from deepinv.models import DScCP as RefDScCP
+    from deepinv_tpu.models import DScCP
+
+    ref = RefDScCP(depth=4, n_channels_per_layer=8, pretrained=None)
+    ref.eval()
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in ref.state_dict().items()}
+    m = DScCP(depth=4, n_channels_per_layer=8, pretrained=sd)
+
+    x = torch.rand(1, 3, 24, 24, generator=torch.Generator().manual_seed(0))
+    torch.manual_seed(0)
+    with torch.no_grad():
+        y_ref = ref(x, 0.1).numpy()
+    y = np.asarray(jax.jit(lambda mm, v: mm(v, 0.1))(m, jnp.asarray(x.numpy())))
+    assert np.abs(y - y_ref).max() < 1e-3, np.abs(y - y_ref).max()
+
+
 def test_dncnn_port_bit_faithful(reference, torch):  # noqa: F811
     """Same check for DnCNN (reference models/dncnn.py)."""
     from deepinv.models import DnCNN as RefDnCNN
