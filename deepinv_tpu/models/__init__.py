@@ -66,7 +66,6 @@ from .misc_models import (
     MinusOneOneDenoiserWrapper,
     ScoreModelWrapper,
     EPLLDenoiser,
-    KernelIdentificationNetwork,
     Client,
 )
 from .swinir import SwinIR
@@ -75,3 +74,4 @@ from .ram import RAM
 from .promptir import PromptIR
 from .poisson2sparse import ConvLista, Poisson2Sparse
 from .deal import DEAL
+from .kernel_network import KernelIdentificationNetwork

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 __all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram",
            "port_swinir", "port_scunet", "port_restormer", "port_ncsnpp",
-           "port_srresnet", "port_dsccp"]
+           "port_srresnet", "port_dsccp", "port_kernel_network"]
 
 
 def load_torch_checkpoint(path):
@@ -270,6 +270,36 @@ def port_dsccp(model, sd):
     model.weights = [jnp.asarray(sd[f"conv.{2 * k}.weight"])
                      for k in range(model.depth)]
     model.mu = jnp.asarray(sd["mu"])
+    return model
+
+
+def port_kernel_network(model, sd):
+    """Map the reference KernelIdentificationNetwork state dict
+    (carbajal_kernel_identification_network.pth; reference
+    models/kernel_network.py:9)."""
+
+    def port_up(up, prefix):
+        if not up.bilinear:
+            _set_conv(up.up, sd, prefix + ".up")
+        _set_conv(up.conv1, sd, prefix + ".double_conv.0")
+        _set_conv(up.conv2, sd, prefix + ".double_conv.2")
+        _set_conv(up.feat, sd, prefix + ".feat.0")
+
+    _set_conv(model.inc_rgb, sd, "inc_rgb.0")
+    _set_conv(model.inc_gray, sd, "inc_gray.0")
+    for i in range(1, 6):
+        d = getattr(model, f"down{i}")
+        _set_conv(d.conv1, sd, f"down{i}.double_conv.0")
+        _set_conv(d.conv2, sd, f"down{i}.double_conv.2")
+    _set_conv(model.feat, sd, "feat.0")
+    for i in range(1, 6):
+        port_up(getattr(model, f"up{i}"), f"up{i}")
+        port_up(getattr(model, f"kernel_up{i}"), f"kernel_up{i}")
+    if hasattr(model, "kernel_up6"):
+        port_up(model.kernel_up6, "kernel_up6")
+    for j, idx in enumerate((0, 2, 4)):
+        _set_conv(model.masks_end[j], sd, f"masks_end.{idx}")
+        _set_conv(model.kernels_end[j], sd, f"kernels_end.{idx}")
     return model
 
 

@@ -21,7 +21,6 @@ __all__ = [
     "MinusOneOneDenoiserWrapper",
     "ScoreModelWrapper",
     "EPLLDenoiser",
-    "KernelIdentificationNetwork",
     "Client",
 ]
 
@@ -60,27 +59,6 @@ class EPLLDenoiser(Denoiser):
 
     def __call__(self, x, sigma=0.05, **kwargs):
         return self.epll(x, sigma)
-
-
-class KernelIdentificationNetwork(Module):
-    """Blind blur-kernel estimation network (reference kernel_network.py:301):
-    a small UNet mapping a blurry image to a normalized PSF."""
-
-    def __init__(self, kernel_size: int = 15, nf: int = 16, in_channels: int = 3, key=None):
-        key = key if key is not None else jax.random.key(0)
-        k1, k2 = jax.random.split(key)
-        self.backbone = UNet(in_channels, nf, scales=3, base=nf, residual=False, batch_norm=False, key=k1)
-        self.head = Conv2d(nf, 1, 3, 1, 1, key=k2)
-        self.kernel_size = kernel_size
-
-    def __call__(self, y, **kwargs):
-        h = self.backbone(y)
-        h = self.head(h)
-        # global pooling into a kernel grid then softmax-normalize
-        k = jax.image.resize(h, h.shape[:2] + (self.kernel_size, self.kernel_size), "linear")
-        k = k.reshape(k.shape[0], -1)
-        k = jax.nn.softmax(k, axis=-1)
-        return k.reshape(-1, 1, self.kernel_size, self.kernel_size)
 
 
 class Client(Reconstructor):

@@ -1,0 +1,289 @@
+"""Generic ray-driven X-ray transform (parallel / fanbeam / conebeam).
+
+TPU-native replacement for the functionality the reference reaches through
+the astra-toolbox CUDA bridge (deepinv/physics/functional/astra.py:13,
+deepinv/physics/tomography.py:353 ``TomographyWithAstra``): 2D parallel and
+fan beam, 3D parallel and cone beam, plus arbitrary per-view vector
+geometries (astra's ``geometry_vectors``, cf. ``astra.geom_2vec``).
+
+Design (TPU-first, no scatter):
+
+- every (view, detector-cell) pair defines a ray ``P(t) = P0 + t d``; the
+  ray is clipped to the volume's bounding sphere, sampled at ``n_steps``
+  equispaced points, and the line integral is a trilinear
+  ``map_coordinates`` gather + a reduction — one fused XLA gather per angle
+  chunk, batched over (batch x channel) with ``vmap``.
+- views are processed in chunks via ``lax.map`` so the sampling-coordinate
+  tensor (chunk, V, N, T, 3) stays bounded regardless of the number of
+  views.
+- the exact adjoint is obtained with ``jax.linear_transpose`` in the physics
+  layer (the astra pair is famously unmatched — ray-driven forward,
+  pixel-driven backward; here adjointness holds to float precision, so CG on
+  the normal equations is actually sound).
+
+Geometry conventions (right-handed world (x, y, z); voxel (slice, row, col)
+maps to (z, y, x); circular trajectory about z):
+
+- view angle ``a`` (radians): ray direction ``d = (sin a, cos a, 0)``,
+  detector u-axis ``u = (cos a, -sin a, 0)``, detector v-axis ``(0, 0, 1)``.
+  With unit spacings this makes 2D ``parallel`` agree with ``ops.radon``
+  (sinograms transposed: astra layout is (angles, det)).
+- divergent beams: source ``S = -Rs d``, flat detector centred at ``+Rd d``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["xray_transform", "xray_geometry", "fdk_weights", "geometry_static"]
+
+
+def geometry_static(geom: dict) -> dict:
+    """Hashable (nested-tuple) form of a geometry dict — store THIS on
+    physics pytrees so ray planning stays static under ``jit``."""
+    return {
+        k: (
+            None
+            if v is None
+            else tuple(tuple(float(e) for e in row) for row in np.asarray(v, np.float64))
+        )
+        for k, v in geom.items()
+    }
+
+
+def _geom_np(geom: dict) -> dict:
+    return {
+        k: (None if v is None else np.asarray(v, np.float64))
+        for k, v in geom.items()
+    }
+
+
+def _as3(v, default):
+    if v is None:
+        return np.asarray(default, np.float64)
+    v = np.atleast_1d(np.asarray(v, np.float64))
+    if v.size == 1:
+        return np.full(3, float(v))
+    if v.size == 2:
+        # (row, col) detector spacing -> (v, u); z-extent handled separately
+        return np.array([float(v[1]), float(v[1]), float(v[0])])
+    return v[::-1].copy()  # (slice, row, col) -> (x, y, z)
+
+
+def xray_geometry(
+    geometry_type: str,
+    angles,
+    detector_spacing=1.0,
+    source_radius: float = 80.0,
+    detector_radius: float = 20.0,
+    geometry_vectors=None,
+):
+    """Per-view ray vectors, astra ``geom_2vec`` style.
+
+    Returns dict of float64 numpy arrays, each of shape (A, 3):
+    ``ray`` (ray direction for parallel beams, else None), ``src`` (source
+    position for divergent beams, else None), ``det`` (detector centre),
+    ``u`` / ``v`` (detector cell axes, scaled by the cell pitch).
+    """
+    if geometry_vectors is not None:
+        V = np.asarray(geometry_vectors, np.float64)
+        if V.ndim != 2 or V.shape[1] not in (6, 12):
+            raise ValueError("geometry_vectors must be (A, 12) (3D) or (A, 6) (2D)")
+        if V.shape[1] == 6:  # 2D: (rayX, rayY | srcX, srcY), (dX, dY), (uX, uY)
+            pad = np.zeros((V.shape[0], 1))
+            first = np.concatenate([V[:, 0:2], pad], 1)
+            det = np.concatenate([V[:, 2:4], pad], 1)
+            u = np.concatenate([V[:, 4:6], pad], 1)
+            v = np.tile(np.array([[0.0, 0.0, 1.0]]), (V.shape[0], 1))
+        else:  # 3D: (ray|src, d, u, v) triples
+            first, det, u, v = V[:, 0:3], V[:, 3:6], V[:, 6:9], V[:, 9:12]
+        parallel = geometry_type in ("parallel", "parallel3d")
+        return dict(
+            ray=first if parallel else None,
+            src=None if parallel else first,
+            det=det, u=u, v=v,
+        )
+
+    a = np.asarray(angles, np.float64)
+    sin, cos = np.sin(a), np.cos(a)
+    zeros = np.zeros_like(a)
+    d = np.stack([sin, cos, zeros], -1)  # ray direction
+    u_hat = np.stack([cos, -sin, zeros], -1)
+    v_hat = np.stack([zeros, zeros, np.ones_like(a)], -1)
+    ds = np.atleast_1d(np.asarray(detector_spacing, np.float64))
+    du = float(ds[-1])
+    dv = float(ds[0]) if ds.size > 1 else 1.0
+    if geometry_type in ("parallel", "parallel3d"):
+        return dict(ray=d, src=None, det=np.zeros_like(d), u=u_hat * du, v=v_hat * dv)
+    if geometry_type in ("fanbeam", "conebeam", "fanflat", "cone"):
+        return dict(
+            ray=None,
+            src=-source_radius * d,
+            det=detector_radius * d,
+            u=u_hat * du,
+            v=v_hat * dv,
+        )
+    raise ValueError(f"unknown geometry_type {geometry_type!r}")
+
+
+def _ray_bundle(geom, n_v: int, n_u: int):
+    """Ray origins/directions for every (view, v-row, u-col) detector cell.
+
+    Returns (P0, D) with shape (A, n_v, n_u, 3); D is NOT normalized for
+    divergent beams — ``t`` in [0, 1] spans source->detector-cell, so the
+    per-sample path length is ``|D| dt``.
+    """
+    det, u, v = geom["det"], geom["u"], geom["v"]
+    iu = np.arange(n_u, dtype=np.float64) - (n_u - 1) / 2.0
+    iv = np.arange(n_v, dtype=np.float64) - (n_v - 1) / 2.0
+    # cell centre positions: (A, V, N, 3)
+    cells = (
+        det[:, None, None, :]
+        + iv[None, :, None, None] * v[:, None, None, :]
+        + iu[None, None, :, None] * u[:, None, None, :]
+    )
+    if geom["ray"] is not None:
+        D = np.broadcast_to(geom["ray"][:, None, None, :], cells.shape)
+        return cells, D.copy()
+    src = np.broadcast_to(geom["src"][:, None, None, :], cells.shape)
+    return src.copy(), cells - src
+
+
+def xray_transform(
+    x,
+    geom: dict,
+    img_size,
+    pixel_spacing=1.0,
+    n_detector_pixels=None,
+    n_steps: int | None = None,
+    chunk_views: int | None = None,
+    interp_order: int = 1,
+):
+    """Line integrals of a volume along the rays of ``geom``.
+
+    :param x: (B, C, H, W) image or (B, C, D, H, W) volume.
+    :param geom: output of :func:`xray_geometry`.
+    :param img_size: (H, W) or (D, H, W) — static grid shape.
+    :param pixel_spacing: scalar or per-axis voxel pitch (slice, row, col).
+    :param n_detector_pixels: int (2D) or (rows, cols) (3D).
+    :returns: (B, C, A, N) sinogram or (B, C, V, A, N) radiograph stack,
+        in physical length units (matches astra's scaling).
+    """
+    geom = _geom_np(geom)
+    is_2d = len(img_size) == 2
+    shape3 = (1, *img_size) if is_2d else tuple(img_size)
+    Dz, H, W = shape3
+    sp = _as3(pixel_spacing, 1.0)  # (sx, sy, sz)
+    if is_2d:
+        n_u = int(n_detector_pixels or math.ceil(math.sqrt(2) * img_size[0]))
+        n_v = 1
+    else:
+        if n_detector_pixels is None:
+            n_v, n_u = Dz, int(math.ceil(math.sqrt(2) * H))
+        else:
+            n_v, n_u = (int(n_detector_pixels),) * 2 if np.isscalar(
+                n_detector_pixels
+            ) else tuple(int(t) for t in n_detector_pixels)
+
+    P0, Dir = _ray_bundle(geom, n_v, n_u)  # (A, V, N, 3) float64 numpy
+    A = P0.shape[0]
+    # clip each ray to the volume's bounding sphere |P0 + t D|^2 = R^2
+    extent = np.array([W * sp[0], H * sp[1], Dz * sp[2]])
+    if is_2d:
+        extent[2] = 0.0
+    R = 0.5 * float(np.linalg.norm(extent))
+    d2 = np.sum(Dir * Dir, -1)
+    d2 = np.maximum(d2, 1e-30)
+    b = np.sum(P0 * Dir, -1) / d2
+    c = (np.sum(P0 * P0, -1) - R * R) / d2
+    disc = b * b - c
+    hit = disc > 0
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t0, t1 = -b - sq, -b + sq
+    if geom["ray"] is None:
+        # divergent: integrate only forward of the source, up to the detector
+        t0, t1 = np.clip(t0, 0.0, 1.0), np.clip(t1, 0.0, 1.0)
+    seg_len = np.where(hit, (t1 - t0) * np.sqrt(d2), 0.0)  # physical length
+
+    if n_steps is None:
+        n_steps = 3 * max(shape3)
+    ts = np.linspace(0.5 / n_steps, 1.0 - 0.5 / n_steps, n_steps)
+
+    if chunk_views is None:
+        budget = 1 << 22
+        chunk_views = max(1, min(A, budget // max(1, n_v * n_u * n_steps)))
+    n_chunks = (A + chunk_views - 1) // chunk_views
+    pad_views = n_chunks * chunk_views - A
+
+    def pad_v(arr):
+        return np.concatenate([arr, np.repeat(arr[-1:], pad_views, 0)], 0) if pad_views else arr
+
+    P0j = jnp.asarray(pad_v(P0), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u, 3)
+    Dj = jnp.asarray(pad_v(Dir), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u, 3)
+    t0j = jnp.asarray(pad_v(t0), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u)
+    t1j = jnp.asarray(pad_v(t1), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u)
+    slj = jnp.asarray(pad_v(seg_len), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u)
+    tsj = jnp.asarray(ts, jnp.float32)
+    spj = jnp.asarray(sp, jnp.float32)
+    center = jnp.asarray([(W - 1) / 2.0, (H - 1) / 2.0, (Dz - 1) / 2.0], jnp.float32)
+
+    B, C = x.shape[:2]
+    vol = x.reshape(B * C, Dz, H, W)
+
+    def integrate_chunk(args):
+        p0, dvec, ta, tb, sl = args  # (chunk, V, N, [3])
+        tt = ta[..., None] + tsj * (tb - ta)[..., None]  # (chunk, V, N, T)
+        pts = p0[..., None, :] + tt[..., None] * dvec[..., None, :]
+        # world -> voxel index (col, row, slice)
+        idx = pts / spj + center
+        cols, rows, slcs = idx[..., 0], idx[..., 1], idx[..., 2]
+        if is_2d:
+            coords = [jnp.zeros_like(rows), rows, cols]
+        else:
+            coords = [slcs, rows, cols]
+
+        def sample_one(v):
+            vals = jax.scipy.ndimage.map_coordinates(
+                v, coords, order=interp_order, mode="constant"
+            )  # (chunk, V, N, T)
+            return jnp.mean(vals, axis=-1) * sl  # (chunk, V, N)
+
+        return jax.vmap(sample_one)(vol)  # (BC, chunk, V, N)
+
+    # unrolled chunk loop (n_chunks is static and small): keeps the volume an
+    # explicit linear input of every gather, so jax.linear_transpose works —
+    # lax.map/scan cannot transpose with respect to closed-over linear values
+    out = jnp.stack(
+        [
+            integrate_chunk((P0j[i], Dj[i], t0j[i], t1j[i], slj[i]))
+            for i in range(n_chunks)
+        ]
+    )  # (n_chunks, BC, chunk, V, N)
+    out = jnp.moveaxis(out, 1, 0).reshape(B * C, n_chunks * chunk_views, n_v, n_u)
+    out = out[:, :A]  # (BC, A, V, N)
+    out = jnp.moveaxis(out, 1, 2)  # (BC, V, A, N)
+    out = out.reshape(B, C, n_v, A, n_u)
+    if is_2d:
+        out = out[:, :, 0]  # (B, C, A, N)
+    return out.astype(x.dtype)
+
+
+def fdk_weights(geom: dict, n_v: int, n_u: int):
+    """Feldkamp-Davis-Kress cosine weights ``Rs0 / |cell - src|`` per view
+    and detector cell (reference tomography.py:623 ``fbp_weighting``).
+
+    Returns (A, V, N) float32; all-ones for parallel geometries.
+    """
+    geom = _geom_np(geom)
+    if geom["ray"] is not None:
+        A = geom["det"].shape[0]
+        return jnp.ones((A, n_v, n_u), jnp.float32)
+    P0, Dir = _ray_bundle(geom, n_v, n_u)  # src, cell - src
+    src_obj = np.linalg.norm(geom["src"], axis=-1)  # (A,)
+    ray_len = np.linalg.norm(Dir, axis=-1)  # (A, V, N)
+    return jnp.asarray(src_obj[:, None, None] / np.maximum(ray_len, 1e-30), jnp.float32)

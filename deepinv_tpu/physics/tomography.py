@@ -6,9 +6,9 @@ unlike the reference's interpolation-based approximate adjoint — so the
 universal adjointness property tests hold to float precision. ``A_dagger``
 is filtered backprojection.
 
-The reference's ``TomographyWithAstra`` (CUDA astra-toolbox bridge,
-tomography.py:353) has no TPU equivalent; the pure path covers its parallel-
-beam functionality.
+``TomographyWithAstra`` re-implements the reference's astra-toolbox bridge
+(tomography.py:353) natively: 2D parallel/fan and 3D parallel/cone beam with
+physical spacings, per-view vector geometries, FBP/FDK — see ops/xray.py.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ from ..ops.radon_slice import (
 )
 from .base import LinearPhysics
 
-__all__ = ["Tomography", "Tomography3D"]
+__all__ = ["Tomography", "Tomography3D", "TomographyWithAstra"]
 
 
 class Tomography(LinearPhysics):
@@ -172,18 +172,202 @@ class Tomography(LinearPhysics):
         return self.A_dagger(y, **params)
 
 
-class TomographyWithAstra:
-    """Gated adapter for the ASTRA toolbox (reference tomography.py
-    TomographyWithAstra). ASTRA is a CUDA/CPU C++ library not available on
-    TPU; the native :class:`Tomography` (interp | fourier projectors,
-    parallel and fan beam) covers the same geometries on-device."""
+class TomographyWithAstra(LinearPhysics):
+    r"""X-ray transform with 2D/3D parallel, fan-beam and cone-beam
+    geometries — the reference's astra-toolbox bridge
+    (tomography.py:353), re-implemented natively for TPU.
 
-    def __init__(self, *args, **kwargs):
-        raise ImportError(
-            "TomographyWithAstra requires the 'astra-toolbox' package "
-            "(CUDA/CPU only). Use deepinv_tpu.physics.Tomography instead — "
-            "it provides parallel/fan-beam projectors natively on TPU."
+    Where the reference hands rays to the astra CUDA kernels
+    (functional/astra.py:13 ``XrayTransform``), this class uses the pure-XLA
+    ray-driven projector in :mod:`deepinv_tpu.ops.xray`: per-view ray
+    bundles clipped to the volume's bounding sphere, trilinear
+    ``map_coordinates`` gathers, views processed in ``lax.map`` chunks.
+    Two deliberate improvements over astra's semantics:
+
+    - the adjoint is the *exact* transpose of the forward
+      (``jax.linear_transpose``) instead of astra's unmatched rescaled
+      pixel-driven backprojector (reference warns about this at
+      tomography.py:399-404), so ``adjointness_test`` holds to float
+      precision and CG-based ``A_dagger``/``prox_l2`` are sound;
+    - everything is differentiable and jittable, including through the
+      geometry-independent FDK weights.
+
+    Sinogram layout matches the reference: ``[B,C,A,N]`` in 2D and
+    ``[B,C,V,A,N]`` in 3D (detector rows, angles, detector cols).
+    ``A_dagger(y, fbp=True)`` is filtered backprojection, with FDK cosine
+    weighting in cone-beam 3D (reference ``fbp_weighting``
+    tomography.py:623-680).
+
+    :param img_size: (H, W) for 2D or (D, H, W) for 3D.
+    :param angles: number of views (uniform over ``angular_range``) or an
+        explicit array of angles in degrees.
+    :param n_detector_pixels: int (2D) or (rows, cols) (3D); default
+        ``ceil(sqrt(2) H)`` (2D) / ``(D, ceil(sqrt(2) H))`` (3D).
+    :param angular_range: in degrees, default (0, 180).
+    :param detector_spacing: cell pitch — float (2D) or (row, col) (3D).
+    :param pixel_spacing: voxel pitch — float or per-axis (slice, row, col).
+    :param geometry_type: 'parallel' | 'fanbeam' (2D) | 'conebeam' (3D).
+    :param geometry_parameters: dict with ``source_radius`` /
+        ``detector_radius`` for divergent beams (defaults 80 / 20).
+    :param geometry_vectors: optional (A, 12) per-view vectors in astra's
+        ``geom_2vec`` layout ((ray|src), det-centre, u, v triples) — takes
+        precedence over ``angles``.
+    :param normalize: scale ``A``/``A_adjoint`` by the operator norm so
+        :math:`\|A\|\approx 1` (reference default True with a warning).
+    """
+
+    def __init__(
+        self,
+        img_size,
+        angles=180,
+        n_detector_pixels=None,
+        angular_range=(0, 180),
+        detector_spacing=1.0,
+        pixel_spacing=1.0,
+        geometry_type: str = "parallel",
+        geometry_parameters: Optional[dict] = None,
+        geometry_vectors=None,
+        normalize: Optional[bool] = None,
+        n_steps: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        img_size = tuple(int(s) for s in img_size)
+        if len(img_size) not in (2, 3):
+            raise ValueError("img_size must be (H, W) or (D, H, W)")
+        self.img_size = img_size
+        self.is_2d = len(img_size) == 2
+        gp = dict(geometry_parameters or {})
+        gp.setdefault("source_radius", 80.0)
+        gp.setdefault("detector_radius", 20.0)
+        self.geometry_type = geometry_type
+        if self.is_2d and geometry_type not in ("parallel", "fanbeam"):
+            raise ValueError("2D geometry_type must be 'parallel' or 'fanbeam'")
+        if not self.is_2d and geometry_type not in ("parallel", "conebeam"):
+            raise ValueError("3D geometry_type must be 'parallel' or 'conebeam'")
+
+        if geometry_vectors is not None:
+            n_angles = np.asarray(geometry_vectors).shape[0]
+            theta = None
+        elif isinstance(angles, int):
+            theta = np.linspace(*angular_range, num=angles + 1)[:-1]
+            n_angles = angles
+        else:
+            theta = np.asarray(angles, np.float64)
+            n_angles = theta.shape[0]
+        self._n_angles = int(n_angles)
+        self.theta = None if theta is None else jnp.asarray(theta, jnp.float32)
+
+        from ..ops.xray import xray_geometry, geometry_static
+
+        self._geom = geometry_static(xray_geometry(
+            geometry_type if self.is_2d or geometry_type == "conebeam"
+            else "parallel3d",
+            np.deg2rad(theta) if theta is not None else None,
+            detector_spacing=detector_spacing,
+            source_radius=gp["source_radius"],
+            detector_radius=gp["detector_radius"],
+            geometry_vectors=geometry_vectors,
+        ))
+        H = img_size[-2]
+        if n_detector_pixels is None:
+            n_det_u = int(math.ceil(math.sqrt(2) * img_size[0]))
+            n_detector_pixels = n_det_u if self.is_2d else (img_size[0], n_det_u)
+        self.n_detector_pixels = n_detector_pixels
+        if self.is_2d:
+            self._n_v, self._n_u = 1, int(n_detector_pixels)
+        else:
+            self._n_v, self._n_u = (int(t) for t in n_detector_pixels)
+        self.pixel_spacing = pixel_spacing
+        self.detector_spacing = detector_spacing
+        self._n_steps = n_steps
+        sp = np.atleast_1d(np.asarray(pixel_spacing, np.float64))
+        ds = np.atleast_1d(np.asarray(detector_spacing, np.float64))
+        self._cell_v_length = float(ds[0]) if (not self.is_2d and ds.size > 1) else 1.0
+        self._cell_volume = float(np.prod(sp)) if sp.size > 1 else float(
+            sp[0] ** len(img_size)
         )
+
+        if normalize is None:
+            import warnings
+
+            warnings.warn(
+                "The default value of `normalize` is not specified and will "
+                "be automatically set to `True`."
+            )
+            normalize = True
+        self.normalize = False
+        self.operator_norm = None
+        if normalize:
+            x0 = jax.random.normal(jax.random.key(0), (1, 1) + img_size)
+            self.operator_norm = jnp.sqrt(self.compute_norm(x0, max_iter=20))
+            self.normalize = True
+
+    @property
+    def measurement_shape(self):
+        if self.is_2d:
+            return (self._n_angles, self._n_u)
+        return (self._n_v, self._n_angles, self._n_u)
+
+    @property
+    def num_angles(self) -> int:
+        return self._n_angles
+
+    def _project(self, x):
+        from ..ops.xray import xray_transform
+
+        return xray_transform(
+            x, self._geom, self.img_size,
+            pixel_spacing=self.pixel_spacing,
+            n_detector_pixels=self.n_detector_pixels,
+            n_steps=self._n_steps,
+        )
+
+    def A(self, x, **params):
+        y = self._project(x)
+        if self.normalize:
+            y = y / self.operator_norm
+        return y
+
+    def A_adjoint(self, y, **params):
+        B, C = y.shape[:2]
+        x_shape = (B, C) + self.img_size
+        (xt,) = jax.linear_transpose(
+            self._project, jax.ShapeDtypeStruct(x_shape, y.dtype)
+        )(y)
+        if self.normalize:
+            xt = xt / self.operator_norm
+        return xt
+
+    def fbp_weighting(self, sinogram):
+        """Inverse-view-count + cell-ratio scaling; FDK cosine weights in
+        cone-beam 3D (reference tomography.py:623)."""
+        from ..ops.xray import fdk_weights
+
+        is_3d = sinogram.ndim == 5
+        if self.geometry_type == "conebeam" and is_3d:
+            w = fdk_weights(self._geom, self._n_v, self._n_u)  # (A, V, N)
+            sinogram = sinogram * jnp.moveaxis(w, 0, 1)[None, None]
+        sinogram = sinogram * self._cell_v_length / self._cell_volume
+        return sinogram * jnp.pi / (2 * self.num_angles)
+
+    def fbp(self, y, **params):
+        """Filtered backprojection / FDK (reference tomography.py:692)."""
+        from ..ops.radon import ramp_filter
+
+        # ramp filter along the detector-column axis (last)
+        filtered = jnp.moveaxis(
+            ramp_filter(jnp.moveaxis(y, -1, -2)), -2, -1
+        )
+        out = self.A_adjoint(self.fbp_weighting(filtered))
+        if self.normalize:
+            out = out * self.operator_norm**2
+        return out
+
+    def A_dagger(self, y, fbp: bool = False, **params):
+        if fbp:
+            return self.fbp(y, **params)
+        return super().A_dagger(y, **params)
 
 
 class Tomography3D(LinearPhysics):

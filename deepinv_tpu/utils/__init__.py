@@ -3,6 +3,10 @@ from .plotting import plot, plot_curves, plot_parameters, plot_inset, scatter_pl
 from .mixins import TimeMixin, TiledMixin2d, tiled_apply
 from .io import DownloadError, load_np, load_mat, load_tiff, load_url, load_example, get_cache_home, get_data_home
 from .profiling import trace, compiled_cost, timeit
+from .decorators import (
+    deprecated_alias, deprecated_argument, deprecated_func, deprecated_class,
+    deprecated_func_replaced_by, deprecate_attribute,
+)
 from .functional import (
     complex_abs, dirac, dirac_like, dirac_comb, dirac_comb_like,
     ones_like, zeros_like, rand_like, randn_like, get_timestamp, get_device,

@@ -168,3 +168,73 @@ def test_native_image_loader(tmp_path):
     assert np_mod.abs(x - ref).max() < 1e-6  # same-size bilinear resize is the identity
     batches = list(ds.batches(3))
     assert [bb.shape[0] for bb in batches] == [3, 2]
+
+
+def test_deprecation_decorators():
+    """utils/decorators.py mirrors reference utils/decorators.py semantics:
+    renamed kwargs forward with a warning, dropped kwargs vanish, redirect
+    forwards calls, attribute access warns but works."""
+    import warnings
+    import pytest as _pytest
+    from deepinv_tpu.utils import (
+        deprecated_alias, deprecated_argument, deprecated_func,
+        deprecated_class, deprecated_func_replaced_by, deprecate_attribute,
+    )
+
+    @deprecated_alias(old="new")
+    def f(new=1):
+        return new
+
+    with _pytest.warns(DeprecationWarning):
+        assert f(old=5) == 5
+    with _pytest.raises(TypeError):
+        f(old=1, new=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert f(new=3) == 3  # no warning on the new name
+
+    @deprecated_argument("legacy")
+    def g(x):
+        return x
+
+    with _pytest.warns(DeprecationWarning):
+        assert g(2, legacy=9) == 2
+
+    @deprecated_func
+    def h():
+        return "ok"
+
+    with _pytest.warns(DeprecationWarning):
+        assert h() == "ok"
+
+    @deprecated_class
+    class C:
+        def __init__(self, v):
+            self.v = v
+
+    with _pytest.warns(DeprecationWarning):
+        assert C(4).v == 4
+
+    def new_fn(x):
+        return x * 2
+
+    @deprecated_func_replaced_by(new_fn, redirect=True, since="0.1", remove_in="0.3")
+    def old_fn(x):
+        raise AssertionError("should have been redirected")
+
+    with _pytest.warns(DeprecationWarning, match="new_fn"):
+        assert old_fn(3) == 6
+
+    class Holder:
+        pass
+
+    ho = Holder()
+    deprecate_attribute(
+        ho, attr_name="field", attr_underscore_name="_field",
+        attr_initial_value=7, deprecation_message="field is deprecated",
+    )
+    with _pytest.warns(DeprecationWarning):
+        assert ho.field == 7
+    with _pytest.warns(DeprecationWarning):
+        ho.field = 8
+    assert ho._field == 8

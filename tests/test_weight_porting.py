@@ -334,6 +334,28 @@ def test_dsccp_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(y - y_ref).max() < 1e-3, np.abs(y - y_ref).max()
 
 
+def test_kernel_network_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our KernelIdentificationNetwork reproduces the reference given the
+    same torch weights — carbajal_kernel_identification_network.pth ports
+    directly (reference models/kernel_network.py:9)."""
+    from deepinv.models import KernelIdentificationNetwork as RefKIN
+    from deepinv_tpu.models import KernelIdentificationNetwork
+
+    ref = RefKIN(filters=4, pretrained=None)
+    ref.eval()
+    sd = {k: np.asarray(v.detach().numpy()) for k, v in ref.state_dict().items()}
+    m = KernelIdentificationNetwork(filters=4, pretrained=sd)
+
+    x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        out_ref = ref(x)
+    out = jax.jit(lambda mm, v: mm(v))(m, jnp.asarray(x.numpy()))
+    for k in ("filters", "multipliers"):
+        a, b = np.asarray(out[k]), out_ref[k].numpy()
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        assert np.abs(a - b).max() < 1e-5, (k, np.abs(a - b).max())
+
+
 def test_dncnn_port_bit_faithful(reference, torch):  # noqa: F811
     """Same check for DnCNN (reference models/dncnn.py)."""
     from deepinv.models import DnCNN as RefDnCNN
