@@ -108,7 +108,12 @@ class _ChainTransform(Transform):
     def get_params(self, x, key=None):
         key = ensure_key(key, 0)
         k1, k2 = jax.random.split(key)
-        return {"p1": self.t1.get_params(x, k1), "p2": self.t2.get_params(x, k2)}
+        # t2 expands the batch to n_trans2*B before t1 acts, so t1's params
+        # must be drawn for the *expanded* batch (reference ChainTransform
+        # applies each factor's params per final batch element, base.py:319)
+        p2 = self.t2.get_params(x, k2)
+        x2 = self.t2._repeat(x)
+        return {"p1": self.t1.get_params(x2, k1), "p2": p2}
 
     def invert_params(self, params):
         return {
@@ -119,8 +124,17 @@ class _ChainTransform(Transform):
     def transform(self, x, p1=None, p2=None):
         return self.t1.transform(self.t2.transform(x, **p2), **p1)
 
+    def _tile_p2(self, p2):
+        # after t1 expands the batch to n1*(n2*B), t2's params must repeat
+        # across the n1 copies (t1's _repeat tiles whole batch blocks)
+        n1 = self.t1.n_trans
+        return jax.tree_util.tree_map(
+            lambda p: jnp.tile(p, (n1,) + (1,) * (p.ndim - 1)), p2
+        )
+
     def inverse(self, x, p1=None, p2=None):
-        return self.t2.inverse(self.t1.inverse(x, **p1), **p2)
+        y = self.t1.inverse(x, **p1)
+        return self.t2.inverse(y, **self._tile_p2(p2))
 
 
 class _StackTransform(Transform):

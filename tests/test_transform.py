@@ -1,0 +1,156 @@
+"""Group-action transforms (reference deepinv/tests/test_transform.py).
+
+Property tests over the transform zoo: inverse ∘ transform = identity for
+exact actions, approximate identity for interpolating warps, chain/stack
+algebra shapes, symmetrize averaging, and jit compatibility.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinv_tpu.transform import (
+    Transform,
+    Shift,
+    Rotate,
+    Scale,
+    Reflect,
+    Homography,
+    ShiftTime,
+    RandomNoise,
+    CPABDiffeomorphism,
+)
+
+
+@pytest.fixture
+def x():
+    # smooth image so bilinear-warp round trips stay accurate
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    img = np.stack(
+        [np.sin(4 * np.pi * xx) * np.cos(2 * np.pi * yy), xx * yy, (xx + yy) / 2]
+    )
+    return jnp.asarray(img, jnp.float32)[None]
+
+
+EXACT = [
+    Shift(),
+    Rotate(multiples=90),
+    Reflect(dim=(-2, -1)),
+]
+
+
+@pytest.mark.parametrize("t", EXACT, ids=lambda t: type(t).__name__)
+def test_exact_inverse(t, x, key):
+    p = t.get_params(x, key)
+    xt = t.transform(x, **p)
+    back = t.inverse(xt, **p)
+    assert np.allclose(back, x, atol=1e-6)
+
+
+def test_rotate_arbitrary_angle_inverse(x, key):
+    t = Rotate(multiples=17.0, limits=68.0)
+    p = t.get_params(x, key)
+    xt = t.transform(x, **p)
+    back = t.inverse(xt, **p)
+    # bilinear warps only invert approximately; check the interior
+    inner = (slice(None), slice(None), slice(8, 24), slice(8, 24))
+    err = float(jnp.abs(back[inner] - x[inner]).mean())
+    assert err < 0.06, err
+
+
+def test_homography_inverse(x, key):
+    t = Homography(theta_max=0.05)
+    p = t.get_params(x, key)
+    back = t.inverse(t.transform(x, **p), **p)
+    inner = (slice(None), slice(None), slice(8, 24), slice(8, 24))
+    assert float(jnp.abs(back[inner] - x[inner]).mean()) < 0.06
+
+
+def test_scale_params_invert(x, key):
+    t = Scale(factors=(0.5,))
+    p = t.get_params(x, key)
+    pi = t.invert_params(p)
+    assert np.allclose(np.asarray(p["factor"]) * np.asarray(pi["factor"]), 1.0)
+    assert t.transform(x, **p).shape == x.shape
+
+
+def test_cpab_inverse(x, key):
+    t = CPABDiffeomorphism()
+    p = t.get_params(x, key)
+    back = t.inverse(t.transform(x, **p), **p)
+    inner = (slice(None), slice(None), slice(8, 24), slice(8, 24))
+    assert float(jnp.abs(back[inner] - x[inner]).mean()) < 0.06
+
+
+def test_shift_time(key):
+    v = jnp.asarray(np.random.default_rng(0).random((2, 1, 6, 8, 8)), jnp.float32)
+    t = ShiftTime()
+    p = t.get_params(v, key)
+    assert np.allclose(t.inverse(t.transform(v, **p), **p), v, atol=1e-6)
+
+
+def test_n_trans_and_algebra(x, key):
+    """t1 * t2 chains (n_trans multiplies), t1 + t2 stacks (n_trans adds) —
+    reference base.py:319,346."""
+    t1, t2 = Shift(n_trans=2), Reflect(dim=(-1,), n_trans=3)
+    chain = t1 * t2
+    assert chain.n_trans == 6
+    out = chain(x, key=key)
+    assert out.shape[0] == 6 * x.shape[0]
+    stack = t1 + t2
+    assert stack.n_trans == 5
+    assert stack(x, key=key).shape[0] == 5 * x.shape[0]
+
+    # chained inverse really undoes both actions
+    p = chain.get_params(x, key)
+    assert np.allclose(chain.inverse(chain.transform(x, **p), **p), x, atol=1e-6)
+
+
+def test_symmetrize_identity_denoiser(x, key):
+    """Symmetrizing the identity yields the identity for exact group
+    actions (reference base.py:259)."""
+    t = Rotate(multiples=90, n_trans=4)
+    sym = t.symmetrize(lambda v: v)
+    out = sym(x, key=key)
+    assert out.shape == x.shape
+    assert np.allclose(out, x, atol=1e-6)
+
+
+def test_symmetrize_makes_equivariant(x, key):
+    """A deliberately non-equivariant map becomes reflect-invariant after
+    symmetrization over the full reflection subgroup."""
+    mask = jnp.asarray(np.linspace(0, 1, 32), jnp.float32)[None, None, None, :]
+    f = lambda v: v * mask  # breaks mirror symmetry
+
+    class AllReflect(Reflect):
+        def get_params(self, v, key=None):
+            return {"flip": jnp.asarray([[0.0], [1.0]], jnp.float32)}
+
+    t = AllReflect(dim=(-1,), n_trans=2)
+    sym = t.symmetrize(f)
+    out = sym(x, key=key)
+    flipped_in = jnp.flip(x, axis=-1)
+    out2 = sym(flipped_in, key=key)
+    assert np.allclose(jnp.flip(out2, axis=-1), out, atol=1e-5)
+
+
+def test_random_noise_transform(x, key):
+    t = RandomNoise(sigma=0.1)
+    p = t.get_params(x, key)
+    xt = t.transform(x, **p)
+    assert xt.shape == x.shape and float(jnp.abs(xt - x).std()) > 0.01
+    # not a group action: inverse is identity on params
+    assert np.allclose(t.inverse(xt, **t.invert_params(p)), xt)
+
+
+def test_transforms_jit(x, key):
+    """Transforms are pytrees: jit over (transform, image, key)."""
+    t = Rotate(multiples=90)
+
+    @jax.jit
+    def apply(tr, v, k):
+        p = tr.get_params(v, k)
+        return tr.inverse(tr.transform(v, **p), **p)
+
+    assert np.allclose(apply(t, x, key), x, atol=1e-6)
