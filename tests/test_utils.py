@@ -1,0 +1,187 @@
+"""Utility layer (reference deepinv/tests/test_utils.py).
+
+TensorList algebra beyond the core tests, patch extraction round trips,
+tiled inference, signal normalization, dirac helpers, loggers, plotting
+smoke tests (Agg backend), and IO helpers.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from deepinv_tpu.utils import (
+    AverageMeter,
+    ProgressMeter,
+    CSVLogger,
+    TensorList,
+    complex_abs,
+    dirac,
+    dirac_like,
+    dirac_comb,
+    normalize_signal,
+    image_to_patches,
+    patches_to_image,
+    patchify,
+    resize_pad_square_tensor,
+    tiled_apply,
+    plot,
+    plot_curves,
+    scatter_plot,
+    rescale_img,
+)
+
+
+def test_dirac_helpers():
+    d = dirac((1, 1, 7, 7))
+    assert float(d.sum()) == 1.0
+    assert float(d[0, 0, 3, 3]) == 1.0
+    x = jnp.zeros((2, 3, 8, 8))
+    dl = dirac_like(x)
+    assert dl.shape == x.shape and np.allclose(dl.sum(axis=(-2, -1)), 1.0)
+    comb = dirac_comb((1, 1, 8, 8), period=4)
+    assert float(comb.sum()) == 4.0
+
+
+def test_complex_abs():
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 4, 4)), jnp.float32)
+    mag = complex_abs(z)
+    assert mag.shape == (2, 1, 4, 4)
+    assert np.allclose(mag, np.sqrt(z[:, :1] ** 2 + z[:, 1:] ** 2), atol=1e-6)
+
+
+def test_normalize_signal():
+    x = jnp.asarray(np.random.default_rng(1).normal(2.0, 3.0, (3, 1, 8, 8)), jnp.float32)
+    n = normalize_signal(x)
+    flat = np.asarray(n).reshape(3, -1)
+    assert np.allclose(flat.min(axis=1), 0.0, atol=1e-6)
+    assert np.allclose(flat.max(axis=1), 1.0, atol=1e-6)
+    c = normalize_signal(x, mode="clip")
+    assert float(c.min()) >= 0.0 and float(c.max()) <= 1.0
+
+
+@pytest.mark.parametrize("stride", [8, 4])
+def test_patchify_roundtrip(stride):
+    """Non-overlapping reconstruction is exact; overlapping averages to the
+    original when patches agree (reference test_utils.py:1232-1248)."""
+    x = jnp.asarray(np.random.default_rng(2).random((2, 3, 16, 16)), jnp.float32)
+    p = image_to_patches(x, 8, stride=stride)
+    nH = (16 - 8) // stride + 1
+    assert p.shape == (2, nH * nH, 3, 8, 8)
+    back = patches_to_image(p, (16, 16), stride=stride)
+    assert np.allclose(back, x, atol=1e-6)
+    assert patchify is image_to_patches
+
+
+def test_patch_content():
+    x = jnp.arange(16.0).reshape(1, 1, 4, 4)
+    p = image_to_patches(x, 2)
+    assert np.allclose(p[0, 0, 0], x[0, 0, :2, :2])
+    assert np.allclose(p[0, 1, 0], x[0, 0, :2, 2:])
+
+
+def test_tiled_apply_identity_and_linearity():
+    """Overlap-blended tiling reconstructs the identity exactly and
+    commutes with any linear pixelwise map (utils/_tiling.py semantics)."""
+    x = jnp.asarray(np.random.default_rng(3).random((1, 3, 70, 50)), jnp.float32)
+    out = tiled_apply(lambda v: v, x, patch_size=32, overlap=8)
+    assert out.shape == x.shape
+    assert np.allclose(out, x, atol=1e-5)
+    out2 = tiled_apply(lambda v: 2.0 * v + 1.0, x, patch_size=32, overlap=8)
+    assert np.allclose(out2, 2.0 * x + 1.0, atol=1e-5)
+
+
+def test_resize_pad_square():
+    x = jnp.ones((1, 1, 10, 20))
+    out = resize_pad_square_tensor(x, 32)
+    assert out.shape == (1, 1, 32, 32)
+    # aspect preserved: content occupies ~16 rows
+    occupied = (np.asarray(out)[0, 0].sum(axis=1) > 0.1).sum()
+    assert 14 <= occupied <= 18
+
+
+def test_average_meter_uneven_batches():
+    m = AverageMeter("loss")
+    m.update(1.0, n=2)
+    m.update(4.0, n=6)
+    assert np.isclose(m.avg, (1.0 * 2 + 4.0 * 6) / 8)
+    assert m.count == 8 and m.val == 4.0
+    assert "loss" in str(m)
+    m.reset()
+    assert m.count == 0 and m.avg == 0.0
+
+
+def test_progress_meter(capsys):
+    meters = [AverageMeter("psnr")]
+    meters[0].update(30.0)
+    ProgressMeter(10, meters, prefix="ep1 ").display(3)
+    out = capsys.readouterr().out
+    assert "ep1" in out and "psnr" in out
+
+
+def test_csv_logger(tmp_path):
+    path = os.path.join(tmp_path, "log.csv")
+    log = CSVLogger(path, fieldnames=["epoch", "loss"])
+    log.log(epoch=0, loss=1.5)
+    log.log(epoch=1, loss=0.5)
+    text = open(path).read()
+    assert "epoch" in text and "0.5" in text
+
+
+def test_tensorlist_randn_and_shapes(key):
+    tl = TensorList([jnp.zeros((1, 2, 3)), jnp.zeros((4,))])
+    from deepinv_tpu.core import randn_like
+
+    r = randn_like(key, tl)
+    assert isinstance(r, TensorList)
+    assert r[0].shape == (1, 2, 3) and r[1].shape == (4,)
+    s = tl + r
+    assert np.allclose(s[1], r[1])
+
+
+def test_plot_smoke(tmp_path):
+    """Plotting helpers run headless and save files (reference
+    test_utils.py:227-362)."""
+    x = jnp.asarray(np.random.default_rng(4).random((2, 3, 16, 16)), jnp.float32)
+    plot([x, x * 0.5], titles=["a", "b"], show=False,
+         save_fn=os.path.join(tmp_path, "p.png"))
+    assert os.path.exists(os.path.join(tmp_path, "p.png"))
+    plot_curves({"psnr": [[20.0, 21.0, 22.0]]}, show=False,
+                save_fn=os.path.join(tmp_path, "c.png"))
+    scatter_plot([jnp.asarray(np.random.default_rng(5).random((10, 2)))],
+                 show=False, save_fn=os.path.join(tmp_path, "s.png"))
+    r = rescale_img(x * 4.0 - 1.0)
+    assert float(r.min()) >= 0.0 and float(r.max()) <= 1.0
+
+
+def test_get_timestamp_and_devices():
+    from deepinv_tpu.utils import get_timestamp, get_device, devices_equal
+
+    ts = get_timestamp()
+    assert len(ts) >= 10
+    d = get_device()
+    assert devices_equal(d, d)
+
+
+def test_io_np_tiff_roundtrip(tmp_path):
+    from deepinv_tpu.utils import load_np, load_tiff
+
+    arr = np.random.default_rng(6).random((5, 7)).astype(np.float32)
+    p = os.path.join(tmp_path, "a.npy")
+    np.save(p, arr)
+    assert np.allclose(load_np(p), arr)
+    try:
+        from PIL import Image
+
+        tp = os.path.join(tmp_path, "a.tiff")
+        Image.fromarray((arr * 255).astype(np.uint8)).save(tp)
+        t = load_tiff(tp)
+        assert t.shape[-2:] == (5, 7)
+    except ImportError:
+        pass
