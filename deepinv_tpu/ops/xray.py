@@ -40,7 +40,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["xray_transform", "xray_geometry", "fdk_weights", "geometry_static"]
+__all__ = [
+    "xray_transform",
+    "xray_geometry",
+    "fdk_weights",
+    "geometry_static",
+    "ray_integrals",
+]
 
 
 def geometry_static(geom: dict) -> dict:
@@ -271,6 +277,104 @@ def xray_transform(
     if is_2d:
         out = out[:, :, 0]  # (B, C, A, N)
     return out.astype(x.dtype)
+
+
+def ray_integrals(
+    x,
+    p0,
+    p1,
+    img_size,
+    pixel_spacing=1.0,
+    n_steps: int | None = None,
+    chunk: int | None = None,
+    interp_order: int = 1,
+    clip_radius: float | None = None,
+):
+    """Line integrals along arbitrary endpoint-defined rays.
+
+    Unlike :func:`xray_transform` (per-view vector geometries planned in
+    numpy at trace time), the endpoints here are *traced* jnp arrays — this
+    serves geometries where every ray has its own direction, e.g. the
+    crystal-to-crystal LORs of a cylindrical PET scanner (the functionality
+    the reference obtains from parallelproj, deepinv/physics/pet.py:355).
+
+    :param x: (B, C, H, W) or (B, C, D, H, W) volume.
+    :param p0, p1: (..., 3) world-space ray endpoints (x, y, z); any leading
+        shape. Zero-length rays integrate to 0.
+    :param clip_radius: restrict sampling to the sphere of this radius about
+        the origin (default: volume bounding sphere) so samples are not
+        wasted outside the grid.
+    :returns: integrals with shape ``p0.shape[:-1]`` (batched as (B, C) +
+        that shape), in physical length units.
+    """
+    is_2d = len(img_size) == 2
+    shape3 = (1, *img_size) if is_2d else tuple(img_size)
+    Dz, H, W = shape3
+    sp = jnp.asarray(_as3(pixel_spacing, 1.0), jnp.float32)
+    center = jnp.asarray([(W - 1) / 2.0, (H - 1) / 2.0, (Dz - 1) / 2.0], jnp.float32)
+
+    lead = p0.shape[:-1]
+    p0f = p0.reshape(-1, 3).astype(jnp.float32)
+    p1f = p1.reshape(-1, 3).astype(jnp.float32)
+    if clip_radius is None:
+        extent = np.array([W, H, 0.0 if is_2d else Dz]) * np.asarray(
+            _as3(pixel_spacing, 1.0)
+        )
+        R = 0.5 * float(np.linalg.norm(extent))
+    else:
+        R = float(clip_radius)
+
+    Dir = p1f - p0f
+    d2 = jnp.maximum(jnp.sum(Dir * Dir, -1), 1e-30)
+    b = jnp.sum(p0f * Dir, -1) / d2
+    c = (jnp.sum(p0f * p0f, -1) - R * R) / d2
+    disc = b * b - c
+    hit = disc > 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = jnp.clip(-b - sq, 0.0, 1.0)
+    t1 = jnp.clip(-b + sq, 0.0, 1.0)
+    seg = jnp.where(hit, (t1 - t0) * jnp.sqrt(d2), 0.0)
+
+    if n_steps is None:
+        n_steps = 2 * max(shape3)
+    ts = jnp.linspace(0.5 / n_steps, 1.0 - 0.5 / n_steps, n_steps)
+
+    n_rays = p0f.shape[0]
+    if chunk is None:
+        chunk = max(1, min(n_rays, (1 << 22) // n_steps))
+    n_chunks = (n_rays + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_rays
+
+    def padded(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) if pad else a
+
+    P0c = padded(p0f).reshape(n_chunks, chunk, 3)
+    Dc = padded(Dir).reshape(n_chunks, chunk, 3)
+    t0c = padded(t0).reshape(n_chunks, chunk)
+    t1c = padded(t1).reshape(n_chunks, chunk)
+    segc = padded(seg).reshape(n_chunks, chunk)
+
+    B, C = x.shape[:2]
+    vol = x.reshape(B * C, Dz, H, W)
+
+    def one_chunk(i):
+        tt = t0c[i][:, None] + ts * (t1c[i] - t0c[i])[:, None]  # (chunk, T)
+        pts = P0c[i][:, None, :] + tt[..., None] * Dc[i][:, None, :]
+        idx = pts / sp + center
+        cols, rows, slcs = idx[..., 0], idx[..., 1], idx[..., 2]
+        coords = [jnp.zeros_like(rows) if is_2d else slcs, rows, cols]
+
+        def sample_one(v):
+            vals = jax.scipy.ndimage.map_coordinates(
+                v, coords, order=interp_order, mode="constant"
+            )
+            return jnp.mean(vals, axis=-1) * segc[i]
+
+        return jax.vmap(sample_one)(vol)  # (BC, chunk)
+
+    out = jnp.concatenate([one_chunk(i) for i in range(n_chunks)], axis=1)
+    out = out[:, :n_rays]
+    return out.reshape((B, C) + lead).astype(x.dtype)
 
 
 def fdk_weights(geom: dict, n_v: int, n_u: int):

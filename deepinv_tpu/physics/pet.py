@@ -5,9 +5,10 @@ Functions (pet.py:355,436). There is no TPU build of parallelproj; this
 implementation uses the framework's own parallel-beam projectors with the
 reference's PET modelling surface:
 
-- line-integral projector (2D, or 3D via per-plane projection — the direct
-  planes of a multi-ring scanner; oblique LORs are a parallelproj-specific
-  geometry and remain out of scope),
+- line-integral projector (2D, or 3D via per-plane projection, or the full
+  multi-ring cylinder geometry with oblique LORs when ``ring_differences``
+  is given: crystal-to-crystal rays per michelogram segment through
+  ``ops.xray.ray_integrals``, with an exact adjoint),
 - Gaussian resolution model ``g * x`` (reference ``fwhm_data_mm`` /
   ``GaussianFilterOperator``, pet.py:193),
 - attenuation correction factors ``c`` applied in sinogram space (an
@@ -49,6 +50,15 @@ class PET(LinearPhysics):
     :param normalize: scale A and A_adjoint by the operator norm.
     :param gain: Poisson noise gain (reference ``gain``).
     :param img_width: legacy alias for square 2D ``img_size``.
+    :param ring_differences: (3D only) michelogram segments as ring-index
+        differences, e.g. ``(0, -1, 1)``; enables the cylinder LOR geometry
+        with oblique segments (parallelproj semantics, reference pet.py:355).
+        Measurements become ``(B, C, S, D, N, A)`` — segment, ring, radial
+        bin, angle.
+    :param scanner_radius: crystal ring radius in pixel units (default:
+        ``img_width``, outside the FOV).
+    :param ring_spacing: axial crystal pitch in voxel units.
+    :param n_radial: radial bins per view (default ``img_width``).
     """
 
     def __init__(
@@ -65,6 +75,10 @@ class PET(LinearPhysics):
         method: str = "interp",
         noise_model=None,
         img_width: int = None,
+        ring_differences=None,
+        scanner_radius: float = None,
+        ring_spacing: float = 1.0,
+        n_radial: int = None,
         **kwargs,
     ):
         if noise_model is None:
@@ -92,6 +106,23 @@ class PET(LinearPhysics):
         self.method = method
         self.counts = counts
         self.normalize = normalize
+
+        # multi-ring michelogram mode: crystal-to-crystal LORs incl. oblique
+        # segments (the parallelproj cylinder geometry, reference pet.py:355)
+        self.ring_differences = (
+            tuple(int(d) for d in ring_differences)
+            if ring_differences is not None
+            else None
+        )
+        self.ring_spacing = float(ring_spacing)
+        if self.ring_differences is not None:
+            if self.is_2d:
+                raise ValueError("ring_differences requires a 3D img_size")
+            self._lor_p0, self._lor_p1 = self._build_lors(
+                scanner_radius, n_radial
+            )
+        else:
+            self._lor_p0 = self._lor_p1 = None
         # Gaussian resolution model (host-built separable kernel)
         if fwhm and fwhm > 0:
             sigma = float(fwhm) / 2.3548
@@ -104,7 +135,13 @@ class PET(LinearPhysics):
             attenuation = jnp.asarray(attenuation)
             if attenuation.shape[-1] == self.img_width:
                 # image-space mu map -> sinogram correction factors
-                att_sino = self._project(self._fold(attenuation))
+                if self._lor_p0 is not None:
+                    mu = attenuation
+                    while mu.ndim < 5:
+                        mu = mu[None]
+                    att_sino = self._project_lor(mu)
+                else:
+                    att_sino = self._project(self._fold(attenuation))
                 self.acf = jnp.exp(-att_sino)
             else:  # already sinogram-space factors
                 self.acf = attenuation
@@ -128,6 +165,52 @@ class PET(LinearPhysics):
             self.operator_norm = jnp.ones(())
 
     # -- projector ---------------------------------------------------------
+    def _build_lors(self, scanner_radius, n_radial):
+        """Endpoint grid (S, D, N, A, 3) of cylinder LORs: for segment
+        ``Δ = ring_differences[s]``, radial bin ``t`` and view ``a``, the ray
+        joins crystals on rings ``r`` and ``r + Δ`` at the two intersections
+        of the transaxial chord (offset t, direction (sin a, cos a)) with the
+        scanner circle. Rays with ``r + Δ`` outside the scanner collapse to
+        zero length (integral 0), mirroring parallelproj's michelogram."""
+        D, W = self.depth, self.img_width
+        R = float(scanner_radius) if scanner_radius is not None else float(W)
+        N = int(n_radial) if n_radial is not None else W
+        a = np.deg2rad(self._theta_np.astype(np.float64))  # (A,)
+        t = (np.arange(N) - (N - 1) / 2.0)  # radial offsets, pixel units
+        d_hat = np.stack([np.sin(a), np.cos(a), np.zeros_like(a)], -1)  # (A,3)
+        u_hat = np.stack([np.cos(a), -np.sin(a), np.zeros_like(a)], -1)
+        L = np.sqrt(np.maximum(R * R - t * t, 0.0))  # (N,)
+        base = t[:, None, None] * u_hat[None]  # (N, A, 3)
+        chord = L[:, None, None] * d_hat[None]  # (N, A, 3)
+        segs = self.ring_differences
+        S = len(segs)
+        p0 = np.zeros((S, D, N, len(a), 3))
+        p1 = np.zeros_like(p0)
+        zc = (np.arange(D) - (D - 1) / 2.0) * self.ring_spacing
+        for si, delta in enumerate(segs):
+            for r in range(D):
+                r2 = r + delta
+                e0 = base - chord
+                e1 = base + chord
+                e0 = e0 + np.array([0.0, 0.0, zc[r]])
+                if 0 <= r2 < D:
+                    e1 = e1 + np.array([0.0, 0.0, zc[r2]])
+                else:
+                    e1 = e0  # zero-length ray -> integral 0
+                p0[si, r] = e0
+                p1[si, r] = e1
+        return jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32)
+
+    def _project_lor(self, x):
+        """(B, C, D, H, W) -> (B, C, S, D, N, A) michelogram."""
+        from ..ops.xray import ray_integrals
+
+        return ray_integrals(
+            x, self._lor_p0, self._lor_p1,
+            img_size=(self.depth, self.img_width, self.img_width),
+            pixel_spacing=(self.ring_spacing, 1.0, 1.0),
+        )
+
     def _fold(self, v):
         """(B, C, D, H, W) -> (B, C*D, H, W) for per-plane projection."""
         if self.is_2d:
@@ -178,12 +261,24 @@ class PET(LinearPhysics):
         v = jax.lax.fori_loop(0, n_iter, body, x0)
         return jnp.vdot(self._A_core(v), self._A_core(v)) / jnp.vdot(v, v)
 
+    def _fwd_chain_lor(self, x):
+        """LOR(g * x) on (B, C, D, H, W) volumes -> (B, C, S, D, N, A)."""
+        return self._project_lor(self._resolution(x))
+
     def _A_core(self, x):
+        if self._lor_p0 is not None:
+            return self._fwd_chain_lor(x) * self.acf * self.sensitivity
         y = self._fwd_chain(self._fold(x)) * self.acf * self.sensitivity
         return self._unfold(y, x.shape) if not self.is_2d else y
 
     def _At_core(self, y):
         yw = y * self.acf * self.sensitivity
+        if self._lor_p0 is not None:
+            x_shape = y.shape[:2] + (self.depth, self.img_width, self.img_width)
+            (xt,) = jax.linear_transpose(
+                self._fwd_chain_lor, jax.ShapeDtypeStruct(x_shape, y.dtype)
+            )(yw)
+            return xt
         if not self.is_2d:
             yw = self._fold(yw)
         x_shape = (y.shape[0], yw.shape[1], self.img_width, self.img_width)
@@ -213,8 +308,21 @@ class PET(LinearPhysics):
         return self.noise_model(expected_background, key=key)
 
     def A_dagger(self, y, **params):
-        """FBP of the attenuation-corrected sinogram."""
+        """FBP of the attenuation-corrected sinogram. In michelogram mode
+        the direct planes (ring difference 0) are used if present, like
+        single-slice rebinning; otherwise falls back to the Krylov dagger."""
         yc = y * self.operator_norm / jnp.clip(self.acf * self.sensitivity, 1e-6, None)
+        if self._lor_p0 is not None:
+            if 0 not in self.ring_differences:
+                return super().A_dagger(y, **params)
+            s0 = self.ring_differences.index(0)
+            yc = yc[:, :, s0]  # (B, C, D, N, A)
+            B, C, D = yc.shape[:3]
+            out = iradon(
+                yc.reshape(B, C * D, *yc.shape[3:]), self.theta, circle=True,
+                filtered=True, out_size=self.img_width,
+            )
+            return out.reshape(B, C, D, self.img_width, self.img_width)
         yc = self._fold(yc) if not self.is_2d else yc
         out = iradon(yc, self.theta, circle=True, filtered=True,
                      out_size=self.img_width)

@@ -169,3 +169,45 @@ def test_jit_and_grad():
     g = jax.grad(lambda u: jnp.sum(p.A_adjoint(p.A(u)) ** 2))(x)
     assert g.shape == x.shape and bool(jnp.isfinite(g).all())
     assert y.shape == (2, 1) + p.measurement_shape
+
+
+def test_pet_michelogram_oblique_lors():
+    """PET multi-ring cylinder geometry (ring_differences) built on
+    ops.xray.ray_integrals: direct planes match the per-plane projector,
+    oblique segments zero out-of-scanner rings, the adjoint is exact, and
+    MLEM reconstructs from the full michelogram (parallelproj semantics,
+    reference pet.py:355)."""
+    import warnings
+
+    from deepinv_tpu.physics import PET
+
+    D, W = 5, 16
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, D), np.linspace(-1, 1, W), np.linspace(-1, 1, W),
+        indexing="ij",
+    )
+    act = np.exp(-((xx**2 + yy**2) / 0.25 + zz**2 / 0.6)).astype(np.float32)
+    x = jnp.asarray(act)[None, None]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        p = PET(img_size=(D, W, W), angles=12, ring_differences=(0, -1, 1))
+        p2 = PET(img_size=(D, W, W), angles=12)
+    y = p.A(x)
+    assert y.shape == (1, 1, 3, D, W, 12)
+
+    gap = abs(complex(p.adjointness_test(x)))
+    assert gap < 1e-2 * float(jnp.vdot(y, y).real) ** 0.5
+
+    seg0 = np.asarray(y[0, 0, 0]).ravel()
+    ref = np.asarray(p2.A(x)[0, 0]).ravel()
+    assert np.corrcoef(seg0, ref)[0, 1] > 0.999
+
+    # delta=-1: ring 0 has no partner ring -> zero row; interior rings do
+    segm1 = np.asarray(y[0, 0, 1])
+    assert np.abs(segm1[0]).max() == 0.0 and np.abs(segm1[2]).max() > 0.0
+
+    rec = p.osem(p.A(x), n_iter=5)
+    mse = float(jnp.mean((rec - x) ** 2))
+    base = float(jnp.mean((x - x.mean()) ** 2))
+    assert mse < 0.3 * base, (mse, base)
