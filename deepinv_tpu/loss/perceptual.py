@@ -235,28 +235,74 @@ class NIQE(Metric):
 
 
 class LPIPS(Metric):
-    r"""Learned perceptual similarity (perceptual.py:13).
+    r"""Learned perceptual similarity (reference perceptual.py:13, via the
+    pyiqa package; Zhang et al. 2018).
 
-    Needs pretrained VGG features; pass ``feature_fn(x) -> list of feature
-    maps`` (e.g. ported VGG). Without it this metric raises — the reference
-    similarly requires the pyiqa/lpips package download.
+    Full native pipeline: inputs scaled to [-1, 1] and shifted/scaled with
+    the LPIPS normalization, VGG16 features at relu{1_2,2_2,3_3,4_3,5_3}
+    (:class:`deepinv_tpu.models.VGG16Features`), per-layer channel-unit
+    normalization, learned 1x1 linear weights, spatial + layer sum.
+
+    Learned weights are not downloadable offline: pass local checkpoint
+    paths (``vgg_pretrained`` = torchvision ``vgg16`` state dict,
+    ``lin_pretrained`` = an ``lpips`` package ``vgg.pth`` with
+    ``lin{k}.model.1.weight`` entries) to reproduce the published metric;
+    with ``allow_random_weights=True`` the pipeline runs with random
+    features (useful for smoke tests, not calibrated). Alternatively pass
+    ``feature_fn`` to supply custom features like before.
     """
 
-    def __init__(self, feature_fn=None, **kwargs):
+    lower_better = True
+
+    def __init__(self, feature_fn=None, vgg_pretrained=None, lin_pretrained=None,
+                 allow_random_weights: bool = False, key=None, **kwargs):
         super().__init__(**kwargs)
         self.feature_fn = feature_fn
+        self.lins = None
+        self.backbone = None
+        if feature_fn is None:
+            if vgg_pretrained is None and not allow_random_weights:
+                raise ValueError(
+                    "LPIPS needs pretrained VGG weights (no egress in this "
+                    "environment): pass vgg_pretrained=<path to torchvision "
+                    "vgg16 .pth> (and optionally lin_pretrained=<lpips "
+                    "vgg.pth>), a custom feature_fn, or "
+                    "allow_random_weights=True for an uncalibrated pipeline."
+                )
+            from ..models.vgg import VGG16Features
+
+            # LPIPS 'scaling layer' operates on [-1, 1] inputs; fold it into
+            # the backbone's ImageNet normalization equivalently
+            self.backbone = VGG16Features(
+                pretrained=vgg_pretrained, requires_input_norm=True,
+                key=key if key is not None else jax.random.key(0),
+            )
+            if lin_pretrained is not None:
+                from ..models.convert import load_torch_checkpoint
+
+                sd = load_torch_checkpoint(lin_pretrained)
+                self.lins = [
+                    jnp.asarray(sd[f"lin{k}.model.1.weight"]).reshape(-1)
+                    for k in range(5)
+                ]
+
+    def _features(self, v):
+        if self.feature_fn is not None:
+            return self.feature_fn(v)
+        return self.backbone(v)
 
     def metric(self, x_net, x, *args, **kwargs):
-        if self.feature_fn is None:
-            raise ValueError(
-                "LPIPS requires a pretrained feature extractor (feature_fn); "
-                "no pretrained VGG weights are available offline"
-            )
-        fa = self.feature_fn(x_net)
-        fb = self.feature_fn(x)
+        fa = self._features(x_net)
+        fb = self._features(x)
         total = 0.0
-        for a, b in zip(fa, fb):
+        for k, (a, b) in enumerate(zip(fa, fb)):
             an = a / jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True) + 1e-10)
             bn = b / jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True) + 1e-10)
-            total = total + jnp.mean(_flatten_batch((an - bn) ** 2), axis=1)
+            d = (an - bn) ** 2
+            if self.lins is not None:
+                w = self.lins[k].astype(d.dtype)[None, :, None, None]
+                d = jnp.sum(d * w, axis=1, keepdims=True)
+            else:
+                d = jnp.mean(d, axis=1, keepdims=True)
+            total = total + jnp.mean(_flatten_batch(d), axis=1)
         return total

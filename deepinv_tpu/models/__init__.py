@@ -75,3 +75,4 @@ from .promptir import PromptIR
 from .poisson2sparse import ConvLista, Poisson2Sparse
 from .deal import DEAL
 from .kernel_network import KernelIdentificationNetwork
+from .vgg import VGG16Features

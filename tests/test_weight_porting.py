@@ -371,3 +371,54 @@ def test_dncnn_port_bit_faithful(reference, torch):  # noqa: F811
     m = port_dncnn(DnCNN(1, 1, pretrained=None), sd)
     y = np.asarray(jax.jit(lambda mm, v: mm(v, 0.05))(m, jnp.asarray(x.numpy())))
     assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
+
+
+def test_vgg16_port_bit_faithful(torch):  # noqa: F811
+    """VGG16Features reproduces the torchvision vgg16 feature taps given
+    the same weights (backbone of LPIPS, reference perceptual.py:13)."""
+    import torch.nn as nn
+    from deepinv_tpu.models import VGG16Features
+    from deepinv_tpu.models.vgg import port_vgg16
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512,
+           "M", 512, 512, 512, "M"]
+    layers, cin = [], 3
+    torch.manual_seed(0)
+    for c in cfg:
+        if c == "M":
+            layers.append(nn.MaxPool2d(2))
+        else:
+            layers.append(nn.Conv2d(cin, c, 3, padding=1))
+            layers.append(nn.ReLU())
+            cin = c
+    tnet = nn.Sequential(*layers)
+    sd = {
+        f"features.{i}.{k}": p.detach().numpy()
+        for i, m in enumerate(tnet)
+        if isinstance(m, nn.Conv2d)
+        for k, p in (("weight", m.weight), ("bias", m.bias))
+    }
+    ours = port_vgg16(VGG16Features(requires_input_norm=False), sd)
+
+    x = torch.rand(1, 3, 32, 32, generator=torch.Generator().manual_seed(1))
+    taps, h = [], x
+    with torch.no_grad():
+        for i, m in enumerate(tnet):
+            h = m(h)
+            if i in (3, 8, 15, 22, 29):
+                taps.append(h.numpy())
+    feats = ours(jnp.asarray(x.numpy()))
+    for i, (a, b) in enumerate(zip(feats, taps)):
+        assert np.abs(np.asarray(a) - b).max() < 1e-5, i
+
+
+def test_lpips_pipeline_ranks_corruption():
+    """The native LPIPS pipeline (VGG features -> unit-norm -> diff) ranks
+    heavier corruption as more dissimilar even before calibration."""
+    from deepinv_tpu.loss.perceptual import LPIPS
+
+    lp = LPIPS(allow_random_weights=True)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 32, 32)), np.float32)
+    mild = x + 0.03 * jax.random.normal(jax.random.key(1), x.shape)
+    heavy = x + 0.4 * jax.random.normal(jax.random.key(2), x.shape)
+    assert float(lp(mild, x)[0]) < float(lp(heavy, x)[0])
