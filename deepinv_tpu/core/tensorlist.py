@@ -28,7 +28,21 @@ class TensorList:
     """A list of arrays supporting elementwise arithmetic.
 
     ``TensorList([a, b]) + TensorList([c, d]) == TensorList([a+c, b+d])``;
-    scalars and single arrays broadcast across all members.
+    scalars and single arrays broadcast across all members. Registered as a
+    pytree, so stacked-physics measurements flow through jit/grad/optimizers
+    with no special casing (unlike the reference's custom TensorList class,
+    utils/tensorlist.py:5).
+
+    :Examples:
+
+        >>> import jax.numpy as jnp
+        >>> from deepinv_tpu.core import TensorList
+        >>> tl = TensorList([jnp.ones((2, 2)), jnp.zeros(3)])
+        >>> out = tl * 2.0 + 1.0
+        >>> float(out[0][0, 0]), float(out[1][0])
+        (3.0, 1.0)
+        >>> len(out.flatten()) == 2 * 2 + 3
+        True
     """
 
     __slots__ = ("x",)

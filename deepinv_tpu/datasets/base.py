@@ -54,7 +54,19 @@ def check_dataset(dataset) -> None:
 
 
 class ArrayDataset(ImageDataset):
-    """In-memory dataset over one or more aligned arrays."""
+    """In-memory dataset over one or more aligned arrays.
+
+    :Examples:
+
+        >>> import numpy as np
+        >>> from deepinv_tpu.datasets import ArrayDataset, DataLoader
+        >>> ds = ArrayDataset(np.arange(40.0).reshape(10, 2, 2))
+        >>> len(ds)
+        10
+        >>> loader = DataLoader(ds, batch_size=4)
+        >>> [b.shape for b in loader]
+        [(4, 2, 2), (4, 2, 2)]
+    """
 
     def __init__(self, *arrays):
         self.arrays = [np.asarray(a) for a in arrays]

@@ -40,7 +40,22 @@ def _bmean(v):
 
 
 class SupLoss(Loss):
-    """Supervised loss metric(x_net, x) (reference sup.py)."""
+    """Supervised loss metric(x_net, x) (reference sup.py).
+
+    :Examples:
+
+        Losses share the reference signature
+        ``loss(x_net=..., x=..., y=..., physics=..., model=...)``:
+
+        >>> import jax.numpy as jnp
+        >>> from deepinv_tpu.loss import SupLoss, MCLoss
+        >>> from deepinv_tpu.physics import Denoising
+        >>> x = jnp.ones((1, 1, 4, 4)); x_net = jnp.zeros_like(x)
+        >>> float(SupLoss()(x_net=x_net, x=x)[0])
+        1.0
+        >>> float(MCLoss()(x_net=x_net, y=x, physics=Denoising())[0])
+        1.0
+    """
 
     def __init__(self, metric=None):
         self.metric = metric if metric is not None else MSE()

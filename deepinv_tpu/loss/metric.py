@@ -116,7 +116,17 @@ def cal_psnr(x_net, x, max_pixel: float = 1.0):
 
 
 class PSNR(Metric):
-    """Peak signal-to-noise ratio in dB (distortion.py:245)."""
+    """Peak signal-to-noise ratio in dB (distortion.py:245).
+
+    :Examples:
+
+        >>> import jax.numpy as jnp
+        >>> from deepinv_tpu.loss.metric import PSNR
+        >>> x = jnp.zeros((1, 1, 8, 8))
+        >>> xhat = jnp.full((1, 1, 8, 8), 0.1)  # mse 0.01
+        >>> round(float(PSNR()(xhat, x)[0]), 3)
+        20.0
+    """
 
     lower_better = False
 

@@ -30,7 +30,19 @@ def handle_sigma(sigma, x):
 
 
 class Denoiser(Module):
-    """Base denoiser: ``xhat = denoiser(x, sigma)`` (base.py:11)."""
+    """Base denoiser: ``xhat = denoiser(x, sigma)`` (base.py:11).
+
+    :Examples:
+
+        Every denoiser is a pytree: jit/vmap/grad apply directly.
+
+        >>> import jax
+        >>> from deepinv_tpu.models import DnCNN
+        >>> den = DnCNN(1, 1, pretrained=None)
+        >>> x = jax.random.uniform(jax.random.key(0), (2, 1, 16, 16))
+        >>> jax.jit(lambda m, v: m(v, 0.05))(den, x).shape
+        (2, 1, 16, 16)
+    """
 
     def __call__(self, x, sigma=None, **kwargs):
         raise NotImplementedError

@@ -25,7 +25,19 @@ __all__ = [
 
 class TVDenoiser(Denoiser):
     """Isotropic TV denoiser (reference models/tv.py:239): the prox of
-    ``ths * TV`` computed with Chambolle's dual algorithm."""
+    ``ths * TV`` computed with Chambolle's dual algorithm.
+
+    :Examples:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.models import TVDenoiser
+        >>> x = jnp.zeros((1, 1, 8, 8)).at[:, :, 4:].set(1.0)
+        >>> noisy = x + 0.1 * jax.random.normal(jax.random.key(0), x.shape)
+        >>> den = TVDenoiser(n_it_max=50)
+        >>> out = den(noisy, 0.1)
+        >>> bool(jnp.mean((out - x) ** 2) < jnp.mean((noisy - x) ** 2))
+        True
+    """
 
     def __init__(self, n_it_max: int = 200, use_pallas: bool | None = None):
         from ..optim.prior import TVPrior

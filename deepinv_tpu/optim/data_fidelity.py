@@ -111,7 +111,24 @@ class StackedPhysicsDataFidelity(DataFidelity):
 
 class L2(DataFidelity):
     r"""``f(x) = 1/(2 sigma^2)||Ax-y||^2`` with closed/Krylov prox via
-    ``physics.prox_l2`` (data_fidelity.py:237)."""
+    ``physics.prox_l2`` (data_fidelity.py:237).
+
+    :Examples:
+
+        The gradient is ``A^T(Ax - y)`` by the chain rule through the
+        physics (data_fidelity.py:26):
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.optim import L2
+        >>> from deepinv_tpu.physics import Denoising
+        >>> fid = L2()
+        >>> physics = Denoising()
+        >>> x = jnp.ones((1, 1, 4, 4)); y = jnp.zeros((1, 1, 4, 4))
+        >>> float(fid.fn(x, y, physics)[0])
+        8.0
+        >>> bool(jnp.allclose(fid.grad(x, y, physics), x - y))
+        True
+    """
 
     def __init__(self, sigma: float = 1.0):
         super().__init__(d=L2Distance(sigma=sigma))

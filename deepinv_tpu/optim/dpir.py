@@ -18,6 +18,16 @@ __all__ = ["DPIR", "get_DPIR_params"]
 
 def get_DPIR_params(noise_level_img: float, max_iter: int = 8, s1: float = 49.0 / 255.0, lamb: float = 1.0 / 0.23):
     """Standard DPIR schedule (reference dpir.py:11-36, exact):
+
+    :Examples:
+
+        >>> from deepinv_tpu.optim import get_DPIR_params
+        >>> params = get_DPIR_params(0.05, max_iter=4)
+        >>> sorted(params)
+        ['g_param', 'lambda', 'stepsize']
+        >>> len(params["stepsize"])
+        4
+
     log-spaced denoiser sigmas 49/255 -> sigma_n; stepsize =
     lamb * (sigma_k / max(0.01, sigma_n))^2 with lamb = 1/0.23."""
     s2 = max(noise_level_img, 1e-4)

@@ -217,7 +217,30 @@ def optim_builder(
     max_iter: int = 100,
     **kwargs,
 ) -> BaseOptim:
-    """Build a reconstruction algorithm (reference optimizers.py:967)."""
+    """Build a reconstruction algorithm (reference optimizers.py:967).
+
+    :Examples:
+
+        PnP-HQS deblurring, compiled as one XLA program:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import BlurFFT
+        >>> from deepinv_tpu.ops import gaussian_blur
+        >>> from deepinv_tpu.optim import optim_builder, L2, PnP
+        >>> from deepinv_tpu.models import MedianFilter
+        >>> physics = BlurFFT(img_size=(1, 16, 16),
+        ...                   filter=gaussian_blur(sigma=1.0))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> y = physics.A(x)
+        >>> model = optim_builder("HQS", data_fidelity=L2(),
+        ...                       prior=PnP(MedianFilter()),
+        ...                       params_algo={"stepsize": 1.0,
+        ...                                    "g_param": 0.05},
+        ...                       max_iter=3)
+        >>> xhat = jax.jit(lambda m, yv, p: m(yv, p))(model, y, physics)
+        >>> xhat.shape
+        (1, 1, 16, 16)
+    """
     return BaseOptim(
         iteration,
         data_fidelity=data_fidelity,

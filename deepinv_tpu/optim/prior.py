@@ -58,7 +58,18 @@ class Zero(Prior):
 
 
 class PnP(Prior):
-    r"""Plug-and-Play prior: prox replaced by a denoiser (prior.py:86)."""
+    r"""Plug-and-Play prior: prox replaced by a denoiser (prior.py:86).
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.optim import PnP
+        >>> from deepinv_tpu.models import MedianFilter
+        >>> prior = PnP(MedianFilter())
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> prior.prox(x, 0.1).shape  # second arg = denoiser sigma
+        (1, 1, 8, 8)
+    """
 
     explicit_prior = False
 

@@ -56,6 +56,17 @@ class Physics(Module):
     """Generic (possibly nonlinear) forward operator ``y = N(A(x))``.
 
     Reference: deepinv/physics/forward.py:19.
+
+    :Examples:
+
+        A custom nonlinear operator from a plain callable:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import Physics
+        >>> physics = Physics(A=lambda x: x ** 2)
+        >>> x = jnp.full((1, 1, 2, 2), 3.0)
+        >>> physics(x)[0, 0, 0, 0].item()
+        9.0
     """
 
     def __init__(
@@ -151,7 +162,25 @@ def adjoint_function(A: Callable, input_shape, dtype=jnp.float32) -> Callable:
 
 
 class LinearPhysics(Physics):
-    """Linear operator with adjoint machinery (reference forward.py:354)."""
+    """Linear operator with adjoint machinery (reference forward.py:354).
+
+    :Examples:
+
+        Operators verify their adjoint to float precision and expose
+        ``prox_l2`` / ``A_dagger`` through Krylov solvers:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import Blur
+        >>> from deepinv_tpu.ops import gaussian_blur
+        >>> physics = Blur(filter=gaussian_blur(sigma=1.0))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> y = physics.A(x)
+        >>> bool(abs(physics.adjointness_test(x)) < 1e-3)
+        True
+        >>> xhat = physics.A_dagger(y)
+        >>> bool(jnp.linalg.norm(physics.A(xhat) - y) < 0.1)
+        True
+    """
 
     def __init__(
         self,
@@ -280,6 +309,21 @@ class DecomposablePhysics(LinearPhysics):
     Subclasses override :meth:`U`, :meth:`U_adjoint`, :meth:`V`,
     :meth:`V_adjoint` (default: identity) and set ``self.mask`` (scalar or
     array of singular values). Closed-form ``prox_l2`` / ``A_dagger``.
+
+    :Examples:
+
+        Inpainting is decomposable (U = V = I, mask = singular values), so
+        its pseudo-inverse is exact and closed-form:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import Inpainting
+        >>> physics = Inpainting(img_size=(1, 8, 8), mask=0.5,
+        ...                      key=jax.random.key(0))
+        >>> x = jax.random.uniform(jax.random.key(1), (1, 1, 8, 8))
+        >>> y = physics.A(x)
+        >>> x_obs = physics.A_dagger(y)  # exact on observed pixels
+        >>> bool(jnp.allclose(physics.A(x_obs), y, atol=1e-6))
+        True
     """
 
     def __init__(self, U=None, U_adjoint=None, V=None, V_adjoint=None, mask=1.0, **kwargs):
@@ -481,7 +525,24 @@ class StackedLinearPhysics(StackedPhysics, LinearPhysics):
 
 
 def stack(*physics: Physics, **kwargs) -> StackedPhysics:
-    """Stack physics into a multi-measurement operator (forward.py:1365)."""
+    """Stack physics into a multi-measurement operator (forward.py:1365).
+
+    :Examples:
+
+        Measurements of a stacked operator are a :class:`TensorList` (one
+        entry per sub-operator, arbitrary shapes); the stacked adjoint sums
+        the sub-adjoints:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import Denoising, Downsampling, stack
+        >>> p = stack(Denoising(), Downsampling(img_size=(1, 8, 8), factor=2))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> y = p.A(x)
+        >>> [tuple(v.shape) for v in y]
+        [(1, 1, 8, 8), (1, 1, 4, 4)]
+        >>> p.A_adjoint(y).shape
+        (1, 1, 8, 8)
+    """
     flat = []
     for p in physics:
         if isinstance(p, StackedPhysics):

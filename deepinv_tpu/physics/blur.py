@@ -82,6 +82,20 @@ class BlurFFT(DecomposablePhysics):
 
     :param img_size: (C, H, W) image size (needed to embed the PSF).
     :param filter: PSF kernel (b, c, h, w).
+
+    :Examples:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import BlurFFT, GaussianNoise
+        >>> from deepinv_tpu.ops import gaussian_blur
+        >>> physics = BlurFFT(img_size=(1, 16, 16),
+        ...                   filter=gaussian_blur(sigma=1.0),
+        ...                   noise_model=GaussianNoise(0.05))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> y = physics(x, key=jax.random.key(1))  # blur + noise
+        >>> xhat = physics.prox_l2(jnp.zeros_like(x), y, gamma=10.0)  # closed form
+        >>> y.shape == xhat.shape == x.shape
+        True
     """
 
     def __init__(self, img_size, filter=None, **kwargs):
@@ -124,6 +138,16 @@ class Downsampling(LinearPhysics):
     :param filter: None | 'gaussian' | 'bilinear' | 'bicubic' | 'sinc' | kernel
     :param factor: integer decimation factor.
     :param padding: conv padding mode.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import Downsampling
+        >>> physics = Downsampling(img_size=(1, 16, 16), filter="gaussian",
+        ...                        factor=2)
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> physics.A(x).shape
+        (1, 1, 8, 8)
     """
 
     def __init__(

@@ -18,6 +18,26 @@ __all__ = ["PhysicsGenerator", "GeneratorMixture"]
 
 
 class PhysicsGenerator(Module):
+    """Random physics-parameter sampler with the reference's ``.step()``
+    dict protocol (generator/base.py:20): ``gen.step(batch_size)`` returns a
+    dict consumed by ``physics.update(**params)`` / ``physics(x, **params)``.
+
+    :Examples:
+
+        Generators compose with ``+`` (joint parameter dicts):
+
+        >>> import jax
+        >>> from deepinv_tpu.physics.generator import (SigmaGenerator,
+        ...     GaussianMaskGenerator)
+        >>> gen = SigmaGenerator() + GaussianMaskGenerator((16, 16),
+        ...                                                acceleration=4)
+        >>> params = gen.step(batch_size=2, key=jax.random.key(0))
+        >>> sorted(params)
+        ['mask', 'sigma']
+        >>> params["sigma"].shape
+        (2,)
+    """
+
     def __init__(self, seed: int = 0):
         self.seed = seed
 

@@ -97,6 +97,21 @@ class MRI(MRIMixin, DecomposablePhysics):
     :param mask: sampling mask (H,W), (C,H,W), (B,C,H,W) or (B,C,D,H,W).
     :param img_size: used to build an all-ones mask when ``mask`` is None.
     :param three_d: FFT over 3 dims for (B,C,D,H,W) data.
+
+    :Examples:
+
+        Images are (B, 2, H, W) real/imag pairs; the adjoint of the masked
+        FFT is the zero-filled reconstruction:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import MRI
+        >>> mask = (jax.random.uniform(jax.random.key(0), (16, 16)) < 0.4)
+        >>> physics = MRI(mask=mask.astype(jnp.float32), img_size=(16, 16))
+        >>> x = jax.random.normal(jax.random.key(1), (1, 2, 16, 16))
+        >>> y = physics.A(x)
+        >>> zero_filled = physics.A_adjoint(y)
+        >>> zero_filled.shape
+        (1, 2, 16, 16)
     """
 
     def __init__(self, mask=None, img_size=(320, 320), three_d: bool = False, **kwargs):

@@ -95,6 +95,21 @@ class GaussianNoise(NoiseModel):
 
     ``sigma`` may be a scalar or a (B,) array for per-sample noise levels.
     For complex measurements, noise is complex circular Gaussian.
+
+    :Examples:
+
+        Noise draws are keyed (stateless) and models compose with ``*``
+        — two Gaussians merge in closed form:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import GaussianNoise
+        >>> n = GaussianNoise(sigma=0.1)
+        >>> y = n(jnp.zeros((1, 1, 4, 4)), key=jax.random.key(0))
+        >>> y.shape
+        (1, 1, 4, 4)
+        >>> merged = GaussianNoise(sigma=0.3) * GaussianNoise(sigma=0.4)
+        >>> round(float(merged.sigma), 5)
+        0.5
     """
 
     def __init__(self, sigma=0.1, seed: int = 0):

@@ -47,6 +47,20 @@ class Tomography(LinearPhysics):
         reference) or 'fourier' (gather-free FFT three-shear rotation,
         ~5x faster on TPU with exact sinc interpolation — see
         ops/radon_fourier.py).
+
+    :Examples:
+
+        Sinogram + filtered backprojection:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import Tomography
+        >>> physics = Tomography(angles=12, img_width=16, circle=True)
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> sino = physics.A(x)
+        >>> sino.shape  # (B, C, detector, angles)
+        (1, 1, 16, 12)
+        >>> physics.A_dagger(sino).shape  # FBP
+        (1, 1, 16, 16)
     """
 
     def __init__(

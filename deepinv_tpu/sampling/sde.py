@@ -34,7 +34,23 @@ __all__ = [
 
 
 class BaseSDE(Module):
-    r"""``dx = f(x,t) dt + g(t) dw`` (reference diffusion_sde.py:16)."""
+    r"""``dx = f(x,t) dt + g(t) dw`` (reference diffusion_sde.py:16).
+
+    :Examples:
+
+        An Ornstein-Uhlenbeck process integrated with Euler-Maruyama (the
+        whole trajectory compiles to one ``lax.scan``):
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.sampling import BaseSDE, EulerSolver
+        >>> sde = BaseSDE(drift=lambda x, t: -x,
+        ...               diffusion=lambda t: jnp.asarray(0.1))
+        >>> solver = EulerSolver(timesteps=jnp.linspace(0, 1, 50))
+        >>> x1 = solver.sample(sde, jnp.ones((1, 1, 4, 4)),
+        ...                    key=jax.random.key(0))
+        >>> bool(jnp.all(jnp.abs(x1) < 1.0))  # contracted toward 0
+        True
+    """
 
     def __init__(self, drift: Callable, diffusion: Callable):
         self.drift = drift

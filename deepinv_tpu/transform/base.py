@@ -27,6 +27,20 @@ class Transform(Module):
     """Base class for random group-action transforms.
 
     :param n_trans: number of transformed versions generated per call.
+
+    :Examples:
+
+        Transforms invert exactly and compose with ``*`` (chain) / ``+``
+        (stack):
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.transform import Rotate, Reflect
+        >>> t = Rotate(multiples=90) * Reflect(dim=(-1,))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> params = t.get_params(x, jax.random.key(1))
+        >>> xt = t.transform(x, **params)
+        >>> bool(jnp.allclose(t.inverse(xt, **params), x, atol=1e-6))
+        True
     """
 
     def __init__(self, n_trans: int = 1, seed: int = 0):

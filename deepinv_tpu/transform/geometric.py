@@ -76,6 +76,15 @@ class Rotate(Transform):
     :param multiples: angle grid (degrees); default 90-degree subgroup uses
         exact rot90, otherwise bilinear warp.
     :param positive: sample only positive angles.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.transform import Rotate
+        >>> t = Rotate(multiples=90, n_trans=4)
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> t(x, key=jax.random.key(1)).shape  # 4 rotated copies
+        (4, 1, 8, 8)
     """
 
     def __init__(self, multiples: float = 90.0, limits: float = 360.0, interpolation: str = "bilinear", **kwargs):

@@ -47,7 +47,15 @@ def complex_abs(x, dim: int = 1, keepdims: bool = True):
 
 
 def dirac(shape):
-    """Centered 2D Dirac delta (reference tensorlist.py:340)."""
+    """Centered 2D Dirac delta (reference tensorlist.py:340).
+
+    :Examples:
+
+        >>> from deepinv_tpu.utils import dirac
+        >>> d = dirac((1, 1, 5, 5))
+        >>> float(d.sum()), float(d[0, 0, 2, 2])
+        (1.0, 1.0)
+    """
     out = np.zeros(shape, np.float32)
     out[..., shape[-2] // 2, shape[-1] // 2] = 1.0
     return jnp.asarray(out)
