@@ -82,6 +82,14 @@ def _problem(config, key):
         algo, params = "PGD", {"stepsize": 1.0, "g_param": 0.05}
     else:
         raise ValueError(f"unknown BENCH_CONFIG {config!r}")
+    # bf16 denoiser compute by default (f32 accumulation + f32 prox): the
+    # TPU-native analogue of the A100 torch reference's default TF32 convs.
+    # Quality parity is asserted in tests/test_models.py
+    # (test_autocast_bf16_parity). Set BENCH_DTYPE=f32 to disable.
+    if os.environ.get("BENCH_DTYPE", "bf16") == "bf16":
+        from deepinv_tpu.models import autocast
+
+        denoiser = autocast(denoiser)
     return physics, y, denoiser, algo, params
 
 
@@ -101,7 +109,7 @@ def main():
         _ = np.asarray(jax.device_get(f(m, y, physics))).ravel()[:1]
 
         ts = []
-        for _ in range(3):
+        for _ in range(6):
             t0 = time.perf_counter()
             o = f(m, y, physics)
             _ = np.asarray(jax.device_get(o)).ravel()[:1]

@@ -76,3 +76,4 @@ from .poisson2sparse import ConvLista, Poisson2Sparse
 from .deal import DEAL
 from .kernel_network import KernelIdentificationNetwork
 from .vgg import VGG16Features
+from .precision import AutocastDenoiser, autocast

@@ -162,3 +162,25 @@ def test_hdf5_supports_trainer(tmp_path, images):
     )
     out = trainer.train()
     assert out is not None
+
+
+def test_public_dataset_shells_mocked(tmp_path):
+    """Named public datasets load from fabricated local files (the
+    reference's DEEPINV_MOCK_TESTS strategy, test_datasets.py:644) and
+    refuse download=True in this no-egress environment."""
+    from PIL import Image
+
+    from deepinv_tpu.datasets import DIV2K, Set14HR
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = (rng.random((12, 14, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(tmp_path, f"img_{i}.png"))
+
+    ds = DIV2K(str(tmp_path), size=(12, 14))
+    assert len(ds) == 3
+    x = np.asarray(ds[0])
+    assert x.shape == (3, 12, 14) and 0.0 <= x.min() and x.max() <= 1.0
+
+    with pytest.raises(RuntimeError, match="no network"):
+        Set14HR(str(tmp_path), download=True)

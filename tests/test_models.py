@@ -410,3 +410,36 @@ def test_bm3d_denoiser():
     p_wav = float(psnr(WaveletDenoiser(wv="db4", level=3)(y, sigma), x)[0])
     assert p_bm3d > p_noisy + 4
     assert p_bm3d > p_wav + 1, (p_bm3d, p_wav)
+
+
+def test_autocast_bf16_parity():
+    """AutocastDenoiser (bf16 compute, f32 accumulate) stays within ~1e-2
+    relative error of the f32 denoiser, and a PnP-HQS reconstruction built
+    on it matches the f32 reconstruction to <0.1 dB — the quality guard for
+    bench.py's default mixed precision."""
+    from deepinv_tpu.models import DnCNN, autocast
+    from deepinv_tpu.physics import BlurFFT, GaussianNoise
+    from deepinv_tpu.ops import gaussian_blur
+    from deepinv_tpu.optim import optim_builder, L2, PnP
+    from deepinv_tpu.loss.metric import PSNR
+
+    den = DnCNN(1, 1, pretrained=None)
+    den16 = autocast(den)
+    x = jax.random.uniform(jax.random.key(0), (1, 1, 32, 32))
+    a, b = den(x, 0.05), den16(x, 0.05)
+    assert b.dtype == a.dtype
+    rel = float(jnp.abs(a - b).max() / jnp.clip(jnp.abs(a).max(), 1e-6, None))
+    assert rel < 3e-2, rel
+
+    physics = BlurFFT(img_size=(1, 32, 32), filter=gaussian_blur(sigma=1.0),
+                      noise_model=GaussianNoise(0.02))
+    y = physics(x, key=jax.random.key(1))
+    psnr = PSNR()
+
+    def recon(d):
+        m = optim_builder("HQS", data_fidelity=L2(), prior=PnP(d),
+                          params_algo={"stepsize": 2.0, "g_param": 0.02},
+                          max_iter=8)
+        return float(psnr(m(y, physics), x)[0])
+
+    assert abs(recon(den) - recon(den16)) < 0.1
