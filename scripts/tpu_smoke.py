@@ -143,6 +143,17 @@ def main():
              np.clip(np.random.default_rng(0).normal(size=(2, 1000)), -2.8, 2.8
                      ).astype(np.float32)),
          jax.random.uniform(key, (1, 1, 48, 48))),
+        ("conebeam xray (astra-parity)",
+         lambda: __import__("deepinv_tpu.physics", fromlist=["TomographyWithAstra"]
+                            ).TomographyWithAstra(
+             (4, 24, 24), angles=12, angular_range=(0, 360),
+             geometry_type="conebeam",
+             geometry_parameters={"source_radius": 50.0, "detector_radius": 25.0},
+             n_detector_pixels=(6, 34), normalize=False),
+         jax.random.uniform(key, (1, 1, 4, 24, 24))),
+        ("pet michelogram (oblique LORs)",
+         lambda: PET(img_size=(3, 32, 32), angles=16, ring_differences=(0, 1)),
+         jax.random.uniform(key, (1, 1, 3, 32, 32))),
     ]:
         phys = None
 
