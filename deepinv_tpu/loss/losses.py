@@ -140,6 +140,24 @@ class SureGaussianLoss(Loss):
 
     The divergence is the Hutchinson estimate computed with ``jax.jvp``
     through ``y -> A(model(y))``.
+
+    :Examples:
+
+        Self-supervised: needs only noisy measurements, no ground truth.
+
+        >>> import jax
+        >>> from deepinv_tpu.loss import SureGaussianLoss
+        >>> from deepinv_tpu.physics import Denoising, GaussianNoise
+        >>> from deepinv_tpu.models import MedianFilter
+        >>> physics = Denoising(noise_model=GaussianNoise(0.1))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> y = physics(x, key=jax.random.key(1))
+        >>> loss = SureGaussianLoss(sigma=0.1)
+        >>> model = lambda yv, p: MedianFilter()(yv, 0.1)
+        >>> l = loss(x_net=model(y, physics), y=y, physics=physics,
+        ...          model=model, key=jax.random.key(2))
+        >>> l.shape  # per-sample unbiased MSE estimate
+        (1,)
     """
 
     def __init__(self, sigma: float, tau: float = 1e-2, unsure: bool = False):

@@ -63,7 +63,19 @@ class GSDRUNet(Denoiser):
 
 class EquivariantDenoiser(Denoiser):
     r"""Monte-Carlo group-averaged denoiser (reference equivariant.py:186):
-    ``D_eq(x) = mean_t t^{-1}(D(t(x)))``."""
+    ``D_eq(x) = mean_t t^{-1}(D(t(x)))``.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.models import EquivariantDenoiser, MedianFilter
+        >>> from deepinv_tpu.transform import Rotate
+        >>> den = EquivariantDenoiser(MedianFilter(),
+        ...                           transform=Rotate(multiples=90, n_trans=2))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> den(x, 0.1).shape
+        (1, 1, 8, 8)
+    """
 
     def __init__(self, denoiser, transform=None, random: bool = True, seed: int = 0):
         if transform is None:

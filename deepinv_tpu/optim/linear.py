@@ -418,6 +418,24 @@ def least_squares(
     through the ``custom_vjp`` implicit backward (O(1) memory, one extra CG
     solve for gradients) — the counterpart of the reference's
     ``least_squares_implicit_backward`` (least_squares.py:345).
+
+    .. warning::
+
+        All arrays follow the library's batch-first convention: axis 0 is a
+        batch of independent systems (inner products reduce over axes 1+).
+        A plain vector must be passed as shape ``(1, n)``.
+
+    :Examples:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.optim import least_squares
+        >>> M = jax.random.normal(jax.random.key(0), (6, 4)) / 2.0
+        >>> x_true = jnp.ones((1, 4))  # batch-first
+        >>> y = x_true @ M.T
+        >>> xhat = least_squares(lambda v: v @ M.T, lambda v: v @ M, y,
+        ...                      solver="lsqr", max_iter=50)
+        >>> bool(jnp.linalg.norm(xhat - x_true) < 1e-3)
+        True
     """
     if z is None and gamma is not None:
         z = tree_zeros_like(A_adjoint(y) if init is None else init)

@@ -28,6 +28,19 @@ class DistributedContext:
         parallelism, ("dp", "sp") for data x spatial.
     :param shape: devices per axis (defaults to all devices on one axis).
     :param devices: explicit device list.
+
+    :Examples:
+
+        Replaces the reference's process-group lifecycle
+        (distrib_framework.py:22) with a single-controller mesh; the same
+        facade works on 1 device or a pod slice:
+
+        >>> from deepinv_tpu.parallel import DistributedContext
+        >>> ctx = DistributedContext(axis_names=("op",))
+        >>> ctx.world_size >= 1
+        True
+        >>> ctx.local_indices(4)[0][0]  # round-robin shard of 4 operators
+        0
     """
 
     def __init__(self, axis_names: Sequence[str] = ("op",), shape: Optional[Sequence[int]] = None, devices=None):

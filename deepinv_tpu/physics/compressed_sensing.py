@@ -28,6 +28,18 @@ class CompressedSensing(LinearPhysics):
     :param fast: use the fast structured transform ``A = S F D`` (row
         subsampling, DST-I, random signs) instead of a dense matrix.
     :param channelwise: apply the same matrix per channel.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import CompressedSensing
+        >>> physics = CompressedSensing(m=50, img_size=(1, 10, 10),
+        ...                             key=jax.random.key(0))
+        >>> x = jax.random.normal(jax.random.key(1), (1, 1, 10, 10))
+        >>> physics.A(x).shape
+        (1, 50)
+        >>> physics.A_adjoint(physics.A(x)).shape
+        (1, 1, 10, 10)
     """
 
     def __init__(

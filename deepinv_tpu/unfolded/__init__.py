@@ -41,7 +41,29 @@ def unfolded_builder(
     trainable_params=("stepsize", "g_param", "lambda"),
     **kwargs,
 ) -> BaseUnfold:
-    """Build an unfolded network (reference deepinv/unfolded/unfolded.py)."""
+    """Build an unfolded network (reference deepinv/unfolded/unfolded.py).
+
+    :Examples:
+
+        Per-iteration parameters become trainable leaves — ``jax.grad``
+        through the reconstruction IS unrolled training:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.unfolded import unfolded_builder
+        >>> from deepinv_tpu.optim import L2, TVPrior
+        >>> from deepinv_tpu.physics import Denoising
+        >>> net = unfolded_builder("PGD", data_fidelity=L2(), prior=TVPrior(),
+        ...                        params_algo={"stepsize": 1.0,
+        ...                                     "lambda": 0.01},
+        ...                        max_iter=3)
+        >>> physics = Denoising()
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> y = physics.A(x)
+        >>> loss = lambda m: jnp.mean((m(y, physics) - x) ** 2)
+        >>> g = jax.grad(loss)(net)  # gradients w.r.t. the schedule
+        >>> bool(jnp.isfinite(jax.tree_util.tree_leaves(g)[0]).all())
+        True
+    """
     return BaseUnfold(
         iteration,
         data_fidelity=data_fidelity,

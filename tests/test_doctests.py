@@ -32,6 +32,12 @@ MODULES = [
     "deepinv_tpu.datasets.base",
     "deepinv_tpu.core.tensorlist",
     "deepinv_tpu.utils.functional",
+    "deepinv_tpu.physics.compressed_sensing",
+    "deepinv_tpu.optim.linear",
+    "deepinv_tpu.models.wrappers_models",
+    "deepinv_tpu.models.precision",
+    "deepinv_tpu.unfolded",
+    "deepinv_tpu.parallel.context",
 ]
 
 

@@ -443,3 +443,34 @@ def test_autocast_bf16_parity():
         return float(psnr(m(y, physics), x)[0])
 
     assert abs(recon(den) - recon(den16)) < 0.1
+
+
+def test_noise_estimators_accuracy():
+    """WaveletNoiseEstimator and PatchCovarianceNoiseEstimator recover a
+    known sigma on a smooth image (reference noise_level_estimation.py:177)."""
+    from deepinv_tpu.models import (
+        WaveletNoiseEstimator,
+        PatchCovarianceNoiseEstimator,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    clean = jnp.asarray(
+        np.sin(2 * np.pi * xx) * np.cos(2 * np.pi * yy), jnp.float32
+    )[None, None]
+    noisy = clean + 0.1 * jax.random.normal(jax.random.key(0), clean.shape)
+    for est in (WaveletNoiseEstimator(), PatchCovarianceNoiseEstimator()):
+        sig = float(est(noisy)[0])
+        assert 0.07 < sig < 0.14, (type(est).__name__, sig)
+
+
+def test_jacobian_spectral_norm_exact():
+    """JacobianSpectralNorm recovers the exact operator norm of a linear
+    map (reference regularisers.py power iteration)."""
+    from deepinv_tpu.loss import JacobianSpectralNorm, FNEJacobianSpectralNorm
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 1, 16, 16)), jnp.float32)
+    jsn = JacobianSpectralNorm(max_iter=30)
+    assert abs(float(jsn(y=x, model=lambda u: 0.5 * u)) - 0.5) < 1e-4
+    # FNE variant: norm of J of (2f - I); for f = 0.7 I -> |2*0.7 - 1| = 0.4
+    fne = FNEJacobianSpectralNorm(max_iter=30)
+    assert abs(float(fne(y=x, model=lambda u: 0.7 * u)) - 0.4) < 1e-3
