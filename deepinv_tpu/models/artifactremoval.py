@@ -15,7 +15,21 @@ __all__ = ["ArtifactRemoval"]
 
 class ArtifactRemoval(Reconstructor):
     """``xhat = backbone(A_init(y))`` with ``mode`` in
-    {'adjoint', 'dagger', 'direct'} (reference artifactremoval.py:15)."""
+    {'adjoint', 'dagger', 'direct'} (reference artifactremoval.py:15).
+
+    :Examples:
+
+        Turn any denoiser into a reconstructor (e.g. FBP + denoiser for CT):
+
+        >>> import jax
+        >>> from deepinv_tpu.models import ArtifactRemoval, MedianFilter
+        >>> from deepinv_tpu.physics import Tomography
+        >>> physics = Tomography(angles=12, img_width=16, circle=True)
+        >>> model = ArtifactRemoval(MedianFilter(), mode="dagger")
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> model(physics.A(x), physics).shape
+        (1, 1, 16, 16)
+    """
 
     def __init__(self, backbone_net, mode: str = "adjoint", sigma=0.05):
         self.backbone_net = backbone_net

@@ -58,7 +58,22 @@ class PhaseRetrieval(Physics):
 
 
 class RandomPhaseRetrieval(PhaseRetrieval):
-    r"""iid complex Gaussian B (reference phase_retrieval.py:107)."""
+    r"""iid complex Gaussian B (reference phase_retrieval.py:107).
+
+    :Examples:
+
+        ``y = |Bx|^2`` is nonlinear; ``A_vjp`` provides the chain rule for
+        data-fidelity gradients:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics import RandomPhaseRetrieval
+        >>> physics = RandomPhaseRetrieval(m=40, img_size=(1, 5, 5),
+        ...                                key=jax.random.key(0))
+        >>> x = jax.random.normal(jax.random.key(1), (1, 1, 5, 5)) + 0j
+        >>> y = physics.A(x)
+        >>> y.shape, bool(jnp.all(y.real >= 0))
+        ((1, 40), True)
+    """
 
     def __init__(self, m: int, img_size, key=None, seed: int = 0, **kwargs):
         key = ensure_key(key, seed)

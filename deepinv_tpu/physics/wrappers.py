@@ -244,7 +244,19 @@ class InpaintingMultiScaler(LinearPhysicsMultiScaler):
 def to_multiscale(physics: Physics, img_size=None, factors=(2, 4, 8),
                   **kwargs) -> PhysicsMultiScaler:
     """Wrap a physics for multiscale evaluation, dispatching to the
-    specialized wrapper when one exists (reference wrappers.py:481)."""
+    specialized wrapper when one exists (reference wrappers.py:481).
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import Inpainting, to_multiscale
+        >>> base = Inpainting(img_size=(1, 16, 16), mask=0.5,
+        ...                   key=jax.random.key(0))
+        >>> ms = to_multiscale(base, img_size=(1, 16, 16))
+        >>> x_coarse = jax.random.uniform(jax.random.key(1), (1, 1, 8, 8))
+        >>> ms.A(x_coarse, scale=1).shape  # coarse input, native measurement
+        (1, 1, 16, 16)
+    """
     from .inpainting import Inpainting
 
     if isinstance(physics, BlurFFT):

@@ -38,6 +38,9 @@ MODULES = [
     "deepinv_tpu.models.precision",
     "deepinv_tpu.unfolded",
     "deepinv_tpu.parallel.context",
+    "deepinv_tpu.physics.phase_retrieval",
+    "deepinv_tpu.physics.wrappers",
+    "deepinv_tpu.models.artifactremoval",
 ]
 
 
