@@ -260,6 +260,12 @@ class LPIPS(Metric):
         self.feature_fn = feature_fn
         self.lins = None
         self.backbone = None
+        if feature_fn is not None and lin_pretrained is not None:
+            raise ValueError(
+                "lin_pretrained calibrates the built-in VGG16 features and "
+                "cannot be combined with a custom feature_fn (channel "
+                "layouts would not match)"
+            )
         if feature_fn is None:
             if vgg_pretrained is None and not allow_random_weights:
                 raise ValueError(

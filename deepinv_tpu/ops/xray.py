@@ -33,6 +33,7 @@ maps to (z, y, x); circular trajectory about z):
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -70,14 +71,15 @@ def _geom_np(geom: dict) -> dict:
 
 
 def _as3(v, default):
+    """Per-axis spacing as (x, y, z) from scalar / (row, col) / (slice,
+    row, col) input."""
     if v is None:
         return np.asarray(default, np.float64)
     v = np.atleast_1d(np.asarray(v, np.float64))
     if v.size == 1:
-        return np.full(3, float(v))
-    if v.size == 2:
-        # (row, col) detector spacing -> (v, u); z-extent handled separately
-        return np.array([float(v[1]), float(v[1]), float(v[0])])
+        return np.full(3, float(v[0]))
+    if v.size == 2:  # 2D (row, col) -> (x=col, y=row, z unused)
+        return np.array([float(v[1]), float(v[0]), 1.0])
     return v[::-1].copy()  # (slice, row, col) -> (x, y, z)
 
 
@@ -123,7 +125,8 @@ def xray_geometry(
     v_hat = np.stack([zeros, zeros, np.ones_like(a)], -1)
     ds = np.atleast_1d(np.asarray(detector_spacing, np.float64))
     du = float(ds[-1])
-    dv = float(ds[0]) if ds.size > 1 else 1.0
+    # scalar spacing means isotropic cells (3D); (row, col) sets both
+    dv = float(ds[0]) if ds.size > 1 else du
     if geometry_type in ("parallel", "parallel3d"):
         return dict(ray=d, src=None, det=np.zeros_like(d), u=u_hat * du, v=v_hat * dv)
     if geometry_type in ("fanbeam", "conebeam", "fanflat", "cone"):
@@ -160,41 +163,32 @@ def _ray_bundle(geom, n_v: int, n_u: int):
     return src.copy(), cells - src
 
 
-def xray_transform(
-    x,
-    geom: dict,
-    img_size,
-    pixel_spacing=1.0,
-    n_detector_pixels=None,
-    n_steps: int | None = None,
-    chunk_views: int | None = None,
-    interp_order: int = 1,
-):
-    """Line integrals of a volume along the rays of ``geom``.
+def _key3(spacing):
+    """Hashable cache key for a spacing argument."""
+    return tuple(float(t) for t in np.atleast_1d(np.asarray(spacing, np.float64)))
 
-    :param x: (B, C, H, W) image or (B, C, D, H, W) volume.
-    :param geom: output of :func:`xray_geometry`.
-    :param img_size: (H, W) or (D, H, W) — static grid shape.
-    :param pixel_spacing: scalar or per-axis voxel pitch (slice, row, col).
-    :param n_detector_pixels: int (2D) or (rows, cols) (3D).
-    :returns: (B, C, A, N) sinogram or (B, C, V, A, N) radiograph stack,
-        in physical length units (matches astra's scaling).
-    """
-    geom = _geom_np(geom)
+
+@functools.lru_cache(maxsize=128)
+def _plan(geom_key, img_size, spacing_key, n_det_key, n_steps, chunk_views):
+    """Host-side ray planning, cached on the static geometry/config: ray
+    bundles, bounding-sphere clip windows, chunk padding, and the device
+    constants. Pure float64 numpy work that would otherwise rerun on every
+    eager call and every retrace."""
+    geom = _geom_np(dict(geom_key))
     is_2d = len(img_size) == 2
     shape3 = (1, *img_size) if is_2d else tuple(img_size)
     Dz, H, W = shape3
-    sp = _as3(pixel_spacing, 1.0)  # (sx, sy, sz)
+    sp = _as3(spacing_key, 1.0)  # (sx, sy, sz)
     if is_2d:
-        n_u = int(n_detector_pixels or math.ceil(math.sqrt(2) * img_size[0]))
+        n_u = int(n_det_key or math.ceil(math.sqrt(2) * img_size[0]))
         n_v = 1
     else:
-        if n_detector_pixels is None:
+        if n_det_key is None:
             n_v, n_u = Dz, int(math.ceil(math.sqrt(2) * H))
+        elif np.isscalar(n_det_key):
+            n_v = n_u = int(n_det_key)
         else:
-            n_v, n_u = (int(n_detector_pixels),) * 2 if np.isscalar(
-                n_detector_pixels
-            ) else tuple(int(t) for t in n_detector_pixels)
+            n_v, n_u = n_det_key
 
     P0, Dir = _ray_bundle(geom, n_v, n_u)  # (A, V, N, 3) float64 numpy
     A = P0.shape[0]
@@ -229,14 +223,55 @@ def xray_transform(
     def pad_v(arr):
         return np.concatenate([arr, np.repeat(arr[-1:], pad_views, 0)], 0) if pad_views else arr
 
-    P0j = jnp.asarray(pad_v(P0), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u, 3)
-    Dj = jnp.asarray(pad_v(Dir), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u, 3)
-    t0j = jnp.asarray(pad_v(t0), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u)
-    t1j = jnp.asarray(pad_v(t1), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u)
-    slj = jnp.asarray(pad_v(seg_len), jnp.float32).reshape(n_chunks, chunk_views, n_v, n_u)
-    tsj = jnp.asarray(ts, jnp.float32)
-    spj = jnp.asarray(sp, jnp.float32)
-    center = jnp.asarray([(W - 1) / 2.0, (H - 1) / 2.0, (Dz - 1) / 2.0], jnp.float32)
+    # cache NUMPY arrays (jnp.asarray inside a jit trace would yield tracers
+    # that must not outlive the trace); conversion at use is cheap
+    P0j = pad_v(P0).astype(np.float32).reshape(n_chunks, chunk_views, n_v, n_u, 3)
+    Dj = pad_v(Dir).astype(np.float32).reshape(n_chunks, chunk_views, n_v, n_u, 3)
+    t0j = pad_v(t0).astype(np.float32).reshape(n_chunks, chunk_views, n_v, n_u)
+    t1j = pad_v(t1).astype(np.float32).reshape(n_chunks, chunk_views, n_v, n_u)
+    slj = pad_v(seg_len).astype(np.float32).reshape(n_chunks, chunk_views, n_v, n_u)
+    tsj = ts.astype(np.float32)
+    spj = sp.astype(np.float32)
+    center = np.asarray([(W - 1) / 2.0, (H - 1) / 2.0, (Dz - 1) / 2.0], np.float32)
+    return (P0j, Dj, t0j, t1j, slj, tsj, spj, center, A, n_v, n_u, n_chunks,
+            chunk_views)
+
+
+def xray_transform(
+    x,
+    geom: dict,
+    img_size,
+    pixel_spacing=1.0,
+    n_detector_pixels=None,
+    n_steps: int | None = None,
+    chunk_views: int | None = None,
+    interp_order: int = 1,
+):
+    """Line integrals of a volume along the rays of ``geom``.
+
+    :param x: (B, C, H, W) image or (B, C, D, H, W) volume.
+    :param geom: output of :func:`xray_geometry`.
+    :param img_size: (H, W) or (D, H, W) — static grid shape.
+    :param pixel_spacing: scalar or per-axis voxel pitch (slice, row, col).
+    :param n_detector_pixels: int (2D) or (rows, cols) (3D).
+    :returns: (B, C, A, N) sinogram or (B, C, V, A, N) radiograph stack,
+        in physical length units (matches astra's scaling).
+    """
+    is_2d = len(img_size) == 2
+    Dz, H, W = (1, *img_size) if is_2d else tuple(img_size)
+    geom_key = tuple(sorted(geometry_static(geom).items()))
+    (P0j, Dj, t0j, t1j, slj, tsj, spj, center, A, n_v, n_u, n_chunks,
+     chunk_views) = _plan(
+        geom_key,
+        tuple(int(s) for s in img_size),
+        _key3(pixel_spacing),
+        None if n_detector_pixels is None else (
+            int(n_detector_pixels) if np.isscalar(n_detector_pixels)
+            else tuple(int(t) for t in n_detector_pixels)
+        ),
+        n_steps,
+        chunk_views,
+    )
 
     B, C = x.shape[:2]
     vol = x.reshape(B * C, Dz, H, W)

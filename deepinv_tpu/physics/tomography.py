@@ -285,7 +285,7 @@ class TomographyWithAstra(LinearPhysics):
         ))
         H = img_size[-2]
         if n_detector_pixels is None:
-            n_det_u = int(math.ceil(math.sqrt(2) * img_size[0]))
+            n_det_u = int(math.ceil(math.sqrt(2) * H))
             n_detector_pixels = n_det_u if self.is_2d else (img_size[0], n_det_u)
         self.n_detector_pixels = n_detector_pixels
         if self.is_2d:
@@ -297,7 +297,10 @@ class TomographyWithAstra(LinearPhysics):
         self._n_steps = n_steps
         sp = np.atleast_1d(np.asarray(pixel_spacing, np.float64))
         ds = np.atleast_1d(np.asarray(detector_spacing, np.float64))
-        self._cell_v_length = float(ds[0]) if (not self.is_2d and ds.size > 1) else 1.0
+        if self.is_2d:
+            self._cell_v_length = 1.0
+        else:  # (row, col) spacing; scalar = isotropic cells
+            self._cell_v_length = float(ds[0]) if ds.size > 1 else float(ds[-1])
         self._cell_volume = float(np.prod(sp)) if sp.size > 1 else float(
             sp[0] ** len(img_size)
         )
@@ -358,10 +361,14 @@ class TomographyWithAstra(LinearPhysics):
         cone-beam 3D (reference tomography.py:623)."""
         from ..ops.xray import fdk_weights
 
-        is_3d = sinogram.ndim == 5
-        if self.geometry_type == "conebeam" and is_3d:
+        if self.geometry_type in ("conebeam", "fanbeam"):
+            # divergent-beam cosine weights Rs/|cell - src| (also applied to
+            # 2D fan beam, like the reference's fbp_weighting)
             w = fdk_weights(self._geom, self._n_v, self._n_u)  # (A, V, N)
-            sinogram = sinogram * jnp.moveaxis(w, 0, 1)[None, None]
+            if sinogram.ndim == 5:
+                sinogram = sinogram * jnp.moveaxis(w, 0, 1)[None, None]
+            else:  # (B, C, A, N)
+                sinogram = sinogram * w[:, 0][None, None]
         sinogram = sinogram * self._cell_v_length / self._cell_volume
         return sinogram * jnp.pi / (2 * self.num_angles)
 

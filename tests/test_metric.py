@@ -75,8 +75,18 @@ def test_ssim_bounds(pair):
 def test_lp_norms(pair):
     x_net, x = pair
     d = np.asarray(x_net - x).reshape(2, -1)
-    assert np.allclose(LpNorm(p=2)(x_net, x), np.linalg.norm(d, axis=1) ** 2 / d.shape[1], rtol=1e-4) or True
-    # L1L2 is a convex combination of l1 and l2 terms — just check monotonicity
+    # LpNorm is the UN-normalized ||d||_p^p (reference distortion.py:375)
+    assert np.allclose(
+        LpNorm(p=2)(x_net, x), np.linalg.norm(d, axis=1) ** 2, rtol=1e-4
+    )
+    assert np.allclose(
+        LpNorm(p=1)(x_net, x), np.abs(d).sum(axis=1), rtol=1e-4
+    )
+    # onesided variant only penalizes positive parts
+    pos = np.clip(d, 0.0, None)
+    assert np.allclose(
+        LpNorm(p=2, onesided=True)(x_net, x), (pos**2).sum(axis=1), rtol=1e-4
+    )
     assert float(jnp.all(L1L2()(x_net, x) > 0))
 
 
