@@ -109,7 +109,27 @@ def sampling_builder(
 
 
 def ULA(prior, data_fidelity, step_size=1e-4, sigma=0.05, alpha=1.0, max_iter=1000, burnin_ratio=0.2, thinning=10, clip=(-1.0, 2.0), **kwargs):
-    """Unadjusted Langevin sampler preset (reference langevin.py:15)."""
+    """Unadjusted Langevin sampler preset (reference langevin.py:15).
+
+    :Examples:
+
+        The whole chain (burn-in, thinning, Welford mean/var) compiles to
+        one ``lax.scan``:
+
+        >>> import jax
+        >>> from deepinv_tpu.sampling import ULA
+        >>> from deepinv_tpu.optim import L2, ScorePrior
+        >>> from deepinv_tpu.models import MedianFilter
+        >>> from deepinv_tpu.physics import Denoising, GaussianNoise
+        >>> physics = Denoising(noise_model=GaussianNoise(0.1))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 8, 8))
+        >>> y = physics(x, key=jax.random.key(1))
+        >>> sampler = ULA(ScorePrior(MedianFilter()), L2(sigma=0.1),
+        ...               step_size=1e-3, max_iter=50, thinning=5)
+        >>> mean, var = sampler.sample(y, physics, key=jax.random.key(2))
+        >>> mean.shape == x.shape and var.shape == x.shape
+        True
+    """
     it = ULAIterator(
         {"step_size": step_size, "alpha": alpha, "sigma": sigma}, clip=clip
     )

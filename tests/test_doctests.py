@@ -41,6 +41,7 @@ MODULES = [
     "deepinv_tpu.physics.phase_retrieval",
     "deepinv_tpu.physics.wrappers",
     "deepinv_tpu.models.artifactremoval",
+    "deepinv_tpu.sampling.base",
 ]
 
 
