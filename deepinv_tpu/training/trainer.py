@@ -59,6 +59,28 @@ class Trainer:
     :param loop_random_online_physics: redraw the same measurement keys every
         epoch (reference trainer.py:1352).
     :param epochs, grad_clip, early_stop, patience: training control.
+
+    :Examples:
+
+        Two-epoch supervised denoiser training with online measurements:
+
+        >>> import numpy as np, optax
+        >>> from deepinv_tpu.training import Trainer
+        >>> from deepinv_tpu.models import DnCNN, ArtifactRemoval
+        >>> from deepinv_tpu.physics import Denoising, GaussianNoise
+        >>> from deepinv_tpu.datasets import ArrayDataset, DataLoader
+        >>> xs = np.random.default_rng(0).random((8, 1, 16, 16)).astype("float32")
+        >>> trainer = Trainer(
+        ...     model=ArtifactRemoval(DnCNN(1, 1, depth=2, nf=8)),
+        ...     physics=Denoising(noise_model=GaussianNoise(0.1)),
+        ...     optimizer=optax.adam(1e-3),
+        ...     train_dataloader=DataLoader(ArrayDataset(xs), batch_size=4),
+        ...     epochs=2, online_measurements=True,
+        ...     verbose=False, show_progress_bar=False)
+        >>> model = trainer.train()
+        >>> len(trainer.loss_history) > 0
+        True
+
     :param save_path: checkpoint directory (pickled numpy trees).
     :param eval_dataloader: optional eval loader(s).
     :param ckpt_interval: save every N epochs.

@@ -42,6 +42,7 @@ MODULES = [
     "deepinv_tpu.physics.wrappers",
     "deepinv_tpu.models.artifactremoval",
     "deepinv_tpu.sampling.base",
+    "deepinv_tpu.training.trainer",
 ]
 
 
