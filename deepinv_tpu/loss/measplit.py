@@ -26,6 +26,26 @@ class SplittingLoss(Loss):
 
     :param split_ratio: fraction of measurements kept as input.
     :param pixelwise: share the mask across channels.
+
+    :Examples:
+
+        Self-supervised from measurements alone — ``adapt_model`` makes the
+        model consume the masked input (reference measplit.py adapt_model):
+
+        >>> import jax
+        >>> from deepinv_tpu.loss import SplittingLoss
+        >>> from deepinv_tpu.physics import Denoising, GaussianNoise
+        >>> from deepinv_tpu.models import MedianFilter
+        >>> physics = Denoising(noise_model=GaussianNoise(0.1))
+        >>> x = jax.random.uniform(jax.random.key(0), (2, 1, 16, 16))
+        >>> y = physics(x, key=jax.random.key(1))
+        >>> loss = SplittingLoss(split_ratio=0.8)
+        >>> model = loss.adapt_model(lambda yv, p, **kw: MedianFilter()(yv, 0.1))
+        >>> x_net = model(y, physics, key=jax.random.key(2))
+        >>> l = loss(x_net=x_net, y=y, physics=physics, model=model,
+        ...          key=jax.random.key(3))
+        >>> l.shape
+        (2,)
     """
 
     def __init__(self, metric=None, split_ratio: float = 0.9, pixelwise: bool = True, eval_n_samples: int = 5):

@@ -166,6 +166,20 @@ class SinglePixelCamera(DecomposablePhysics):
     :param m: number of measurement patterns kept.
     :param img_size: (C, H, W); H, W must be powers of two for the fast path.
     :param ordering: 'sequency' | 'cake_cutting' | 'zig_zag' | 'xy'.
+
+    :Examples:
+
+        Hadamard patterns run as MXU dense matmuls (bit-exact vs the
+        butterfly); the operator is decomposable so ``A_dagger`` is closed
+        form:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import SinglePixelCamera
+        >>> physics = SinglePixelCamera(m=100, img_size=(1, 16, 16))
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> y = physics.A(x)  # masked Hadamard spectrum (m kept patterns)
+        >>> y.shape, physics.A_dagger(y).shape
+        ((1, 1, 16, 16), (1, 1, 16, 16))
     """
 
     def __init__(self, m: int, img_size, ordering: str = "sequency", fast: bool = True, **kwargs):

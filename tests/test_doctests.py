@@ -43,6 +43,8 @@ MODULES = [
     "deepinv_tpu.models.artifactremoval",
     "deepinv_tpu.sampling.base",
     "deepinv_tpu.training.trainer",
+    "deepinv_tpu.physics.singlepixel",
+    "deepinv_tpu.loss.measplit",
 ]
 
 
