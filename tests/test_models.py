@@ -474,3 +474,48 @@ def test_jacobian_spectral_norm_exact():
     # FNE variant: norm of J of (2f - I); for f = 0.7 I -> |2*0.7 - 1| = 0.4
     fne = FNEJacobianSpectralNorm(max_iter=30)
     assert abs(float(fne(y=x, model=lambda u: 0.7 * u)) - 0.4) < 1e-3
+
+
+def test_client_rest_roundtrip():
+    """models.Client posts base64-npy measurements to a REST endpoint and
+    decodes the reconstruction (reference client.py:13) — exercised against
+    an in-process HTTP server standing in for the remote service."""
+    import base64
+    import io
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from deepinv_tpu.models import Client
+    from deepinv_tpu.physics import Denoising
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            assert self.headers["Authorization"] == "Bearer secret"
+            assert body["physics"] == "Denoising"
+            y = np.load(io.BytesIO(base64.b64decode(body["y"])))
+            buf = io.BytesIO()
+            np.save(buf, y * 2.0)  # "reconstruction": double the input
+            resp = json.dumps(
+                {"x_hat": base64.b64encode(buf.getvalue()).decode()}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        client = Client(f"http://127.0.0.1:{port}/infer", api_key="secret")
+        y = jnp.full((1, 1, 4, 4), 1.5)
+        xhat = client(y, Denoising())
+        assert np.allclose(np.asarray(xhat), 3.0)
+    finally:
+        server.shutdown()
