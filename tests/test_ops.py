@@ -1,0 +1,121 @@
+"""Functional kernels (reference deepinv/tests/test_physics_functional.py).
+
+Direct regression tests for ops/: DCT/DST orthonormal round trips,
+histogram(dd) vs numpy, thin-plate splines interpolate their control
+points, MATLAB imresize invariants, product-convolution adjointness, and
+random_choice distribution.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepinv_tpu.ops import (
+    dct2,
+    idct2,
+    dst1,
+    histogram,
+    histogramdd,
+    imresize_matlab,
+    multiplier,
+    product_convolution2d,
+    product_convolution2d_adjoint,
+    random_choice,
+    ThinPlateSpline,
+)
+
+
+@pytest.fixture
+def img():
+    return jnp.asarray(
+        np.random.default_rng(0).random((2, 3, 17, 19)), jnp.float32
+    )
+
+
+def test_dct2_roundtrip_and_parseval(img):
+    c = dct2(img)
+    back = idct2(c)
+    assert np.allclose(back, img, atol=1e-5)
+    # orthonormal: energy preserved
+    assert np.isclose(float(jnp.sum(c**2)), float(jnp.sum(img**2)), rtol=1e-5)
+
+
+def test_dst1_involution(img):
+    """Orthonormal DST-I is its own inverse (reference dst.py)."""
+    even = img[..., :16, :18]
+    assert np.allclose(dst1(dst1(even)), even, atol=1e-5)
+    assert np.isclose(
+        float(jnp.sum(dst1(even) ** 2)), float(jnp.sum(even**2)), rtol=1e-5
+    )
+
+
+def test_histogram_matches_numpy():
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=2000).astype(np.float32)
+    ours, edges = histogram(jnp.asarray(v), bins=32, low=-3.0, upp=3.0)
+    ours = np.asarray(ours)
+    assert len(np.asarray(edges)) == 33
+    ref, _ = np.histogram(v, bins=32, range=(-3.0, 3.0))
+    # out-of-range handling may differ at the clip boundary; compare interior
+    assert np.array_equal(ours[1:-1], ref[1:-1])
+
+
+def test_histogramdd_matches_numpy():
+    rng = np.random.default_rng(2)
+    v = rng.random((500, 2)).astype(np.float32)
+    ours, _ = histogramdd(
+        jnp.asarray(v), bins=[8, 6], low=[0.0, 0.0], upp=[1.0, 1.0]
+    )
+    ours = np.asarray(ours)
+    ref, _ = np.histogramdd(v, bins=(8, 6), range=((0, 1), (0, 1)))
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() <= 1  # boundary-bin convention only
+    assert ours.sum() == ref.sum()
+
+
+def test_thin_plate_spline_interpolates():
+    """TPS with alpha=0 passes exactly through its control points
+    (reference functional/interp.py ThinPlateSpline)."""
+    rng = np.random.default_rng(3)
+    ctrl = jnp.asarray(rng.random((12, 2)), jnp.float32)
+    vals = jnp.asarray(rng.random((12, 1)), jnp.float32)
+    tps = ThinPlateSpline(alpha=0.0).fit(ctrl, vals)
+    out = tps.transform(ctrl)
+    assert np.allclose(np.asarray(out), np.asarray(vals), atol=1e-3)
+
+
+def test_imresize_matlab_invariants(img):
+    """Antialiased bicubic: constant images stay constant; downsampling
+    halves each spatial dim (reference functional imresize, MATLAB-exact)."""
+    const = jnp.ones((1, 1, 20, 24))
+    down = imresize_matlab(const, scale=0.5)
+    assert down.shape == (1, 1, 10, 12)
+    assert np.allclose(np.asarray(down), 1.0, atol=1e-5)
+    up = imresize_matlab(img, scale=2.0)
+    assert up.shape == (2, 3, 34, 38)
+    # mean approximately preserved
+    assert abs(float(up.mean()) - float(img.mean())) < 1e-2
+
+
+def test_multiplier_and_product_convolution_adjoint(img):
+    w = jnp.asarray(np.random.default_rng(4).random((1, 1, 2, 17, 19)), jnp.float32)
+    h = jnp.asarray(np.random.default_rng(5).random((1, 1, 2, 5, 5)), jnp.float32)
+    x = img[:1, :1]
+    y = product_convolution2d(x, w, h, padding="circular")
+    # adjointness of the pair
+    u = jnp.asarray(np.random.default_rng(6).random(y.shape), jnp.float32)
+    lhs = float(jnp.vdot(y, u))
+    rhs = float(jnp.vdot(x, product_convolution2d_adjoint(u, w, h, padding="circular")))
+    assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0)
+    # multiplier is elementwise
+    assert np.allclose(multiplier(x, w[:, :, 0]), x * w[:, :, 0], atol=1e-6)
+
+
+def test_random_choice_distribution(key):
+    """random_choice honors the probability vector (reference
+    functional/random_choice, numpy semantics)."""
+    p = jnp.asarray([0.7, 0.2, 0.1])
+    draws = random_choice(key, 3, shape=(5000,), p=p)
+    freq = np.bincount(np.asarray(draws), minlength=3) / 5000.0
+    assert np.abs(freq - np.asarray(p)).max() < 0.03
