@@ -22,6 +22,26 @@ class RadioInterferometry(LinearPhysics):
     :param samples_loc: (2, M) visibility coordinates in radians [-pi, pi).
     :param dataWeight: optional per-visibility weights.
     :param real_projection: project the adjoint back to real images.
+
+    :Examples:
+
+        Visibilities via the pure-XLA Kaiser-Bessel NUFFT (the reference
+        needs torchkbnufft):
+
+        >>> import jax, numpy as np
+        >>> from deepinv_tpu.physics import RadioInterferometry
+        >>> uv = np.clip(np.random.default_rng(0).normal(size=(2, 300)),
+        ...              -3.0, 3.0).astype("float32")
+        >>> physics = RadioInterferometry((32, 32), uv)
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 32, 32))
+        >>> vis = physics.A(x)
+        >>> # with real_projection (default) the adjoint maps back to real
+        >>> # images, so adjointness holds on the real part:
+        >>> v = jax.random.normal(jax.random.key(1), vis.shape)
+        >>> s1 = float(jax.numpy.vdot(physics.A(x), v).real)
+        >>> s2 = float(jax.numpy.vdot(x, physics.A_adjoint(v)).real)
+        >>> vis.shape, bool(abs(s1 - s2) < 1e-3 * abs(s1))
+        ((1, 1, 300), True)
     """
 
     def __init__(

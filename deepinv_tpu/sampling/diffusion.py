@@ -25,6 +25,23 @@ class DDRM(Reconstructor):
 
     Requires a :class:`DecomposablePhysics`. Samples the posterior via the
     spectral-space diffusion of Kawar et al. 2022.
+
+    :Examples:
+
+        >>> import jax, numpy as np, jax.numpy as jnp
+        >>> from deepinv_tpu.sampling import DDRM
+        >>> from deepinv_tpu.models import MedianFilter
+        >>> from deepinv_tpu.physics import Inpainting, GaussianNoise
+        >>> physics = Inpainting(img_size=(1, 16, 16), mask=0.6,
+        ...                      key=jax.random.key(0),
+        ...                      noise_model=GaussianNoise(0.05))
+        >>> x = jax.random.uniform(jax.random.key(1), (1, 1, 16, 16))
+        >>> y = physics(x, key=jax.random.key(2))
+        >>> model = DDRM(MedianFilter(),
+        ...              sigmas=np.linspace(1, 0, 20))
+        >>> xhat = model(y, physics, key=jax.random.key(3))
+        >>> xhat.shape == x.shape and bool(jnp.isfinite(xhat).all())
+        True
     """
 
     def __init__(self, denoiser, sigmas=None, eta: float = 0.85, etab: float = 1.0, eps: float = 1e-6):

@@ -45,6 +45,8 @@ MODULES = [
     "deepinv_tpu.training.trainer",
     "deepinv_tpu.physics.singlepixel",
     "deepinv_tpu.loss.measplit",
+    "deepinv_tpu.physics.radio",
+    "deepinv_tpu.sampling.diffusion",
 ]
 
 
