@@ -115,6 +115,17 @@ class Scattering(Physics):
     r"""Full nonlinear Lippmann-Schwinger scattering (reference
     scattering.py:782): solve ``u = u_inc + G(k0^2 c u)`` per source, then
     measure the scattered field at the receivers.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics import Scattering
+        >>> physics = Scattering(img_size=(16, 16), n_sources=3,
+        ...                      n_receivers=5)
+        >>> c = 0.1 * jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> y = physics.A(c)  # (B, n_sources, n_receivers) scattered field
+        >>> y.shape
+        (1, 3, 5)
     """
 
     def __init__(self, img_size=(64, 64), n_sources: int = 8, n_receivers: int = 16,

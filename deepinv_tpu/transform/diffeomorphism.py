@@ -176,6 +176,19 @@ class CPABDiffeomorphism(Transform):
 
     :param n_trans: transformed versions generated per input image.
     :param n_tesselation: cells per dimension of the tessellation.
+
+    :Examples:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.transform import CPABDiffeomorphism
+        >>> t = CPABDiffeomorphism()
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+        >>> p = t.get_params(x, jax.random.key(1))
+        >>> xt = t.transform(x, **p)
+        >>> back = t.inverse(xt, **p)  # flow of -v inverts the flow of v
+        >>> xt.shape == back.shape == x.shape
+        True
+
     :param sigma: scale of the Gaussian over basis coefficients theta.
     :param zero_boundary: velocity vanishes on the image boundary.
     :param volume_preservation: constrain per-triangle divergence to zero.

@@ -47,6 +47,8 @@ MODULES = [
     "deepinv_tpu.loss.measplit",
     "deepinv_tpu.physics.radio",
     "deepinv_tpu.sampling.diffusion",
+    "deepinv_tpu.physics.scattering",
+    "deepinv_tpu.transform.diffeomorphism",
 ]
 
 
