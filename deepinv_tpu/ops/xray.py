@@ -412,17 +412,24 @@ def ray_integrals(
     return out.reshape((B, C) + lead).astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _fdk_weights_np(geom_key, n_v: int, n_u: int):
+    geom = _geom_np(dict(geom_key))
+    if geom["ray"] is not None:
+        A = geom["det"].shape[0]
+        return np.ones((A, n_v, n_u), np.float32)
+    P0, Dir = _ray_bundle(geom, n_v, n_u)  # src, cell - src
+    src_obj = np.linalg.norm(geom["src"], axis=-1)  # (A,)
+    ray_len = np.linalg.norm(Dir, axis=-1)  # (A, V, N)
+    return (src_obj[:, None, None] / np.maximum(ray_len, 1e-30)).astype(np.float32)
+
+
 def fdk_weights(geom: dict, n_v: int, n_u: int):
     """Feldkamp-Davis-Kress cosine weights ``Rs0 / |cell - src|`` per view
     and detector cell (reference tomography.py:623 ``fbp_weighting``).
 
-    Returns (A, V, N) float32; all-ones for parallel geometries.
+    Returns (A, V, N) float32; all-ones for parallel geometries. Planning is
+    cached on the static geometry like :func:`xray_transform`.
     """
-    geom = _geom_np(geom)
-    if geom["ray"] is not None:
-        A = geom["det"].shape[0]
-        return jnp.ones((A, n_v, n_u), jnp.float32)
-    P0, Dir = _ray_bundle(geom, n_v, n_u)  # src, cell - src
-    src_obj = np.linalg.norm(geom["src"], axis=-1)  # (A,)
-    ray_len = np.linalg.norm(Dir, axis=-1)  # (A, V, N)
-    return jnp.asarray(src_obj[:, None, None] / np.maximum(ray_len, 1e-30), jnp.float32)
+    geom_key = tuple(sorted(geometry_static(geom).items()))
+    return jnp.asarray(_fdk_weights_np(geom_key, int(n_v), int(n_u)))
