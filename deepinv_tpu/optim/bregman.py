@@ -39,7 +39,20 @@ class BregmanL2(Bregman):
 
 
 class BurgEntropy(Bregman):
-    """h(x) = -sum log x (positive orthant geometry, bregman.py:107)."""
+    """h(x) = -sum log x (positive orthant geometry, bregman.py:107).
+
+    :Examples:
+
+        ``grad_conj`` inverts ``grad`` — the defining property mirror
+        descent relies on:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.optim import BurgEntropy
+        >>> h = BurgEntropy()
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 1, 4, 4)) + 0.5
+        >>> bool(jnp.allclose(h.grad_conj(h.grad(x)), x, atol=1e-5))
+        True
+    """
 
     def fn(self, x, *args, **kwargs):
         return -jnp.sum(jnp.log(x.reshape(x.shape[0], -1)), axis=1)

@@ -34,6 +34,7 @@ MODULES = [
     "deepinv_tpu.utils.functional",
     "deepinv_tpu.physics.compressed_sensing",
     "deepinv_tpu.optim.linear",
+    "deepinv_tpu.optim.bregman",
     "deepinv_tpu.models.wrappers_models",
     "deepinv_tpu.models.precision",
     "deepinv_tpu.unfolded",
