@@ -35,10 +35,14 @@ for method in ("interp", "fourier", "slice"):
     y = jax.jit(lambda p, v, k: p(v, key=k))(physics, x, jax.random.key(0))
     fbp = jax.jit(lambda p, v: p.A_dagger(v))(physics, y)
 
+    # TV prior (swap in pretrained DnCNN/DRUNet weights for learned PnP)
+    from deepinv_tpu.optim import TVPrior
+
     model = optim_builder(
-        "PGD", data_fidelity=L2(), prior=PnP(DnCNN(1, 1, pretrained=None)),
-        params_algo={"stepsize": 1.0, "g_param": 0.05}, max_iter=10,
+        "PGD", data_fidelity=L2(), prior=TVPrior(),
+        params_algo={"stepsize": 1.0, "lambda": 5e-4}, max_iter=30,
+        custom_init=lambda yv, p: p.A_dagger(yv),  # FBP warm start
     )
     rec = jax.jit(lambda m, v, p: m(v, p))(model, y, physics)
     print(f"{method:8s}  FBP {float(psnr(fbp, x)[0]):5.2f} dB   "
-          f"PnP-PGD {float(psnr(rec, x)[0]):5.2f} dB")
+          f"TV-PGD {float(psnr(rec, x)[0]):5.2f} dB")

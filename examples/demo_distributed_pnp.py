@@ -46,10 +46,16 @@ def main():
     y = dphys.A(x)
     z = jnp.zeros_like(x)
     den = MedianFilter(3)
+    # the stacked adjoint sums n_dev sub-adjoints, so ||A^T A|| ~ n_dev:
+    # scale the stepsize accordingly or PGD diverges
+    step = 0.9 / n_dev
     for _ in range(20):
-        z = z - 0.5 * dfid.grad(z, y, dphys)
+        z = z - step * dfid.grad(z, y, dphys)
         z = den(z)
-    print("residual:", float(np.mean((np.asarray(z) - np.asarray(x)) ** 2)))
+    mse = float(np.mean((np.asarray(z) - np.asarray(x)) ** 2))
+    mse0 = float(np.mean(np.asarray(x) ** 2))
+    print(f"mse: {mse:.4f} (vs zero-init {mse0:.4f})")
+    assert mse < 0.5 * mse0, "distributed PGD should reduce the error"
 
 
 if __name__ == "__main__":
