@@ -67,4 +67,6 @@ model = optim_builder(
 )
 xhat = jax.jit(lambda m, v, p: m(v, p))(model, y, physics_est)
 psnr = PSNR()
-print("PSNR blurry:", float(psnr(y, x)[0]), "-> recon:", float(psnr(xhat, x)[0]))
+print("PSNR blurry:", float(psnr(y, x)[0]), "-> recon:", float(psnr(xhat, x)[0]),
+      "(KIN and DnCNN are untrained here: load the published checkpoints "
+      "for real blind deblurring)")
