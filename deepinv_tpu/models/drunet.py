@@ -54,6 +54,21 @@ class ResBlock(Module):
 
 
 class DRUNet(Denoiser):
+    """Sigma-conditioned UNet-ResNet denoiser (reference drunet.py:23).
+
+    :Examples:
+
+        The noise level enters as an extra channel; odd sizes are handled
+        with the reference's modulo-16 ``test_pad``:
+
+        >>> import jax
+        >>> from deepinv_tpu.models import DRUNet
+        >>> den = DRUNet(nc=(8, 16, 16, 16), nb=1)  # tiny config
+        >>> x = jax.random.uniform(jax.random.key(0), (1, 3, 37, 31))
+        >>> den(x, 0.05).shape
+        (1, 3, 37, 31)
+    """
+
     def __init__(
         self,
         in_channels: int = 3,

@@ -23,6 +23,7 @@ MODULES = [
     "deepinv_tpu.optim.data_fidelity",
     "deepinv_tpu.optim.dpir",
     "deepinv_tpu.models.base",
+    "deepinv_tpu.models.drunet",
     "deepinv_tpu.models.classic",
     "deepinv_tpu.transform.base",
     "deepinv_tpu.transform.geometric",
