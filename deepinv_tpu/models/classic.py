@@ -106,7 +106,19 @@ class TGVDenoiser(Denoiser):
 
 
 class WaveletDenoiser(Denoiser):
-    """Orthonormal wavelet soft-thresholding (reference models/wavdict.py)."""
+    """Orthonormal wavelet soft-thresholding (reference models/wavdict.py).
+
+    :Examples:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.models import WaveletDenoiser
+        >>> den = WaveletDenoiser(wv="db4", level=2)
+        >>> x = jnp.zeros((1, 1, 32, 32)).at[:, :, 16:].set(1.0)
+        >>> noisy = x + 0.1 * jax.random.normal(jax.random.key(0), x.shape)
+        >>> out = den(noisy, 0.1)
+        >>> bool(jnp.mean((out - x) ** 2) < jnp.mean((noisy - x) ** 2))
+        True
+    """
 
     def __init__(self, wv: str = "db4", level: int = 3, non_linearity: str = "soft"):
         from ..ops.wavelets import WaveletTransform
