@@ -35,6 +35,26 @@ class MotionBlurGenerator(PhysicsGenerator):
     :param psf_size: (h, w) of the PSF.
     :param length: trajectory samples.
     :param sigma: trajectory smoothness.
+
+    :Examples:
+
+        Generators feed physics directly: ``physics(x, **gen.step(B))``
+        applies a fresh random PSF per call:
+
+        >>> import jax, jax.numpy as jnp
+        >>> from deepinv_tpu.physics.generator import MotionBlurGenerator
+        >>> from deepinv_tpu.physics import Blur
+        >>> gen = MotionBlurGenerator(psf_size=(9, 9))
+        >>> params = gen.step(batch_size=2, key=jax.random.key(0))
+        >>> params["filter"].shape  # normalized PSFs
+        (2, 1, 9, 9)
+        >>> bool(jnp.allclose(params["filter"].sum(axis=(-2, -1)), 1.0,
+        ...                   atol=1e-5))
+        True
+        >>> physics = Blur(padding="circular")
+        >>> x = jax.random.uniform(jax.random.key(1), (2, 1, 16, 16))
+        >>> physics.A(x, **params).shape
+        (2, 1, 16, 16)
     """
 
     def __init__(self, psf_size=(31, 31), length: int = 1000, sigma: float = 0.25, seed: int = 0):

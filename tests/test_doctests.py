@@ -18,6 +18,7 @@ MODULES = [
     "deepinv_tpu.physics.mri",
     "deepinv_tpu.physics.tomography",
     "deepinv_tpu.physics.generator.base",
+    "deepinv_tpu.physics.generator.blur",
     "deepinv_tpu.optim.optimizers",
     "deepinv_tpu.optim.prior",
     "deepinv_tpu.optim.data_fidelity",
