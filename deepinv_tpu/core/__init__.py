@@ -11,6 +11,7 @@ from .linalg import (
     tree_zeros_like,
     tree_conj,
     power_method,
+    transpose_primal,
 )
 from .rng import ensure_key, epoch_key, split_like
 
@@ -35,6 +36,7 @@ __all__ = [
     "tree_zeros_like",
     "tree_conj",
     "power_method",
+    "transpose_primal",
     "ensure_key",
     "epoch_key",
     "split_like",

@@ -100,3 +100,28 @@ def power_method(op, x0, max_iter: int = 100, tol: float = 1e-6):
     init = (x0, jnp.asarray(0.0), jnp.asarray(jnp.inf), jnp.asarray(0))
     _, lam, _, _ = jax.lax.while_loop(cond, body, init)
     return lam
+
+
+def transpose_primal(cotangent, shape, dtype=None):
+    """``ShapeDtypeStruct`` for a ``jax.linear_transpose`` primal that
+    inherits the cotangent's varying-manual-axes (vma).
+
+    Under ``shard_map`` (vma tracking on, the jax default) a fresh
+    ``ShapeDtypeStruct`` is *unvaried*: tracing the forward then inserts an
+    implicit ``pvary`` on the primal, whose transpose is a ``lax.psum`` over
+    the mesh axes — silently turning a device-local adjoint into a
+    cross-device sum (observed as an axis_size-fold overcount in the
+    operator-parallel adjoint). Matching the cotangent's vma keeps the
+    transpose device-local; callers insert their own explicit ``psum`` where
+    a cross-device reduction is actually meant. Outside ``shard_map`` the
+    vma set is empty and this is identical to a plain ``ShapeDtypeStruct``.
+    """
+    vma = getattr(jax.typeof(cotangent), "vma", frozenset())
+    dtype = dtype if dtype is not None else cotangent.dtype
+    if vma:
+        # linear_transpose rejects ShapeDtypeStruct(vma=...); a concrete
+        # zeros primal cast to 'varying' carries the vma instead (free at
+        # trace time — only its aval is used)
+        return jax.lax.pcast(jnp.zeros(tuple(shape), dtype), tuple(vma),
+                             to="varying")
+    return jax.ShapeDtypeStruct(tuple(shape), dtype)

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Denoiser
+from ..core.linalg import transpose_primal
 
 __all__ = [
     "TVDenoiser",
@@ -90,7 +91,7 @@ class TGVDenoiser(Denoiser):
             # divergence of q back onto the vector field
             fwd = lambda v: grad2(v)
             (qt,) = jax.linear_transpose(
-                fwd, jax.ShapeDtypeStruct(w.shape, w.dtype)
+                fwd, transpose_primal(q, w.shape, w.dtype)
             )(q)
             w_new = w - tau * (qt - p)
             u_bar = 2 * u_new - u

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ..core import Module
 from .base import Reconstructor
 from .layers import Conv2d
+from ..core.linalg import transpose_primal
 
 __all__ = ["DEAL"]
 
@@ -38,7 +39,7 @@ class _ConvexRidge(Module):
         B, C = x.shape[:2]
         fwd = lambda v: self.W(v)
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct(x.shape, x.dtype)
+            fwd, transpose_primal(g, x.shape, x.dtype)
         )(g)
         return xt
 

@@ -29,6 +29,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from ..core.linalg import transpose_primal
 
 __all__ = [
     "conv2d",
@@ -136,7 +137,7 @@ def conv_transpose2d(
     else:
         x_shape = y.shape
     fwd = lambda x: conv2d(x, filt, padding=padding, correlation=correlation)
-    (xT,) = jax.linear_transpose(fwd, jax.ShapeDtypeStruct(x_shape, y.dtype))(y)
+    (xT,) = jax.linear_transpose(fwd, transpose_primal(y, x_shape))(y)
     return xT
 
 
@@ -205,7 +206,7 @@ def conv_transpose2d_fft(
     else:
         x_shape = y.shape
     fwd = lambda x: conv2d_fft(x, filt, padding=padding, real_fft=real_fft)
-    (xT,) = jax.linear_transpose(fwd, jax.ShapeDtypeStruct(x_shape, y.dtype))(y)
+    (xT,) = jax.linear_transpose(fwd, transpose_primal(y, x_shape))(y)
     return xT
 
 
@@ -235,7 +236,7 @@ def conv_transpose3d_fft(
     y: jax.Array, filter: jax.Array, padding: str = "circular", real_fft: bool = True
 ) -> jax.Array:
     fwd = lambda x: conv3d_fft(x, filter, padding=padding, real_fft=real_fft)
-    (xT,) = jax.linear_transpose(fwd, jax.ShapeDtypeStruct(y.shape, y.dtype))(y)
+    (xT,) = jax.linear_transpose(fwd, transpose_primal(y, y.shape))(y)
     return xT
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..core.linalg import transpose_primal
 
 __all__ = ["dct2", "idct2", "dst1", "fftc", "ifftc", "dct1d", "idct1d"]
 
@@ -40,7 +41,7 @@ def idct1d(x: jax.Array, axis: int = -1, ortho: bool = True) -> jax.Array:
     if not ortho:
         raise NotImplementedError("idct1d only supports ortho normalization")
     fwd = lambda v: dct1d(v, axis=axis, ortho=True)
-    (out,) = jax.linear_transpose(fwd, jax.ShapeDtypeStruct(x.shape, x.dtype))(x)
+    (out,) = jax.linear_transpose(fwd, transpose_primal(x, x.shape))(x)
     return out
 
 

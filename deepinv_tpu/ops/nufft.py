@@ -19,6 +19,7 @@ import numpy as np
 import functools as _functools
 import jax
 import jax.numpy as jnp
+from ..core.linalg import transpose_primal
 
 __all__ = [
     "nufft2",
@@ -111,7 +112,7 @@ def nufft2_adjoint(y, omega, im_size, J: int = 4, osf: float = 2.0):
     N1, N2 = im_size
     batch_shape = y.shape[:-1]
     fwd = lambda x: nufft2(x, omega, J=J, osf=osf)
-    spec = jax.ShapeDtypeStruct(batch_shape + (N1, N2), jnp.complex64)
+    spec = transpose_primal(y, batch_shape + (N1, N2), jnp.complex64)
     # adjoint = conj . transpose . conj for a complex-linear map
     (xt,) = jax.linear_transpose(fwd, spec)(jnp.conj(y.astype(jnp.complex64)))
     return jnp.conj(xt)

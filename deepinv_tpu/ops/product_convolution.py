@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .conv import conv2d, conv2d_fft
+from ..core.linalg import transpose_primal
 
 __all__ = ["product_convolution2d", "product_convolution2d_adjoint", "multiplier"]
 
@@ -43,5 +44,5 @@ def product_convolution2d_adjoint(y, w, h, padding: str = "valid", use_fft: bool
     H, W = w.shape[-2:]
     x_shape = (B, C, H, W)
     fwd = lambda x: product_convolution2d(x, w, h, padding=padding, use_fft=use_fft)
-    (xt,) = jax.linear_transpose(fwd, jax.ShapeDtypeStruct(x_shape, y.dtype))(y)
+    (xt,) = jax.linear_transpose(fwd, transpose_primal(y, x_shape))(y)
     return xt

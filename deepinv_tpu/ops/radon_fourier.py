@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .radon import _pad_image, _circle_mask, ramp_filter, radon_output_size
+from ..core.linalg import transpose_primal
 
 __all__ = ["radon_fourier", "iradon_fourier"]
 
@@ -154,6 +155,6 @@ def iradon_fourier(
     B, C = sino.shape[:2]
     x_shape = (B, C, W0, W0)
     fwd = lambda v: radon_fourier(v, theta, circle=circle)
-    (xt,) = jax.linear_transpose(fwd, jax.ShapeDtypeStruct(x_shape, sino.dtype))(sino)
+    (xt,) = jax.linear_transpose(fwd, transpose_primal(sino, x_shape))(sino)
     n_angles = sino.shape[-1]
     return xt * jnp.pi / (2 * n_angles)

@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from ..core.linalg import transpose_primal
 
 __all__ = ["WaveletTransform", "WAVELET_FILTERS"]
 
@@ -153,7 +154,7 @@ class WaveletTransform:
         shp = (a.shape[:-2] + (a.shape[-2] * 2, a.shape[-1] * 2))
         fwd = lambda x: self._dwt2_level(x)
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct(shp, a.dtype)
+            fwd, transpose_primal(a, shp)
         )((a, (lh, hl, hh)))
         return xt
 

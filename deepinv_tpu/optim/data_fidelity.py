@@ -24,6 +24,7 @@ from .distance import (
     LogPoissonLikelihoodDistance,
     ZeroDistance,
 )
+from ..core.linalg import transpose_primal
 
 __all__ = [
     "DataFidelity",
@@ -247,7 +248,7 @@ class ItohFidelity(L2):
     def D_adjoint(self, v):
         fwd = self.D
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct(v.shape[:-1], v.dtype)
+            fwd, transpose_primal(v, v.shape[:-1])
         )(v)
         return xt
 

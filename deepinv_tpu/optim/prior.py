@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .potential import Potential
+from ..core.linalg import transpose_primal
 
 __all__ = [
     "Prior",
@@ -158,7 +159,7 @@ def _div_op(p):
     """Negative adjoint of _grad_op (divergence)."""
     fwd = lambda x: _grad_op(x)
     (xt,) = jax.linear_transpose(
-        fwd, jax.ShapeDtypeStruct(p.shape[:-1], p.dtype)
+        fwd, transpose_primal(p, p.shape[:-1])
     )(p)
     return -xt
 

@@ -27,13 +27,11 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from functools import partial as _partial
 
-# check_vma=False: replication tracking mis-transposes linear_transpose'd
-# adjoints inside shard_map (8x overcount); disable it — correctness is
-# covered by the single-vs-multi-device consistency tests.
-from jax import shard_map as _shard_map
-shard_map = _partial(_shard_map, check_vma=False)
+# vma (varying-manual-axes) tracking stays ON: device-local adjoints are
+# derived with primals that inherit the cotangent's vma
+# (core.linalg.transpose_primal), so no spurious psum is transposed in.
+from jax import shard_map
 
 from ..core import Module
 from ..physics.base import LinearPhysics, StackedLinearPhysics

@@ -19,18 +19,16 @@ whole pipeline is reverse-mode differentiable — training through it works.
 
 from __future__ import annotations
 
-from functools import partial as _partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from jax import shard_map as _shard_map
-
-# check_vma=False: see processing.py — replication tracking mis-handles
-# transposed collectives; correctness is covered by consistency tests.
-shard_map = _partial(_shard_map, check_vma=False)
+# vma (varying-manual-axes) tracking stays ON: device-local adjoints are
+# derived with primals that inherit the cotangent's vma
+# (core.linalg.transpose_primal), so no spurious psum is transposed in.
+from jax import shard_map
 
 from ..core import Module
 from .context import DistributedContext
@@ -66,8 +64,14 @@ def pipeline(stage_params, stage_apply, carries, ctx: DistributedContext,
     def local(params, carries_local):
         params_i = tmap(lambda p: p[0], params)  # this device's stage
         idx = lax.axis_index(pp_axis)
-        zero = tmap(lambda c: jnp.zeros_like(c[0]), carries_local)
-        outbuf0 = tmap(lambda c: jnp.zeros_like(c), carries_local)
+        # the loop carry becomes device-varying after one tick (params vary
+        # over pp); start it varying so the fori_loop carry type is stable
+        zero = tmap(
+            lambda c: lax.pcast(jnp.zeros_like(c[0]), pp_axis, to="varying"),
+            carries_local)
+        outbuf0 = tmap(
+            lambda c: lax.pcast(jnp.zeros_like(c), pp_axis, to="varying"),
+            carries_local)
 
         def tick(t, state):
             cur, outbuf = state

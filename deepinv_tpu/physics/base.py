@@ -155,7 +155,19 @@ def adjoint_function(A: Callable, input_shape, dtype=jnp.float32) -> Callable:
     )
 
     def A_adj(y):
-        (x,) = jax.linear_transpose(A, spec)(y)
+        # inherit the cotangent's varying-manual-axes so the transpose stays
+        # device-local under shard_map (see core.linalg.transpose_primal)
+        from ..core.linalg import transpose_primal
+
+        leaves = jax.tree_util.tree_leaves(y)
+        if leaves:
+            cot = leaves[0]
+            spec_v = jax.tree_util.tree_map(
+                lambda s: transpose_primal(cot, s.shape, s.dtype), spec
+            )
+        else:
+            spec_v = spec
+        (x,) = jax.linear_transpose(A, spec_v)(y)
         return x
 
     return A_adj

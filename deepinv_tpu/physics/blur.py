@@ -30,6 +30,7 @@ from ..ops.conv import (
     sinc_filter,
 )
 from .base import LinearPhysics, DecomposablePhysics
+from ..core.linalg import transpose_primal
 
 __all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur", "TiledSpaceVaryingBlur", "DownsamplingMatlab"]
 
@@ -301,7 +302,7 @@ class DownsamplingMatlab(LinearPhysics):
         B, C = y.shape[:2]
         fwd = lambda x: imresize_matlab(x, scale=1.0 / self.factor)
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct((B, C, H, W), y.dtype)
+            fwd, transpose_primal(y, (B, C, H, W))
         )(y)
         return xt
 
@@ -402,6 +403,6 @@ class TiledSpaceVaryingBlur(LinearPhysics):
         B, C = y.shape[:2]
         fwd = lambda x: self.A(x, filters=h)
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct((B, C, H, W), y.dtype)
+            fwd, transpose_primal(y, (B, C, H, W))
         )(y)
         return xt

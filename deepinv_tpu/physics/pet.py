@@ -30,6 +30,7 @@ from ..ops.radon_fourier import radon_fourier
 from ..ops.radon_slice import radon_slice
 from .base import LinearPhysics
 from .noise import PoissonNoise
+from ..core.linalg import transpose_primal
 
 __all__ = ["PET"]
 
@@ -276,14 +277,14 @@ class PET(LinearPhysics):
         if self._lor_p0 is not None:
             x_shape = y.shape[:2] + (self.depth, self.img_width, self.img_width)
             (xt,) = jax.linear_transpose(
-                self._fwd_chain_lor, jax.ShapeDtypeStruct(x_shape, y.dtype)
+                self._fwd_chain_lor, transpose_primal(y, x_shape)
             )(yw)
             return xt
         if not self.is_2d:
             yw = self._fold(yw)
         x_shape = (y.shape[0], yw.shape[1], self.img_width, self.img_width)
         (xt,) = jax.linear_transpose(
-            self._fwd_chain, jax.ShapeDtypeStruct(x_shape, y.dtype)
+            self._fwd_chain, transpose_primal(y, x_shape)
         )(yw)
         return self._unfold(xt, y.shape) if not self.is_2d else xt
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core import Module
 from .base import Physics, LinearPhysics
+from ..core.linalg import transpose_primal
 
 __all__ = ["BornOperator", "Scattering"]
 
@@ -106,7 +107,7 @@ class BornOperator(LinearPhysics):
         n = self.grid.n
         B = y.shape[0]
         fwd = lambda c: self.A(c)
-        spec = jax.ShapeDtypeStruct((B, 1, n, n), jnp.complex64)
+        spec = transpose_primal(y, (B, 1, n, n), jnp.complex64)
         (ct,) = jax.linear_transpose(fwd, spec)(jnp.conj(y))
         return jnp.conj(ct)
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..core.rng import ensure_key
 from ..ops.fourier import dst1
 from .base import LinearPhysics
+from ..core.linalg import transpose_primal
 
 __all__ = ["StructuredRandom", "compare_sizes", "generate_diagonal"]
 
@@ -89,6 +90,6 @@ class StructuredRandom(LinearPhysics):
         x_shape = (B,) + self.input_shape
         fwd = lambda x: self.A(x)
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
+            fwd, transpose_primal(y, x_shape)
         )(y)
         return xt

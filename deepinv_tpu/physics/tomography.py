@@ -30,6 +30,7 @@ from ..ops.radon_slice import (
     radon_slice_normal,
 )
 from .base import LinearPhysics
+from ..core.linalg import transpose_primal
 
 __all__ = ["Tomography", "Tomography3D", "TomographyWithAstra"]
 
@@ -144,7 +145,7 @@ class Tomography(LinearPhysics):
             radon_fn = {"fourier": radon_fourier, "slice": radon_slice}.get(self.method, radon)
             fwd = lambda x: radon_fn(x, self._theta_for(radon_fn), circle=self.circle)
         (xt,) = jax.linear_transpose(
-            fwd, jax.ShapeDtypeStruct(x_shape, y.dtype)
+            fwd, transpose_primal(y, x_shape)
         )(y)
         if self.normalize:
             xt = xt / self.img_width
@@ -350,7 +351,7 @@ class TomographyWithAstra(LinearPhysics):
         B, C = y.shape[:2]
         x_shape = (B, C) + self.img_size
         (xt,) = jax.linear_transpose(
-            self._project, jax.ShapeDtypeStruct(x_shape, y.dtype)
+            self._project, transpose_primal(y, x_shape)
         )(y)
         if self.normalize:
             xt = xt / self.operator_norm
