@@ -16,13 +16,21 @@ then gives true operator parallelism:
   reimplements it, :666).
 
 Heterogeneous stacks fall back to sequential evaluation inside one jit —
-XLA still overlaps independent operators.
+XLA still overlaps independent operators. The reference's
+``gather_strategy`` knob ('naive'/'concatenated'/'broadcast',
+distrib_framework.py:262) is accepted for API parity but is a no-op here:
+gathering is an XLA sharding decision, not a user-level serialization
+choice.
+
+Operators can also be supplied lazily as a **factory callable**
+``factory(index, device, factory_kwargs) -> Physics`` (reference
+distribute.py:62), which avoids materializing every operator when building
+large stacks.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,63 +41,188 @@ from jax.sharding import PartitionSpec as P
 # (core.linalg.transpose_primal), so no spurious psum is transposed in.
 from jax import shard_map
 
-from ..core import Module
-from ..physics.base import LinearPhysics, StackedLinearPhysics
+from ..core import Module, TensorList
+from ..core.rng import ensure_key
+from ..physics.base import Physics, LinearPhysics
 from .context import DistributedContext
 
-__all__ = ["DistributedStackedLinearPhysics", "stack_homogeneous"]
+__all__ = [
+    "DistributedStackedPhysics",
+    "DistributedStackedLinearPhysics",
+    "stack_homogeneous",
+]
 
 
-def stack_homogeneous(physics_list: Sequence[LinearPhysics]):
+def stack_homogeneous(physics_list: Sequence[Physics]):
     """Stack same-structure physics into one batched physics pytree
     (leading operator axis on every array leaf)."""
     treedefs = {jax.tree_util.tree_structure(p) for p in physics_list}
     if len(treedefs) != 1:
         raise ValueError(
-            "operators are not structurally identical; use StackedLinearPhysics"
+            "operators are not structurally identical; use StackedPhysics"
         )
     return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *physics_list)
 
 
-class DistributedStackedLinearPhysics(Module):
-    """Mesh-sharded stack of homogeneous linear operators.
+def _materialize(physics, num_operators, factory_kwargs):
+    """Resolve a list/factory spec into a list of physics objects."""
+    if isinstance(physics, (list, tuple)):
+        return list(physics)
+    if callable(physics) and not isinstance(physics, Physics):
+        if num_operators is None:
+            raise ValueError(
+                "when passing a factory callable, num_operators is required "
+                "(reference distribute.py:77)"
+            )
+        # device=None: on TPU, placement is the mesh sharding's job
+        return [physics(i, None, factory_kwargs) for i in range(num_operators)]
+    raise ValueError(f"cannot build an operator stack from {type(physics)}")
 
-    :param physics_list: list of same-structure LinearPhysics (length must be
-        divisible by the op-axis size).
+
+class DistributedStackedPhysics(Module):
+    """Mesh-sharded stack of (possibly nonlinear) physics operators
+    (reference distrib_framework.py:234).
+
+    Homogeneous stacks (same pytree structure) run as one vmapped
+    ``shard_map`` over the ``op`` mesh axis; heterogeneous stacks evaluate
+    sequentially inside jit (XLA overlaps the independent operators) and
+    return a :class:`deepinv_tpu.TensorList`.
+
+    :param physics: list of Physics, or a factory
+        ``f(index, device, factory_kwargs) -> Physics``.
     :param ctx: DistributedContext with an ``op`` axis.
+    :param num_operators: stack size (required for factory input).
     :param op_axis: mesh axis name.
+    :param gather_strategy: accepted for reference API parity
+        (distrib_framework.py:262); gathering is handled by XLA sharding.
+    :param factory_kwargs: shared dict passed to the factory.
     """
 
-    def __init__(self, physics_list, ctx: DistributedContext, op_axis: str = "op"):
-        self.batched = stack_homogeneous(physics_list)
+    def __init__(
+        self,
+        physics,
+        ctx: DistributedContext,
+        num_operators: Optional[int] = None,
+        op_axis: str = "op",
+        gather_strategy: str = "concatenated",
+        factory_kwargs: Optional[dict] = None,
+    ):
+        if gather_strategy not in ("naive", "concatenated", "broadcast"):
+            raise ValueError(
+                f"gather_strategy must be naive/concatenated/broadcast, "
+                f"got {gather_strategy!r}"
+            )
+        physics_list = _materialize(physics, num_operators, factory_kwargs)
         self.n_ops = len(physics_list)
         self.ctx = ctx
         self.op_axis = op_axis
-        if self.n_ops % ctx.axis_size(op_axis) != 0:
+        self.gather_strategy = gather_strategy
+        try:
+            self.batched = stack_homogeneous(physics_list)
+            self.physics_list = None
+        except ValueError:
+            self.batched = None
+            self.physics_list = physics_list
+        if self.batched is not None and self.n_ops % ctx.axis_size(op_axis):
             raise ValueError(
                 f"{self.n_ops} operators not divisible by mesh axis size "
                 f"{ctx.axis_size(op_axis)}"
             )
 
+    # -- map over the stack ----------------------------------------------
+    def _sharded_map(self, fn, *args_specs):
+        """shard_map a (batched_local, *args) -> stacked-out function."""
+        mesh = self.ctx.mesh
+        in_specs = (P(self.op_axis),) + tuple(s for _, s in args_specs)
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=P(self.op_axis)
+        )
+
+    def A(self, x, **params):
+        """Stacked measurements: ``(n_ops, B, C, ...)`` sharded over ``op``
+        for homogeneous stacks, TensorList otherwise."""
+        if self.batched is None:
+            return TensorList([p.A(x, **params) for p in self.physics_list])
+
+        def local(batched_local, xv):
+            return jax.vmap(lambda p: p.A(xv, **params))(batched_local)
+
+        f = self._sharded_map(local, (None, P()))
+        return f(self.batched, x)
+
+    def forward(self, x, key=None, **params):
+        """Full forward ``N(A(x))`` with per-operator noise keys."""
+        key = ensure_key(key, 0)
+        if self.batched is None:
+            keys = jax.random.split(key, self.n_ops)
+            return TensorList(
+                [p(x, key=k, **params) for p, k in zip(self.physics_list, keys)]
+            )
+        keys = jax.random.split(key, self.n_ops)
+
+        def local(batched_local, keys_local, xv):
+            return jax.vmap(lambda p, k: p(xv, key=k, **params))(
+                batched_local, keys_local
+            )
+
+        mesh = self.ctx.mesh
+        f = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(self.op_axis), P(self.op_axis), P()),
+            out_specs=P(self.op_axis),
+        )
+        return f(self.batched, keys, x)
+
+    def __call__(self, x, key=None, **params):
+        return self.forward(x, key=key, **params)
+
+    def A_dagger(self, y, x_init=None, max_iter: int = 50, lr: float = 1e-1):
+        """Gradient-descent pseudo-inverse for the nonlinear stack
+        (reference Physics.A_dagger semantics, forward.py:161-199):
+        minimizes ``0.5 sum_i ||A_i(x) - y_i||^2`` by compiled GD."""
+        if x_init is None:
+            if self.batched is not None and hasattr(self.batched, "A_adjoint"):
+                x_init = self.A_adjoint(y)
+            else:
+                raise ValueError("x_init required for nonlinear A_dagger")
+
+        def loss(x):
+            r = self.A(x)
+            leaves_r = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(jnp.subtract, r, y)
+            )
+            return 0.5 * sum(jnp.vdot(l, l).real for l in leaves_r)
+
+        g = jax.grad(loss)
+
+        def body(_, x):
+            return x - lr * g(x)
+
+        return jax.lax.fori_loop(0, max_iter, body, x_init)
+
+
+class DistributedStackedLinearPhysics(DistributedStackedPhysics):
+    """Mesh-sharded stack of homogeneous linear operators
+    (reference distrib_framework.py:387).
+
+    Adds the linear machinery: psum adjoint, distributed CG pseudo-inverse,
+    distributed power method, prox_l2.
+    """
+
+    def __init__(self, physics, ctx: DistributedContext, **kwargs):
+        super().__init__(physics, ctx, **kwargs)
+        if self.batched is None:
+            raise ValueError(
+                "DistributedStackedLinearPhysics needs structurally identical "
+                "operators; use StackedLinearPhysics for heterogeneous stacks"
+            )
+
     # local helpers run under shard_map: physics leaves have a local leading
     # operator axis of size n_ops / axis_size
-    def _local_A(self, batched_local, x):
-        return jax.vmap(lambda p: p.A(x))(batched_local)
-
     def _local_At_sum(self, batched_local, y_local):
         outs = jax.vmap(lambda p, yi: p.A_adjoint(yi))(batched_local, y_local)
         return jnp.sum(outs, axis=0)
-
-    def A(self, x):
-        """Returns measurements of shape (n_ops, B, C, ...) sharded over op."""
-        mesh = self.ctx.mesh
-        f = shard_map(
-            self._local_A,
-            mesh=mesh,
-            in_specs=(P(self.op_axis), P()),
-            out_specs=P(self.op_axis),
-        )
-        return f(self.batched, x)
 
     def A_adjoint(self, y):
         """Sum of per-operator adjoints — psum over the op axis

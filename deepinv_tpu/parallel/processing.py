@@ -1,19 +1,27 @@
 """Spatial/signal-parallel processing (reference deepinv/distributed/
-distrib_framework.py:734 DistributedProcessing + strategies.py:292
-OverlapTilingStrategy).
+distrib_framework.py:734 DistributedProcessing + strategies.py:184
+BasicStrategy / :292 OverlapTilingStrategy).
 
 The image itself is sharded over a mesh axis (the imaging analogue of
 context/sequence parallelism — SURVEY.md 2.9). ``shard_map`` over the ``sp``
 axis shards rows; each device exchanges ``overlap`` halo rows with its
 neighbors via ``lax.ppermute`` (ICI neighbor exchange), applies the local
-denoiser on its padded tile, and trims the halo — the reference's
+processor on its padded tile, and trims the halo — the reference's
 gather+reassemble with overlap trimming (strategies.py:292-459) without any
 host gather.
+
+Reference option surface (distribute.py:214-330) and its TPU mapping:
+
+- ``tiling_strategy='overlap_tiling'`` → halo exchange (default);
+  ``'basic'`` → independent tiles, no halo (strategies.py:184).
+- ``max_batch_size`` → the batch axis is processed in chunks of this size
+  via ``lax.map`` (the reference's apply_batching, strategies.py:85-183).
+- ``patch_size`` / ``tiling_dims`` are accepted for API parity; on a mesh
+  the tile size is ``H / axis_size`` by construction and tiling runs over
+  the row axis (-2). A ``tiling_dims`` of -1 / (-1,) tiles columns instead.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -36,23 +44,75 @@ class DistributedProcessing(Module):
     :param module: callable ``(x, sigma) -> x`` applied tile-wise.
     :param ctx: DistributedContext with an ``sp`` axis.
     :param overlap: halo rows exchanged with each neighbor.
+    :param tiling_strategy: ``'overlap_tiling'`` (halo exchange, default) or
+        ``'basic'`` (independent tiles, reference strategies.py:184).
+    :param tiling_dims: spatial axis to shard: -2 (rows, default) or -1
+        (columns); reference tiling_dims (distribute.py:234).
+    :param max_batch_size: process the batch axis in chunks of this size
+        (reference apply_batching / max_batch_size, strategies.py:85).
+    :param patch_size: accepted for reference API parity; the per-device
+        tile size is set by the mesh (``H / axis_size``).
     """
 
-    def __init__(self, module, ctx: DistributedContext, overlap: int = 8, sp_axis: str = "sp"):
+    def __init__(self, module, ctx: DistributedContext, overlap: int = 8,
+                 sp_axis: str = "sp", tiling_strategy: str = "overlap_tiling",
+                 tiling_dims=None, max_batch_size: int = None,
+                 patch_size: int = None):
+        if tiling_strategy not in ("overlap_tiling", "basic"):
+            raise ValueError(
+                "tiling_strategy must be 'overlap_tiling' or 'basic', got "
+                f"{tiling_strategy!r}"
+            )
+        if tiling_dims is not None:
+            td = (tiling_dims,) if isinstance(tiling_dims, int) else tuple(tiling_dims)
+            if td not in ((-2,), (-1,), (2,), (3,)):
+                raise ValueError(
+                    "mesh tiling shards one spatial axis: tiling_dims must "
+                    "be -2/-1 (or 2/3 for NCHW), got " f"{tiling_dims!r}"
+                )
+            self.tile_axis = -2 if td in ((-2,), (2,)) else -1
+        else:
+            self.tile_axis = -2
         self.module = module
         self.ctx = ctx
         self.overlap = overlap
         self.sp_axis = sp_axis
+        self.tiling_strategy = tiling_strategy
+        self.max_batch_size = max_batch_size
+        self.patch_size = patch_size
+
+    def _apply(self, x, sigma):
+        """Apply the module, chunking the batch axis if requested."""
+        mb = self.max_batch_size
+        if mb is None or x.shape[0] <= mb:
+            return self.module(x, sigma)
+        B = x.shape[0]
+        if B % mb:
+            # pad the batch to a multiple so lax.map has static shape
+            pad = mb - B % mb
+            xp = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        else:
+            pad, xp = 0, x
+        chunks = xp.reshape((xp.shape[0] // mb, mb) + x.shape[1:])
+        out = jax.lax.map(lambda c: self.module(c, sigma), chunks)
+        out = out.reshape((-1,) + out.shape[2:])
+        return out[:B] if pad else out
 
     def __call__(self, x, sigma=0.05):
         mesh = self.ctx.mesh
         n = self.ctx.axis_size(self.sp_axis)
         if n == 1:
-            return self.module(x, sigma)
+            return self._apply(x, sigma)
         ov = self.overlap
         axis = self.sp_axis
+        ta = self.tile_axis
+        if ta == -1:
+            x = jnp.swapaxes(x, -1, -2)
 
-        def local(x_local):
+        def local_basic(x_local):
+            return self._apply(x_local, sigma)
+
+        def local_overlap(x_local):
             # neighbor halo exchange over the ring (lax.ppermute on ICI)
             up = jax.lax.ppermute(
                 x_local[..., -ov:, :], axis,
@@ -72,11 +132,13 @@ class DistributedProcessing(Module):
                 idx == n - 1, x_local[..., -ov - 1 : -1, :][..., ::-1, :], down
             )
             padded = jnp.concatenate([top_pad, x_local, bot_pad], axis=-2)
-            out = self.module(padded, sigma)
+            out = self._apply(padded, sigma)
             return out[..., ov:-ov, :]
 
+        local = local_basic if self.tiling_strategy == "basic" else local_overlap
         f = shard_map(
             local, mesh=mesh, in_specs=P(None, None, axis, None),
             out_specs=P(None, None, axis, None),
         )
-        return f(x)
+        out = f(x)
+        return jnp.swapaxes(out, -1, -2) if ta == -1 else out

@@ -20,7 +20,53 @@ import jax.numpy as jnp
 from ..core import Module
 from ..core.rng import ensure_key
 
-__all__ = ["Transform", "Identity"]
+__all__ = ["Transform", "Identity", "TransformParam"]
+
+
+class TransformParam:
+    """Parameter wrapper overriding negation (reference
+    deepinv/transform/base.py:8).
+
+    The reference subclasses ``torch.Tensor`` so that ``-p`` applies a
+    custom inverse (e.g. reciprocal for zoom factors). In this JAX port,
+    parameter inversion is centralized in ``Transform.invert_params``, so
+    this wrapper exists for API parity and for user code that carries
+    custom-inverse parameters explicitly.
+
+    :param p: parameter array (or scalar).
+    :param neg: callable applied by unary ``-``; default plain negation.
+    """
+
+    def __init__(self, p, neg=None):
+        self.p = jnp.asarray(p)
+        self._neg = neg if neg is not None else (lambda v: -v)
+
+    def __neg__(self):
+        return TransformParam(self._neg(self.p), self._neg)
+
+    def __getitem__(self, idx):
+        return TransformParam(self.p[idx], self._neg)
+
+    def __array__(self, dtype=None):
+        import numpy as _np
+
+        return _np.asarray(self.p, dtype=dtype)
+
+    def __jax_array__(self):
+        return self.p
+
+    def __iter__(self):
+        return iter(self.p)
+
+    def __len__(self):
+        return len(self.p)
+
+    @property
+    def shape(self):
+        return self.p.shape
+
+    def __repr__(self):
+        return f"TransformParam({self.p!r})"
 
 
 class Transform(Module):

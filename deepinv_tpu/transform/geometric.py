@@ -1,5 +1,6 @@
-"""Concrete group actions: Shift, Rotate, Scale, Reflect, Homography
-(reference deepinv/transform/{shift,rotate,scale,reflect,projective}.py).
+"""Concrete group actions: Shift, Rotate, Scale, Reflect
+(reference deepinv/transform/{shift,rotate,scale,reflect}.py; projective
+transforms live in :mod:`deepinv_tpu.transform.projective`).
 
 Warps use ``jax.scipy.ndimage.map_coordinates`` (the XLA equivalent of the
 reference's kornia/grid_sample warps). Rotations by multiples of 90 degrees
@@ -16,7 +17,7 @@ import jax.numpy as jnp
 from ..core.rng import ensure_key
 from .base import Transform
 
-__all__ = ["Shift", "Rotate", "Scale", "Reflect", "Homography"]
+__all__ = ["Shift", "Rotate", "Scale", "Reflect"]
 
 
 def _warp_affine(x, mat):
@@ -177,63 +178,6 @@ class Reflect(Transform):
             return out
 
         return jax.vmap(flip_one)(x, flip)
-
-
-class Homography(Transform):
-    """Random projective warp (reference projective.py:444).
-
-    Draws small perturbations of the identity homography; the inverse uses
-    the matrix inverse (so ``invert_params`` stores the inverse matrix).
-    """
-
-    def __init__(self, theta_max: float = 0.1, zoom_factor_min: float = 0.85, **kwargs):
-        super().__init__(**kwargs)
-        self.theta_max = theta_max
-        self.zoom_factor_min = zoom_factor_min
-
-    def get_params(self, x, key=None):
-        key = ensure_key(key, self.seed)
-        n = self.n_trans * x.shape[0]
-        k1, k2, k3 = jax.random.split(key, 3)
-        th = jax.random.uniform(k1, (n,), minval=-self.theta_max, maxval=self.theta_max)
-        zoom = jax.random.uniform(k2, (n,), minval=self.zoom_factor_min, maxval=1.0)
-        persp = jax.random.uniform(k3, (n, 2), minval=-1e-4, maxval=1e-4)
-        c, s = jnp.cos(th), jnp.sin(th)
-        z = 1.0 / zoom
-        H = jnp.zeros((n, 3, 3))
-        H = H.at[:, 0, 0].set(c * z).at[:, 0, 1].set(s * z)
-        H = H.at[:, 1, 0].set(-s * z).at[:, 1, 1].set(c * z)
-        H = H.at[:, 2, 0].set(persp[:, 0]).at[:, 2, 1].set(persp[:, 1])
-        H = H.at[:, 2, 2].set(1.0)
-        return {"H_mat": H}
-
-    def invert_params(self, params):
-        return {"H_mat": jnp.linalg.inv(params["H_mat"])}
-
-    def transform(self, x, H_mat=None):
-        x = self._repeat(x) if x.shape[0] != H_mat.shape[0] else x
-        B, C, Hh, Ww = x.shape
-        yy, xx = jnp.meshgrid(jnp.arange(Hh), jnp.arange(Ww), indexing="ij")
-        cy, cx = (Hh - 1) / 2.0, (Ww - 1) / 2.0
-        ones = jnp.ones_like(yy, jnp.float32)
-        coords = jnp.stack(
-            [yy - cy, xx - cx, ones], 0
-        ).reshape(3, -1)
-
-        def warp_one(img, Hm):
-            src = Hm @ coords
-            src = src[:2] / jnp.clip(src[2:3], 1e-8, None)
-            src = src + jnp.array([[cy], [cx]])
-
-            def chan(c):
-                return jax.scipy.ndimage.map_coordinates(
-                    c, [src[0].reshape(Hh, Ww), src[1].reshape(Hh, Ww)], order=1,
-                    mode="constant",
-                )
-
-            return jax.vmap(chan)(img)
-
-        return jax.vmap(warp_one)(x, H_mat)
 
 
 def rotate_via_shear(image, angle, center=None):

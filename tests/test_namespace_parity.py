@@ -26,8 +26,12 @@ NAMESPACES = {
     "deepinv.loss.metric": "deepinv_tpu.loss.metric",
     "deepinv.sampling": "deepinv_tpu.sampling",
     "deepinv.transform": "deepinv_tpu.transform",
+    "deepinv.transform.projective": "deepinv_tpu.transform.projective",
     "deepinv.datasets": "deepinv_tpu.datasets",
     "deepinv.utils": "deepinv_tpu.utils",
+    "deepinv.distributed": "deepinv_tpu.parallel",
+    "deepinv.training": "deepinv_tpu.training",
+    "deepinv.unfolded": "deepinv_tpu.unfolded",
 }
 
 
@@ -161,7 +165,7 @@ def test_namespace_covers_reference(reference, ref_name, tpu_name):
         "annotations", "TYPE_CHECKING", "warnings", "torch", "nn", "np",
         "numpy", "os", "sys", "math", "types", "deprecated", "deprecate",
         "Callable", "Optional", "Union", "List", "Tuple", "Dict", "Any",
-        "Sequence", "Iterable", "Path",
+        "Sequence", "Iterable", "Path", "dataclass",
     }
     import types
 

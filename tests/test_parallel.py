@@ -262,3 +262,94 @@ def test_tensor_parallel_conv_channels():
     assert_close(out, ref_out, rtol=1e-5, atol=1e-6)
     g = jax.jit(jax.grad(loss))(model_tp, x_tp)
     assert_close(g.in_conv.weight, ref_grad.in_conv.weight, rtol=1e-4, atol=1e-5)
+
+
+def test_nonlinear_distributed_stacked_physics(ctx):
+    """Nonlinear stack: homogeneous vmapped path == sequential evaluation
+    (reference distrib_framework.py:234 DistributedStackedPhysics)."""
+    from deepinv_tpu.parallel import DistributedStackedPhysics
+    from deepinv_tpu.physics import PhaseRetrieval, BlurFFT, Haze, Denoising
+
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (1,) + IMSIZE) + 0.1
+    # nonlinear y = |Bx|^2 over 8 different (same-shape) blurs: the stack is
+    # structurally identical, so the vmapped shard_map path applies
+    plist = [
+        PhaseRetrieval(B=BlurFFT(img_size=IMSIZE,
+                                 filter=gaussian_blur(sigma=0.5 + 0.2 * i,
+                                                      psf_size=(7, 7))))
+        for i in range(8)
+    ]
+    dphys = DistributedStackedPhysics(plist, ctx)
+    assert dphys.batched is not None  # homogeneous fast path
+    y = jax.jit(dphys.A)(x)
+    assert y.shape[0] == 8
+    for i in [0, 3, 7]:
+        assert_close(y[i], plist[i].A(x), rtol=1e-4, atol=1e-5)
+
+    # full forward with per-operator noise keys runs and differs from A
+    yf = dphys.forward(x, key=jax.random.key(1))
+    assert yf.shape == y.shape
+
+    # heterogeneous stacks fall back to a TensorList
+    het = DistributedStackedPhysics([Denoising(), Haze()], ctx)
+    assert het.batched is None
+    yh = het.A(x)
+    assert len(yh) == 2
+
+
+def test_distribute_factory_callable(ctx):
+    """Factory callables f(idx, device, params) build the stack lazily
+    (reference distribute.py:62,77)."""
+    from deepinv_tpu.parallel import DistributedStackedLinearPhysics
+
+    def factory(idx, device, params):
+        return Blur(
+            filter=gaussian_blur(sigma=params["base"] + 0.3 * idx,
+                                 psf_size=(7, 7)),
+            padding="circular",
+        )
+
+    dphys = distribute(
+        factory, ctx, num_operators=8, type_object="linear_physics",
+        factory_kwargs={"base": 0.5},
+    )
+    assert isinstance(dphys, DistributedStackedLinearPhysics)
+    x = jax.random.normal(jax.random.key(0), (1,) + IMSIZE)
+    y = dphys.A(x)
+    ref = factory(3, None, {"base": 0.5}).A(x)
+    assert_close(y[3], ref, rtol=1e-4, atol=1e-5)
+
+    # missing num_operators is an explicit error
+    with pytest.raises(ValueError):
+        distribute(factory, ctx, type_object="linear_physics")
+
+
+def test_processing_options():
+    """tiling_strategy='basic' skips the halo; max_batch_size chunks the
+    batch; tiling_dims=-1 shards columns (reference distribute.py:214-330)."""
+    sp = DistributedContext(axis_names=("sp",))
+    med = MedianFilter(kernel_size=3)
+    x = jax.random.uniform(jax.random.key(0), (3, 1, 64, 64))
+
+    ref = med(x, 0.1)
+    for kwargs in [
+        dict(overlap=4),
+        dict(overlap=4, max_batch_size=2),
+        dict(overlap=4, tiling_dims=-1),
+    ]:
+        d = DistributedProcessing(med, sp, **kwargs)
+        assert_close(jax.jit(d)(x, 0.1), ref, rtol=1e-5, atol=1e-6)
+
+    # basic tiling differs from the reference output only near tile seams
+    d_basic = DistributedProcessing(med, sp, tiling_strategy="basic")
+    out_basic = d_basic(x, 0.1)
+    assert out_basic.shape == ref.shape
+    # rows 2-5 sit inside the first 8-row tile, one row clear of the seam
+    interior = (slice(None), slice(None), slice(2, 6), slice(None))
+    assert_close(out_basic[interior], ref[interior], rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        DistributedProcessing(med, sp, tiling_strategy="bogus")
+    with pytest.raises(ValueError):
+        DistributedProcessing(med, sp, tiling_dims=(0, 1))

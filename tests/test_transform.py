@@ -17,6 +17,10 @@ from deepinv_tpu.transform import (
     Scale,
     Reflect,
     Homography,
+    Affine,
+    Similarity,
+    Euclidean,
+    PanTiltRotate,
     ShiftTime,
     RandomNoise,
     CPABDiffeomorphism,
@@ -60,11 +64,71 @@ def test_rotate_arbitrary_angle_inverse(x, key):
 
 
 def test_homography_inverse(x, key):
-    t = Homography(theta_max=0.05)
+    # near-identity draws so param-negation inversion is a good inverse
+    t = Homography(theta_max=2.0, theta_z_max=5.0, zoom_factor_min=0.95,
+                   shift_max=0.05, skew_max=2.0,
+                   x_stretch_factor_min=0.95, y_stretch_factor_min=0.95)
     p = t.get_params(x, key)
+    assert set(p) == {"theta_x", "theta_y", "theta_z", "zoom_f", "shift_x",
+                      "shift_y", "skew", "stretch_x", "stretch_y"}
     back = t.inverse(t.transform(x, **p), **p)
     inner = (slice(None), slice(None), slice(8, 24), slice(8, 24))
     assert float(jnp.abs(back[inner] - x[inner]).mean()) < 0.06
+
+
+def test_homography_reciprocal_inversion(x, key):
+    """zoom/stretch invert by reciprocal, the rest by negation (reference
+    projective.py:240-247 TransformParam)."""
+    t = Homography()
+    p = t.get_params(x, key)
+    pi = t.invert_params(p)
+    for k in ("zoom_f", "stretch_x", "stretch_y"):
+        assert np.allclose(np.asarray(p[k]) * np.asarray(pi[k]), 1.0, atol=1e-6)
+    for k in ("theta_x", "theta_y", "theta_z", "shift_x", "shift_y", "skew"):
+        assert np.allclose(np.asarray(p[k]) + np.asarray(pi[k]), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("cls_zeroed", [
+    (Affine, ("theta_x", "theta_y")),
+    (Similarity, ("theta_x", "theta_y", "skew")),
+    (Euclidean, ("theta_x", "theta_y", "skew")),
+    (PanTiltRotate, ("shift_x", "shift_y", "skew")),
+], ids=lambda cz: cz[0].__name__)
+def test_projective_subgroups(cls_zeroed, x, key):
+    """Subgroups pin the right params to the identity and invert
+    approximately (reference projective.py:297-444)."""
+    cls, zeroed = cls_zeroed
+    # param-negation inversion is approximate when draws combine (the
+    # reference's semantics too) — keep draws near the identity
+    t = cls(theta_z_max=6.0, shift_max=0.06, zoom_factor_min=0.95,
+            theta_max=3.0) if cls is PanTiltRotate else cls(
+        theta_z_max=6.0, shift_max=0.06, zoom_factor_min=0.95)
+    p = t.get_params(x, key)
+    for k in zeroed:
+        assert np.allclose(np.asarray(p[k]), 0.0), k
+    for k in ("stretch_x", "stretch_y"):
+        if cls is not Affine:
+            assert np.allclose(np.asarray(p[k]), 1.0), k
+    if cls in (Euclidean, PanTiltRotate):
+        assert np.allclose(np.asarray(p["zoom_f"]), 1.0)
+    xt = t.transform(x, **p)
+    assert xt.shape == x.shape
+    back = t.inverse(xt, **p)
+    inner = (slice(None), slice(None), slice(10, 22), slice(10, 22))
+    assert float(jnp.abs(back[inner] - x[inner]).mean()) < 0.06
+
+
+def test_pure_rotation_homography_matches_rotate(x, key):
+    """A theta_z-only homography equals the plain Rotate warp on the
+    interior (both are center rotations)."""
+    from deepinv_tpu.transform import apply_homography
+
+    angle = 23.0
+    out_h = apply_homography(x, theta_z=-angle, padding="zeros")
+    t = Rotate(multiples=1.0)
+    out_r = t.transform(x, theta=jnp.array([angle]))
+    inner = (slice(None), slice(None), slice(10, 22), slice(10, 22))
+    assert float(jnp.abs(out_h[inner] - out_r[inner]).mean()) < 0.03
 
 
 def test_scale_params_invert(x, key):
