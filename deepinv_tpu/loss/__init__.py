@@ -29,7 +29,7 @@ from .losses import (
     JacobianSpectralNorm,
     FNEJacobianSpectralNorm,
 )
-from .measplit import SplittingLoss, Neighbor2Neighbor
+from .measplit import SplittingLoss, SplittingModel, Neighbor2Neighbor
 from .scheduler import (
     BaseLossScheduler,
     RandomLossScheduler,

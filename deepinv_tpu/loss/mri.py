@@ -54,6 +54,18 @@ class WeightedSplittingLoss(Loss):
         resid = w * m2 * (physics.A(x1) - y)
         return jnp.mean(resid.reshape(y.shape[0], -1) ** 2, axis=1)
 
+    def adapt_model(self, model):
+        """Input-splitting wrapper; weighted losses evaluate on the full
+        input (reference mri/measplit.py:134 eval_split_input=False)."""
+        from .measplit import SplittingModel
+
+        if isinstance(model, SplittingModel):
+            return model
+        return SplittingModel(
+            model, mask_generator=self.mask_generator,
+            eval_n_samples=1, eval_split_input=False, pixelwise=True,
+        )
+
 
 class RobustSplittingLoss(WeightedSplittingLoss):
     r"""Robust SSDU: weighted splitting + extra noise injection on the input
@@ -86,13 +98,32 @@ class Phase2PhaseLoss(Loss):
         self.metric = metric if metric is not None else MSE()
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
-        split = self.generator.step(y.shape[0], key=key)["mask"]
+        from .measplit import SplittingModel
+
+        key = ensure_key(key, 17)
         base_mask = getattr(physics, "mask", 1.0)
-        m1 = split * base_mask
-        m2 = (1 - split) * base_mask
-        x1 = model(m1 * y, physics.update(mask=m1))
+        if isinstance(model, SplittingModel):
+            x1, split = model(y, physics, key=key, train=True, return_mask=True)
+            m2 = base_mask - split
+        else:
+            split = self.generator.step(y.shape[0], key=key)["mask"]
+            m1 = split * base_mask
+            m2 = (1 - split) * base_mask
+            x1 = model(m1 * y, physics.update(mask=m1))
         resid = m2 * (physics.update(mask=m2).A(x1) - y)
-        return jnp.mean(resid.reshape(y.shape[0], -1) ** 2, axis=1)
+        return jnp.mean(jnp.abs(resid).reshape(y.shape[0], -1) ** 2, axis=1)
+
+    def adapt_model(self, model):
+        """Phase/chunk-splitting input wrapper; full input at evaluation
+        (reference mri/measplit.py:457 adapt_model, eval_split_input=False)."""
+        from .measplit import SplittingModel
+
+        if isinstance(model, SplittingModel):
+            return model
+        return SplittingModel(
+            model, mask_generator=self.generator,
+            eval_n_samples=1, eval_split_input=False, pixelwise=True,
+        )
 
 
 class Artifact2ArtifactLoss(Phase2PhaseLoss):

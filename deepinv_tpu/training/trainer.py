@@ -215,7 +215,15 @@ class Trainer:
         losses = self.losses
 
         def loss_fn(model, x, y, physics, key):
-            x_net = model(y, physics)
+            if getattr(model, "train_aware", False):
+                # adapted models (e.g. SplittingModel) draw their split from
+                # the step key and run in train mode for the logged x_net
+                x_net = model(
+                    y, physics, train=True,
+                    key=jax.random.fold_in(key, -1) if key is not None else None,
+                )
+            else:
+                x_net = model(y, physics)
             total = 0.0
             for i, l in enumerate(losses):
                 li = l(
@@ -352,7 +360,13 @@ class Trainer:
         if self.compare_no_learning:
             nl_meters = {type(m).__name__: AverageMeter() for m in self.metrics}
 
-        infer = jax.jit(lambda model, y, p: model(y, p))
+        if getattr(self.model, "train_aware", False):
+            # eval mode: SplittingModel MC-averages its eval_n_samples splits
+            infer = jax.jit(
+                lambda model, y, p, k=key: model(y, p, key=k, train=False)
+            )
+        else:
+            infer = jax.jit(lambda model, y, p: model(y, p))
         for g, dl in enumerate(dataloaders):
             physics = self.physics[g % len(self.physics)]
             for step, batch in enumerate(dl):
