@@ -1,0 +1,151 @@
+"""Full-pipeline numeric parity vs the PyTorch reference.
+
+Runs the complete DPIR reconstruction (physics -> HQS prox -> DRUNet ->
+per-iteration schedule, reference optim/dpir.py:81) through BOTH frameworks
+with identical weights and measurements — component parity is covered
+elsewhere; this test fails if ANY stage of the pipeline drifts.
+
+The DRUNet is randomly initialized (no downloads) and ported through
+``models.convert.port_drunet``; bit-faithful porting is asserted separately
+in test_weight_porting.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from test_namespace_parity import reference  # noqa: F401  (fixture)
+
+
+@pytest.fixture(scope="module")
+def torch(reference):  # noqa: F811
+    import torch as _torch
+
+    return _torch
+
+
+def _psnr(a, b):
+    return -10 * np.log10(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+
+
+def test_dpir_deblur_pipeline_parity(reference, torch):  # noqa: F811
+    """End-to-end DPIR (8 HQS iterations, log-spaced sigma/stepsize
+    schedule, BlurFFT closed-form prox) matches the reference output."""
+    import deepinv as dinv
+    from deepinv_tpu.physics import BlurFFT, GaussianNoise
+    from deepinv_tpu.ops import gaussian_blur
+    from deepinv_tpu.optim import DPIR
+    from deepinv_tpu.models import DRUNet
+    from deepinv_tpu.models.convert import port_drunet
+
+    H = W = 64
+    noise_level = 0.03
+
+    # fixed smooth test image
+    yy, xx = np.mgrid[0:H, 0:W] / float(H)
+    x_np = np.stack(
+        [np.sin(6 * xx) * np.cos(4 * yy) * 0.4 + 0.5, xx * 0.8 + 0.1,
+         ((xx + yy) / 2) * 0.9], dtype=np.float32,
+    )[None]
+
+    # --- reference side (torch CPU) -------------------------------------
+    filt_t = dinv.physics.blur.gaussian_blur(sigma=1.2)
+    physics_t = dinv.physics.BlurFFT(
+        img_size=(3, H, W), filter=filt_t,
+        noise_model=dinv.physics.GaussianNoise(sigma=noise_level,
+                                               rng=torch.Generator().manual_seed(0)),
+    )
+    x_t = torch.from_numpy(x_np)
+    y_t = physics_t(x_t)
+
+    ref_net = dinv.models.DRUNet(
+        in_channels=3, out_channels=3, nc=[16, 32, 64, 64], nb=2,
+        pretrained=None,
+    ).eval()
+
+    # a random-weight DRUNet maps everything to ~0 and would make parity
+    # trivially pass on near-zero outputs; a soft-identity mix keeps the
+    # signal O(1) through all 8 iterations so the prox/schedule/denoiser
+    # chain is exercised with meaningful values on both sides
+    class RefSoftIdentity(dinv.models.base.Denoiser):
+        def forward(self, x, sigma, **kwargs):
+            return 0.9 * x + 0.1 * ref_net(x, sigma)
+
+    ref_model = dinv.optim.DPIR(sigma=noise_level, denoiser=RefSoftIdentity())
+    with torch.no_grad():
+        xhat_t = ref_model(y_t, physics_t).numpy()
+
+    # --- TPU-native side, same weights / same measurements --------------
+    sd = {k: np.asarray(v.numpy()) for k, v in ref_net.state_dict().items()}
+    net = port_drunet(
+        DRUNet(in_channels=3, out_channels=3, nc=(16, 32, 64, 64), nb=2,
+               pretrained=None),
+        sd,
+    )
+
+    class SoftIdentity:
+        def __call__(self, x, sigma, **kwargs):
+            return 0.9 * x + 0.1 * net(x, sigma)
+
+    denoiser = SoftIdentity()
+    physics = BlurFFT(img_size=(3, H, W), filter=gaussian_blur(sigma=1.2),
+                      noise_model=GaussianNoise(noise_level))
+    y = jnp.asarray(y_t.numpy())
+    model = DPIR(sigma=noise_level, denoiser=denoiser)
+    xhat = np.asarray(jax.jit(lambda m, yv, p: m(yv, p))(model, y, physics))
+
+    # the measurements fed to both sides are identical by construction;
+    # the filters must agree too (component sanity inside the pipeline)
+    filt_err = np.abs(filt_t.numpy() - np.asarray(gaussian_blur(sigma=1.2))).max()
+    assert filt_err < 1e-6, filt_err
+
+    err = np.abs(xhat - xhat_t).max()
+    psnr_cross = _psnr(xhat, xhat_t)
+    # 8 iterations of float32 FFT prox + CNN: bit drift accumulates but
+    # parity must stay at the tolerance of the denoiser port
+    assert err < 5e-3, (err, psnr_cross)
+    assert psnr_cross > 55, psnr_cross
+    # the compared signals are O(1), not a trivial all-zeros agreement
+    assert np.std(xhat_t) > 0.05
+
+
+def test_pgd_mri_pipeline_parity(reference, torch):  # noqa: F811
+    """Unfolded-style PnP-PGD on masked-FFT MRI matches the reference:
+    physics adjoint -> gradient step -> denoiser, 6 iterations."""
+    import deepinv as dinv
+    from deepinv_tpu.physics import MRI
+    from deepinv_tpu.optim import optim_builder, L2, PnP
+    from deepinv_tpu.models import DnCNN
+    from deepinv_tpu.models.convert import port_dncnn
+
+    H = W = 32
+    rng = np.random.default_rng(0)
+    mask_np = (rng.random((H, W)) < 0.4).astype(np.float32)
+    x_np = rng.standard_normal((1, 2, H, W)).astype(np.float32) * 0.3
+
+    mask_t = torch.from_numpy(mask_np)
+    physics_t = dinv.physics.MRI(mask=mask_t, img_size=(H, W))
+    y_t = physics_t.A(torch.from_numpy(x_np))
+
+    ref_den = dinv.models.DnCNN(2, 2, depth=4, pretrained=None).eval()
+    prior_t = dinv.optim.PnP(ref_den)
+    model_t = dinv.optim.optim_builder(
+        "PGD", prior=prior_t, data_fidelity=dinv.optim.L2(), max_iter=6,
+        params_algo={"stepsize": 1.0, "g_param": 0.05},
+    )
+    with torch.no_grad():
+        xhat_t = model_t(y_t, physics_t).numpy()
+
+    sd = {k: np.asarray(v.numpy()) for k, v in ref_den.state_dict().items()}
+    den = port_dncnn(DnCNN(2, 2, depth=4, pretrained=None), sd)
+    physics = MRI(mask=jnp.asarray(mask_np), img_size=(H, W))
+    y = jnp.asarray(y_t.numpy())
+    model = optim_builder(
+        "PGD", prior=PnP(den), data_fidelity=L2(), max_iter=6,
+        params_algo={"stepsize": 1.0, "g_param": 0.05},
+    )
+    xhat = np.asarray(jax.jit(lambda m, yv, p: m(yv, p))(model, y, physics))
+
+    err = np.abs(xhat - xhat_t).max()
+    assert err < 2e-4, err
