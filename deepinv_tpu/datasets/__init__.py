@@ -13,8 +13,12 @@ from .folder import (
     LsdirHR,
     load_image,
 )
-from .folder import FMD, Kohler, NBUDataset, LidcIdriSliceDataset
-from .mri_slices import CMRxReconSliceDataset, SKMTEASliceDataset, MRISliceTransform
+from .fmd import FMD
+from .kohler import Kohler
+from .satellite import NBUDataset
+from .lidc_idri import LidcIdriSliceDataset
+from .fastmri import MRISliceTransform
+from .mri_slices import CMRxReconSliceDataset, SKMTEASliceDataset
 
 
 def download_archive(url, save_path, extract: bool = True):

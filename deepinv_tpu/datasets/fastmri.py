@@ -2,50 +2,109 @@
 
 Reads the standard fastMRI ``.h5`` volumes (k-space + reconstruction) and
 serves 2D slices in this framework's (2, H, W) real/imag convention.
+Features mirrored from the reference:
+
+- pickle-backed **metadata cache** (``load_metadata_from_cache`` /
+  ``save_metadata_to_cache`` / ``metadata_cache_file`` — fastmri.py:309-337)
+  so large archives don't require a full scan per construction;
+- :class:`MRISliceTransform` raw-data preprocessing (mask simulation with
+  per-sample seeding, k-space normalization, coil prewhitening, low-res
+  coil-map estimation — fastmri.py MRISliceTransform).
+
 No downloads: point ``root`` at local fastMRI files.
 """
 
 from __future__ import annotations
 
 import os
+import pickle
+import warnings
+import zlib
 from typing import Optional
 
 import numpy as np
 
-__all__ = ["FastMRISliceDataset", "SimpleFastMRISliceDataset"]
+__all__ = ["FastMRISliceDataset", "SimpleFastMRISliceDataset", "MRISliceTransform"]
 
 
 class FastMRISliceDataset:
-    """Slices from raw fastMRI k-space volumes (reference fastmri.py).
+    """Slices from raw fastMRI k-space volumes (reference fastmri.py:339).
 
     Each item is ``(x, y)``: magnitude target (1, H, W) and k-space
-    measurement (2, H, W) (single-coil) or (2, N, H, W) (multi-coil).
+    measurement (2, H, W) (single-coil) or (2, N, H, W) (multi-coil), or
+    ``(x, y, params)`` when the transform produces physics params (mask,
+    coil maps).
 
     :param root: directory of ``.h5`` fastMRI files.
     :param slice_index: 'all' | 'middle' | int.
+    :param transform: optional :class:`MRISliceTransform` or callable
+        ``(x, y) -> ...``.
+    :param load_metadata_from_cache: read the file/slice index from
+        ``metadata_cache_file`` instead of scanning ``root``.
+    :param save_metadata_to_cache: write the scanned index to
+        ``metadata_cache_file``.
     """
 
-    def __init__(self, root: str, slice_index="all", load_metadata_from_cache: bool = False, transform=None):
-        import h5py
-
+    def __init__(self, root: str, slice_index="all", transform=None,
+                 load_metadata_from_cache: bool = False,
+                 save_metadata_to_cache: bool = False,
+                 metadata_cache_file="dataset_cache.pkl"):
         self.root = root
         self.transform = transform
-        files = sorted(
-            os.path.join(root, f) for f in os.listdir(root) if f.endswith(".h5")
-        )
-        if not files:
-            raise FileNotFoundError(f"no fastMRI .h5 files in {root}")
+        self.metadata_cache_file = metadata_cache_file
+
+        metadata = None
+        if load_metadata_from_cache:
+            if os.path.exists(metadata_cache_file):
+                with open(metadata_cache_file, "rb") as f:
+                    cache = pickle.load(f)
+                if root not in cache:
+                    raise ValueError(
+                        f"`metadata_cache_file` doesn't contain metadata for "
+                        f"{root}; deactivate load_metadata_from_cache or set "
+                        "metadata_cache_file properly."
+                    )
+                metadata = cache[root]
+            else:
+                warnings.warn(
+                    f"Couldn't find dataset cache at {metadata_cache_file}. "
+                    "Loading dataset from scratch."
+                )
+
+        if metadata is None:
+            metadata = self._scan(root)
+            if save_metadata_to_cache:
+                cache = {}
+                if os.path.exists(metadata_cache_file):
+                    with open(metadata_cache_file, "rb") as f:
+                        cache = pickle.load(f)
+                cache[root] = metadata
+                with open(metadata_cache_file, "wb") as f:
+                    pickle.dump(cache, f)
+
+        # metadata: list of (filename, n_slices)
         self.samples = []
-        for f in files:
-            with h5py.File(f, "r") as fh:
-                n_slices = fh["kspace"].shape[0]
+        for fname, n_slices in metadata:
             if slice_index == "all":
                 idxs = range(n_slices)
             elif slice_index == "middle":
                 idxs = [n_slices // 2]
             else:
                 idxs = [int(slice_index)]
-            self.samples += [(f, i) for i in idxs]
+            self.samples += [(os.path.join(root, fname), i) for i in idxs]
+
+    @staticmethod
+    def _scan(root):
+        import h5py
+
+        files = sorted(f for f in os.listdir(root) if f.endswith(".h5"))
+        if not files:
+            raise FileNotFoundError(f"no fastMRI .h5 files in {root}")
+        metadata = []
+        for f in files:
+            with h5py.File(os.path.join(root, f), "r") as fh:
+                metadata.append((f, fh["kspace"].shape[0]))
+        return metadata
 
     def __len__(self):
         return len(self.samples)
@@ -71,7 +130,152 @@ class FastMRISliceDataset:
             target = np.sqrt((np.abs(img) ** 2).reshape(-1, *img.shape[-2:]).sum(0))
         x = target[None].astype(np.float32)
         if self.transform is not None:
-            x, y = self.transform(x, y)
+            if isinstance(self.transform, MRISliceTransform):
+                return self.transform(
+                    x, y, seed=f"{os.path.basename(path)}_{sl}"
+                )
+            return self.transform(x, y)
+        return x, y
+
+
+class MRISliceTransform:
+    """FastMRI raw-data preprocessing (reference fastmri.py
+    MRISliceTransform).
+
+    * mask simulation with a mask generator, optionally seeded per sample
+      (deterministic masks for test sets);
+    * k-space normalization (99th percentile of the ACS RSS reconstruction,
+      or ``normalize / kspace.max()`` when a number is given);
+    * coil noise prewhitening from a corner noise block (Cholesky);
+    * low-resolution (ACS) coil-map estimation for
+      :class:`deepinv_tpu.physics.MultiCoilMRI` (the reference runs full
+      ESPIRiT; the low-res estimate is its standard initialization).
+
+    Returns ``(x, y, params)`` with params containing ``mask`` and/or
+    ``coil_maps`` when enabled, else ``(x, y)``.
+    """
+
+    def __init__(self, mask_generator=None, seed_mask_generator: bool = True,
+                 estimate_coil_maps=False, acs: Optional[int] = None,
+                 prewhiten=False, normalize=False):
+        self.mask_generator = mask_generator
+        self.seed_mask_generator = seed_mask_generator
+        self.estimate_coil_maps = estimate_coil_maps
+        self.acs = acs
+        self.prewhiten = prewhiten
+        if self.prewhiten is True:
+            self.prewhiten = (slice(0, 30), slice(0, 30))
+        self.normalize = normalize
+
+    # -- helpers ----------------------------------------------------------
+    def get_acs(self):
+        if self.acs is not None:
+            return self.acs
+        if self.mask_generator is not None and hasattr(
+            self.mask_generator, "n_center"
+        ):
+            return self.mask_generator.n_center
+        if isinstance(self.estimate_coil_maps, int) and not isinstance(
+            self.estimate_coil_maps, bool
+        ):
+            return self.estimate_coil_maps
+        raise ValueError(
+            "ACS size not specified: pass acs=, or a mask_generator with "
+            "n_center, or estimate_coil_maps=<int>."
+        )
+
+    @staticmethod
+    def _to_complex(y):
+        return y[0] + 1j * y[1]  # (..., H, W) complex
+
+    def generate_mask(self, kspace, seed):
+        """Mask of shape (H, W) from the generator; seeded per sample when
+        ``seed_mask_generator`` (reference fastmri.py generate_mask)."""
+        import jax
+
+        if self.seed_mask_generator and seed is not None:
+            seed_int = zlib.crc32(str(seed).encode()) & 0x7FFFFFFF
+            key = jax.random.key(seed_int)
+        else:
+            key = None
+        m = self.mask_generator.step(1, key=key)["mask"]
+        m = np.asarray(m)
+        while m.ndim > 2:
+            m = m[0]
+        return m.astype(np.float32)
+
+    def prewhiten_kspace(self, y):
+        """Cholesky noise whitening across coils from a corner noise block
+        (reference prewhiten_kspace)."""
+        if y.ndim < 4:
+            raise ValueError("kspace must be multicoil for prewhitening.")
+        ksp = self._to_complex(y)  # (N, H, W)
+        n = ksp[:, self.prewhiten[0], self.prewhiten[1]].reshape(ksp.shape[0], -1)
+        n = n - n.mean(axis=-1, keepdims=True)
+        cov = (n @ n.conj().T) / n.shape[-1]
+        L = np.linalg.cholesky(cov + 1e-12 * np.eye(cov.shape[0]))
+        white = np.linalg.solve(L, ksp.reshape(ksp.shape[0], -1)).reshape(ksp.shape)
+        return np.stack([white.real, white.imag]).astype(np.float32)
+
+    def _acs_block(self, ksp, acs):
+        H, W = ksp.shape[-2:]
+        cw = slice(W // 2 - acs // 2, W // 2 + (acs + 1) // 2)
+        block = np.zeros_like(ksp)
+        block[..., cw] = ksp[..., cw]
+        return block
+
+    def normalize_kspace(self, y):
+        ksp = self._to_complex(y)
+        if self.normalize is True:
+            acs = self.get_acs()
+            lowres = np.fft.fftshift(
+                np.fft.ifft2(
+                    np.fft.ifftshift(self._acs_block(ksp, acs), axes=(-2, -1)),
+                    norm="ortho",
+                ),
+                axes=(-2, -1),
+            )
+            rss = np.sqrt(
+                (np.abs(lowres) ** 2).reshape(-1, *lowres.shape[-2:]).sum(0)
+            )
+            scale = np.percentile(rss, 99)
+        else:
+            scale = np.abs(ksp).max() / float(self.normalize)
+        return (y / max(scale, 1e-12)).astype(np.float32), scale
+
+    def generate_maps(self, y):
+        """Low-res (ACS) coil sensitivity estimate, shape (N, H, W)
+        complex: coil images from the central k-space block normalized by
+        their RSS."""
+        ksp = self._to_complex(y)  # (N, H, W)
+        if ksp.ndim != 3:
+            raise ValueError("coil maps need multicoil kspace (2, N, H, W)")
+        acs = self.get_acs()
+        lowres = np.fft.fftshift(
+            np.fft.ifft2(
+                np.fft.ifftshift(self._acs_block(ksp, acs), axes=(-2, -1)),
+                norm="ortho",
+            ),
+            axes=(-2, -1),
+        )
+        rss = np.sqrt((np.abs(lowres) ** 2).sum(0, keepdims=True))
+        return (lowres / np.clip(rss, 1e-12, None)).astype(np.complex64)
+
+    def __call__(self, x, y, seed=None):
+        params = {}
+        if self.prewhiten:
+            y = self.prewhiten_kspace(y)
+        if self.normalize:
+            y, scale = self.normalize_kspace(y)
+            x = (x / max(scale, 1e-12)).astype(np.float32)
+        if self.estimate_coil_maps:
+            params["coil_maps"] = self.generate_maps(y)
+        if self.mask_generator is not None:
+            mask = self.generate_mask(y, seed)
+            params["mask"] = mask
+            y = (y * mask).astype(np.float32)
+        if params:
+            return x, y, params
         return x, y
 
 

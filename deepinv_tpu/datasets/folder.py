@@ -167,57 +167,3 @@ class Flickr2kHR(_PublicDataset):
 
 class LsdirHR(_PublicDataset):
     name = "LSDIR"
-
-
-class FMD(_PublicDataset):
-    """Fluorescence Microscopy Denoising dataset (reference fmd.py:286)."""
-
-    name = "FMD"
-
-
-class Kohler(_PublicDataset):
-    """Kohler non-uniform blur benchmark (reference kohler.py:311)."""
-
-    name = "Kohler"
-
-
-class NBUDataset(_PublicDataset):
-    """NBU satellite pansharpening dataset (reference nbu_dataset.py:176)."""
-
-    name = "NBU"
-
-
-class LidcIdriSliceDataset:
-    """LIDC-IDRI CT slices from local DICOM files (reference
-    lidc_idri.py:172). Requires pydicom; gated like the reference."""
-
-    def __init__(self, root: str, transform=None):
-        try:
-            import pydicom  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "LidcIdriSliceDataset requires pydicom (not available in this "
-                "environment)"
-            ) from e
-        self.root = root
-        self.transform = transform
-        self.paths = []
-        for dirpath, _, files in os.walk(root):
-            for f in sorted(files):
-                if f.lower().endswith(".dcm"):
-                    self.paths.append(os.path.join(dirpath, f))
-        if not self.paths:
-            raise FileNotFoundError(f"no DICOM files under {root}")
-
-    def __len__(self):
-        return len(self.paths)
-
-    def __getitem__(self, i):
-        import pydicom
-
-        ds = pydicom.dcmread(self.paths[i])
-        arr = ds.pixel_array.astype(np.float32)
-        arr = arr[None]
-        if self.transform is not None:
-            arr = self.transform(arr)
-        return arr

@@ -7,27 +7,7 @@ import os
 
 import numpy as np
 
-__all__ = ["CMRxReconSliceDataset", "SKMTEASliceDataset", "MRISliceTransform"]
-
-
-class MRISliceTransform:
-    """Apply a mask generator + normalization to (x, kspace) pairs
-    (reference fastmri.py MRISliceTransform)."""
-
-    def __init__(self, mask_generator=None, seed: int = 0):
-        self.mask_generator = mask_generator
-        self.seed = seed
-        self._i = 0
-
-    def __call__(self, x, y):
-        if self.mask_generator is not None:
-            import jax
-
-            params = self.mask_generator.step(1, key=jax.random.key(self.seed + self._i))
-            self._i += 1
-            mask = np.asarray(params["mask"][0])
-            y = y * mask[: y.shape[0]]
-        return x, y
+__all__ = ["CMRxReconSliceDataset", "SKMTEASliceDataset"]
 
 
 class _H5SliceDataset:

@@ -184,3 +184,252 @@ def test_public_dataset_shells_mocked(tmp_path):
 
     with pytest.raises(RuntimeError, match="no network"):
         Set14HR(str(tmp_path), download=True)
+
+
+def _save_png(path, arr):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def test_kohler_layout(tmp_path):
+    """Kohler loads the published archive layout byte-correctly: printout/
+    trajectory indexing, frame-count table, orderings (reference
+    kohler.py:89-311)."""
+    from deepinv_tpu.datasets import Kohler
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path)
+    # fabricate two (printout, trajectory) cells incl. an irregular one
+    cells = [(1, 1, 199), (1, 10, 198)]
+    for p, t, count in cells:
+        for f in (1, (count + 1) // 2, count):
+            arr = (rng.random((8, 9, 3)) * 255).astype(np.uint8)
+            _save_png(
+                os.path.join(root, f"Image{p}", f"Kernel{t}",
+                             f"GroundTruth{p}_{t}_{f}.png"), arr)
+        _save_png(os.path.join(root, f"Blurry{p}_{t}.png"),
+                  (rng.random((8, 9, 3)) * 255).astype(np.uint8))
+
+    to_np = lambda im: np.asarray(im)
+    ds = Kohler(root, frames="middle", ordering="printout_first",
+                transform=to_np)
+    assert len(ds) == 48
+    # frame-count table drives "middle"/"last" selection
+    assert Kohler.get_frame_count(1, 1) == 199
+    assert Kohler.get_frame_count(1, 10) == 198
+    assert Kohler.select_frame(1, 1, "middle") == 100
+    assert Kohler.select_frame(1, 10, "middle") == 99
+    assert Kohler.select_frame(1, 10, "last") == 198
+
+    sharp, blurry = ds[0]  # printout 1, trajectory 1
+    ref = to_np(__import__("PIL.Image", fromlist=["Image"]).open(
+        os.path.join(root, "Image1", "Kernel1", "GroundTruth1_1_100.png")))
+    assert np.array_equal(sharp, ref)
+    assert blurry.shape == (8, 9, 3)
+
+    # trajectory_first ordering maps index 9*12... index (t-1)*? : index 0
+    # is (printout 1, trajectory 1) in both orderings; check a distinct one
+    ds_t = Kohler(root, frames="first", ordering="trajectory_first",
+                  transform=to_np)
+    sharp_t, _ = ds_t.get_item(1, 10, frames="first")
+    ref_t = to_np(__import__("PIL.Image", fromlist=["Image"]).open(
+        os.path.join(root, "Image1", "Kernel10", "GroundTruth1_10_1.png")))
+    assert np.array_equal(sharp_t, ref_t)
+
+    # frames list & 'all' return lists
+    frames_list, _ = ds.get_item(1, 10, frames=["first", "last"])
+    assert len(frames_list) == 2
+
+    with pytest.raises(RuntimeError, match="zero-egress"):
+        Kohler(root, download=True)
+
+
+def test_fmd_layout(tmp_path):
+    """FMD pairs each noisy png with its fov's gt/avg50.png (reference
+    fmd.py:206-249)."""
+    from deepinv_tpu.datasets import FMD
+
+    rng = np.random.default_rng(1)
+    root = str(tmp_path)
+    img_type = "Confocal_BPAE_B"
+    for fov in (1, 2):
+        for noise_dir in ("raw", "avg2"):
+            for i in range(2):
+                _save_png(
+                    os.path.join(root, img_type, noise_dir, str(fov),
+                                 f"HV110_P05005{i:05d}.png"),
+                    (rng.random((6, 7)) * 255).astype(np.uint8))
+        _save_png(os.path.join(root, img_type, "gt", str(fov), "avg50.png"),
+                  (rng.random((6, 7)) * 255).astype(np.uint8))
+
+    to_np = lambda im: np.asarray(im)
+    ds = FMD(root, img_types=[img_type], noise_levels=(1, 2), fovs=(1, 2),
+             transform=to_np, target_transform=to_np)
+    # 1 type x 2 levels x 2 fovs x 2 imgs
+    assert len(ds) == 8
+    clean, noisy = ds[0]
+    ref_clean = to_np(__import__("PIL.Image", fromlist=["Image"]).open(
+        os.path.join(root, img_type, "gt", "1", "avg50.png")))
+    assert np.array_equal(clean, ref_clean)
+    assert noisy.shape == (6, 7)
+
+    with pytest.raises(ValueError, match="img_types"):
+        FMD(root, img_types=["NotAType"])
+    with pytest.raises(ValueError, match="noise level"):
+        FMD(root, img_types=[img_type], noise_levels=(3,))
+
+
+def test_nbu_layout(tmp_path):
+    """NBU loads natural-sorted MS/PAN .mat pairs with per-satellite bit
+    normalization (reference satellite.py:89-176)."""
+    from scipy.io import savemat
+
+    from deepinv_tpu.datasets import NBUDataset
+
+    rng = np.random.default_rng(2)
+    root = str(tmp_path)
+    sat = "gaofen-1"
+    ms_ref = {}
+    for name in ("1.mat", "2.mat", "10.mat"):
+        ms = (rng.random((16, 16, 4)) * 1023).astype(np.uint16)
+        pan = (rng.random((64, 64)) * 1023).astype(np.uint16)
+        ms_ref[name] = ms
+        os.makedirs(os.path.join(root, sat, "MS_256"), exist_ok=True)
+        os.makedirs(os.path.join(root, sat, "PAN_1024"), exist_ok=True)
+        savemat(os.path.join(root, sat, "MS_256", name), {"imgMS": ms})
+        savemat(os.path.join(root, sat, "PAN_1024", name), {"imgPAN": pan})
+
+    ds = NBUDataset(root, satellite=sat)
+    assert len(ds) == 3
+    # natural sort: 1.mat, 2.mat, 10.mat (lexicographic would be 1,10,2)
+    assert [os.path.basename(p) for p, _ in ds.image_paths] == \
+        ["1.mat", "2.mat", "10.mat"]
+    x = ds[2]  # 10.mat
+    assert x.shape == (4, 16, 16)
+    np.testing.assert_allclose(
+        x, np.moveaxis(ms_ref["10.mat"].astype(np.float32) / 1023.0, -1, 0),
+        rtol=1e-6)
+
+    ds_pan = NBUDataset(root, satellite=sat, return_pan=True)
+    pair = ds_pan[0]
+    assert pair[0].shape == (4, 16, 16) and pair[1].shape == (1, 64, 64)
+
+    with pytest.raises(ValueError, match="satellite"):
+        NBUDataset(root, satellite="landsat")
+
+
+def _write_minimal_dicom(path, arr, slope=1.0, intercept=0.0):
+    """Fabricate an explicit-VR little-endian DICOM part-10 file."""
+    import struct
+
+    def elem(group, el, vr, value):
+        head = struct.pack("<HH", group, el) + vr
+        if vr in (b"OB", b"OW"):
+            return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
+        return head + struct.pack("<H", len(value)) + value
+
+    def ds_value(x):
+        s = f"{x:g}".encode()
+        return s + b" " if len(s) % 2 else s
+
+    rows, cols = arr.shape
+    body = b""
+    body += elem(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += elem(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += elem(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += elem(0x0028, 0x0103, b"US", struct.pack("<H", 1))  # signed
+    body += elem(0x0028, 0x1052, b"DS", ds_value(intercept))
+    body += elem(0x0028, 0x1053, b"DS", ds_value(slope))
+    body += elem(0x7FE0, 0x0010, b"OW", arr.astype("<i2").tobytes())
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + body)
+
+
+def test_lidc_idri_layout(tmp_path):
+    """LIDC-IDRI walks metadata.csv CT rows (Windows-style relative paths)
+    and reads DICOM slices byte-correctly with the native reader
+    (reference lidc_idri.py:84-175)."""
+    from deepinv_tpu.datasets import LidcIdriSliceDataset
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path)
+    scan_dir = os.path.join("LIDC-IDRI", "LIDC-IDRI-0001", "study", "series")
+    arrs = []
+    for i in range(3):
+        arr = rng.integers(-1000, 2000, (10, 12), dtype=np.int16)
+        arrs.append(arr)
+        _write_minimal_dicom(
+            os.path.join(root, scan_dir, f"1-{i:03d}.dcm"), arr,
+            slope=1.0, intercept=-1024.0)
+
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("Subject ID,Modality,File Location\n")
+        f.write(f"LIDC-IDRI-0001,CT,{scan_dir.replace(os.sep, chr(92))}\n")
+        f.write("LIDC-IDRI-0002,DX,ignored\n")  # non-CT rows are filtered
+
+    ds = LidcIdriSliceDataset(root)
+    assert len(ds) == 3
+    out = ds[1]
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, arrs[1])
+
+    ds_hu = LidcIdriSliceDataset(root, hounsfield_units=True)
+    hu = ds_hu[1]
+    assert hu.dtype == np.float32
+    np.testing.assert_allclose(hu, arrs[1].astype(np.float32) - 1024.0)
+
+    with pytest.raises(ValueError, match="doesn't exist"):
+        LidcIdriSliceDataset(str(tmp_path / "empty"))
+
+
+def test_fastmri_metadata_cache_and_transform(tmp_path):
+    """FastMRI metadata cache round-trips (reference fastmri.py:309-337)
+    and MRISliceTransform masks/normalizes/estimates maps."""
+    import h5py
+
+    from deepinv_tpu.datasets import FastMRISliceDataset, MRISliceTransform
+    from deepinv_tpu.physics.generator import RandomMaskGenerator
+
+    rng = np.random.default_rng(4)
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    for i in range(2):
+        ksp = (rng.standard_normal((3, 2, 16, 16))
+               + 1j * rng.standard_normal((3, 2, 16, 16))).astype(np.complex64)
+        with h5py.File(os.path.join(root, f"file{i}.h5"), "w") as f:
+            f.create_dataset("kspace", data=ksp)
+
+    cache = str(tmp_path / "cache.pkl")
+    ds = FastMRISliceDataset(root, save_metadata_to_cache=True,
+                             metadata_cache_file=cache)
+    assert os.path.exists(cache)
+    assert len(ds) == 6
+
+    # loading from cache gives the identical index without rescanning
+    ds2 = FastMRISliceDataset(root, load_metadata_from_cache=True,
+                              metadata_cache_file=cache)
+    assert ds2.samples == ds.samples
+
+    # wrong root in cache is an explicit error
+    with pytest.raises(ValueError, match="metadata"):
+        FastMRISliceDataset(str(tmp_path), load_metadata_from_cache=True,
+                            metadata_cache_file=cache)
+
+    # transform: seeded mask is deterministic per sample; coil maps RSS==1
+    gen = RandomMaskGenerator((2, 16, 16), acceleration=2)
+    tf = MRISliceTransform(mask_generator=gen, estimate_coil_maps=8,
+                           normalize=True)
+    ds3 = FastMRISliceDataset(root, transform=tf)
+    x, y, params = ds3[0]
+    assert y.shape == (2, 2, 16, 16) and "mask" in params
+    x_b, y_b, params_b = ds3[0]
+    np.testing.assert_array_equal(params["mask"], params_b["mask"])
+    maps = params["coil_maps"]
+    assert maps.shape == (2, 16, 16) and maps.dtype == np.complex64
+    rss = np.sqrt((np.abs(maps) ** 2).sum(0))
+    np.testing.assert_allclose(rss[rss > 1e-6], 1.0, rtol=1e-4)
+    # masked kspace is consistent with the mask
+    assert np.abs(y[:, :, np.asarray(params["mask"]) == 0]).max() == 0
