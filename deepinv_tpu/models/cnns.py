@@ -277,7 +277,11 @@ class DScCP(Denoiser):
         keys = jax.random.split(key, self.depth)
         for k in range(self.depth):
             tau = 0.99 / self._op_norm(self.weights[k], x.shape, keys[k])
-            alphak = 1.0 / jnp.sqrt(1 + 2 * gamma * self.mu[k])
+            # reference detaches mu here (dsccp.py uses self.mu.data[k]), so
+            # no gradient flows to mu through the relaxation coefficient
+            alphak = 1.0 / jnp.sqrt(
+                1 + 2 * gamma * jax.lax.stop_gradient(self.mu[k])
+            )
             u_ = u + tau / self.mu[k] * self._analysis(
                 self.weights[k], (1 + alphak) * x_curr - alphak * x_prev)
             u = jnp.clip(u_, -(sig**2), sig**2)

@@ -439,8 +439,13 @@ class RAM(Reconstructor, Denoiser):
 
         sigma = jnp.maximum(sigma, self.sigma_threshold)
         if sigma.ndim == 4:
-            # faithful to the reference's map-padding (ram.py:431): pads are
-            # applied as (W-left=pad[1], H-top=pad[0]) on the noise map
+            # QUIRK kept for checkpoint parity: the reference pads the noise
+            # map with F.pad(sigma, (pad[1], 0, pad[0], 0)) (ram.py:431),
+            # i.e. pad[0] (the channel pad, always 0) lands on the H axis
+            # and pad[1] (the H pad) on the W axis — so 4D per-pixel maps
+            # are padded on the wrong spatial axes whenever H % 16 != 0.
+            # Replicated bug-for-bug so published RAM weights reproduce the
+            # reference exactly; worth reporting upstream.
             sigma = jnp.pad(sigma, ((0, 0), (0, 0), (pad[0], 0), (pad[1], 0)),
                             constant_values=self.sigma_threshold)
 

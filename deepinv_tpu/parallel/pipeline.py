@@ -75,6 +75,11 @@ def pipeline(stage_params, stage_apply, carries, ctx: DistributedContext,
 
         def tick(t, state):
             cur, outbuf = state
+            # During drain ticks (t >= M) stage 0 re-ingests the clipped
+            # last microbatch and its result is discarded downstream; this
+            # burns idle-bubble FLOPs (no wall-clock cost — the device
+            # would stall in the GPipe bubble anyway) in exchange for a
+            # branch-free loop body XLA can pipeline.
             # stage 0 ingests microbatch t (clipped; masked out when t >= M)
             m_in = jnp.clip(t, 0, M - 1)
             inject = tmap(

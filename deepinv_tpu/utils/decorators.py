@@ -168,26 +168,35 @@ def deprecate_attribute(
 ) -> None:
     """Keep an attribute readable/writable/deletable behind a warning.
 
-    Installs a property named ``attr_name`` on ``type(obj)`` (once) that
-    proxies to ``attr_underscore_name`` on the instance and warns on every
-    access.
+    Installs a property named ``attr_name`` on ``type(obj)`` — a
+    deliberate **class-level** side effect shared by all instances; the
+    property is installed once, but the deprecation message and initial
+    value are kept per-instance, so later calls for the same attribute on
+    other instances (possibly with different messages) behave as expected.
     """
     setattr(obj, attr_underscore_name, attr_initial_value)
+    # per-instance message: the shared property looks it up on self
+    setattr(obj, f"_{attr_name}__deprecation_message", deprecation_message)
     cls = type(obj)
     if isinstance(getattr(cls, attr_name, None), property):
         return
 
+    def _msg(self):
+        return getattr(
+            self, f"_{attr_name}__deprecation_message", deprecation_message
+        )
+
     def fget(self):
         value = getattr(self, attr_underscore_name)
-        _warn(deprecation_message)
+        _warn(_msg(self))
         return value
 
     def fset(self, value):
         setattr(self, attr_underscore_name, value)
-        _warn(deprecation_message)
+        _warn(_msg(self))
 
     def fdel(self):
         delattr(self, attr_underscore_name)
-        _warn(deprecation_message)
+        _warn(_msg(self))
 
     setattr(cls, attr_name, property(fget, fset, fdel, doc))
