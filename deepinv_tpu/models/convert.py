@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram",
+__all__ = ["load_torch_checkpoint", "port_dncnn", "port_drunet", "port_ram", "port_deal",
            "port_swinir", "port_scunet", "port_restormer", "port_ncsnpp",
            "port_srresnet", "port_dsccp", "port_kernel_network"]
 
@@ -366,4 +366,37 @@ def port_drunet(model, sd):
         _set_conv(seq[0], sd, f"{name}.0")
         for i in range(nb):
             port_resblock(seq[i + 1], f"{name}.{i + 1}")
+    return model
+
+
+def port_deal(model, sd):
+    """Map the reference DEAL state dict (reference models/deal.py:15;
+    published deal_gray.pth / deal_color.pth) onto our DEAL.
+
+    Accepts keys with or without the ``model.`` prefix and handles the
+    ZeroMean parametrization (``parametrizations.weight.original``) on the
+    first W1/M1 layers — our MultiConv2d applies zero-mean at call time,
+    so the *original* coefficients are stored.
+    """
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+
+    def conv_weight(prefix):
+        for k in (f"{prefix}.parametrizations.weight.original",
+                  f"{prefix}.weight"):
+            if k in sd:
+                return jnp.asarray(sd[k])
+        raise KeyError(prefix)
+
+    for mc, name in ((model.W1, "W1"), (model.M1, "M1")):
+        mc.weights = [
+            conv_weight(f"{name}.conv_layers.{j}")
+            for j in range(len(mc.weights))
+        ]
+    model.M2 = jnp.asarray(sd["M2.weight"])
+    model.M3 = jnp.asarray(sd["M3.weight"])
+    for spline in ("spline1", "spline2", "spline3", "spline_lambda",
+                   "spline_scaling"):
+        getattr(model, spline).coefficients = jnp.asarray(
+            sd[f"{spline}.coefficients"]
+        )
     return model

@@ -229,6 +229,7 @@ def test_time_nets(key):
     assert avg(y).shape == (2, 1, 16, 16)
 
 
+@pytest.mark.slow
 def test_varnet_modl_pdnet(key):
     from deepinv_tpu.models import VarNet, MoDL, PDNet
     from deepinv_tpu.physics import MRI
@@ -314,6 +315,7 @@ def test_noise_estimators(key):
     assert abs(float(jnp.mean(est_p)) - sigma) / sigma < 0.3
 
 
+@pytest.mark.slow
 def test_diffunet_and_edm(key):
     from deepinv_tpu.models import DiffUNet, EDMPrecond
 
@@ -329,6 +331,7 @@ def test_diffunet_and_edm(key):
     assert_close(out3, x, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_restormer(key):
     from deepinv_tpu.models import Restormer
 
@@ -339,6 +342,7 @@ def test_restormer(key):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_swinir_scunet(key):
     from deepinv_tpu.models import SwinIR, SCUNet
 
@@ -368,6 +372,7 @@ def test_transform_extras(key):
     assert_close(rr, x, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_promptir_and_poisson2sparse(key):
     from deepinv_tpu.models import PromptIR, ConvLista, RAM
     from deepinv_tpu.physics import Inpainting, GaussianNoise
@@ -391,6 +396,7 @@ def test_promptir_and_poisson2sparse(key):
     assert out2.shape == xt.shape
 
 
+@pytest.mark.slow
 def test_bm3d_denoiser():
     """Pure-JAX BM3D (reference gates this behind a pip package) clearly
     beats the wavelet denoiser at sigma=25/255."""
@@ -412,6 +418,7 @@ def test_bm3d_denoiser():
     assert p_bm3d > p_wav + 1, (p_bm3d, p_wav)
 
 
+@pytest.mark.slow
 def test_autocast_bf16_parity():
     """AutocastDenoiser (bf16 compute, f32 accumulate) stays within ~1e-2
     relative error of the f32 denoiser, and a PnP-HQS reconstruction built
@@ -519,3 +526,23 @@ def test_client_rest_roundtrip():
         assert np.allclose(np.asarray(xhat), 3.0)
     finally:
         server.shutdown()
+
+
+def test_deal_reconstruction_smoke(key):
+    """DEAL reconstruction mode runs its masked-CG fixed point through a
+    linear physics (reference deal.py solve_inverse_problem:1097)."""
+    from deepinv_tpu.models import DEAL
+    from deepinv_tpu.physics import Inpainting
+
+    m = DEAL(color=False, max_iter=3, lambda_reg=1.0, key=key)
+    physics = Inpainting(img_size=(1, 16, 16), mask=0.7, key=key)
+    x = jax.random.uniform(key, (1, 1, 16, 16))
+    y = physics.A(x)
+    out = m(y, physics)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    # denoiser calling convention model(y, sigma)
+    out2 = m(y, 0.05)
+    assert out2.shape == y.shape

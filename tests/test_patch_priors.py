@@ -64,6 +64,7 @@ def test_patchnr_flow_invertible(key):
     assert logdet.shape == (10,)
 
 
+@pytest.mark.slow
 def test_patchnr_fit_improves_likelihood(key):
     imgs = jnp.asarray(np.stack([random_circles(16, seed=i) for i in range(4)]))
     patches, _ = patch_extractor(imgs, 3)

@@ -382,6 +382,7 @@ def test_stacked_tensorlist():
     assert at.shape == x.shape
 
 
+@pytest.mark.slow
 def test_tomography():
     """Tomography: exact adjointness, FBP improves over backprojection."""
     from deepinv_tpu.physics import Tomography
@@ -526,6 +527,7 @@ def test_pansharpen_tensorlist():
     assert brovey.shape == x.shape
 
 
+@pytest.mark.slow
 def test_tomography_fourier_method():
     """Fourier (shear-FFT) Radon agrees with the grid-sampling Radon and has
     an exact adjoint."""
@@ -567,6 +569,7 @@ def test_space_varying_blur():
     assert y.shape == u.shape
 
 
+@pytest.mark.slow
 def test_radio_interferometry():
     from deepinv_tpu.physics import RadioInterferometry
 
@@ -581,6 +584,7 @@ def test_radio_interferometry():
     assert y.shape == (1, M)
 
 
+@pytest.mark.slow
 def test_born_and_scattering():
     from deepinv_tpu.physics import BornOperator, Scattering
 
@@ -627,6 +631,7 @@ def test_pet():
     assert float(jnp.mean(jnp.abs(yn - y))) > 0
 
 
+@pytest.mark.slow
 def test_pet_3d_resolution_background():
     """PET reference-surface features: 3D volumes (per-plane projection),
     Gaussian resolution model, additive background, operator-norm
@@ -657,6 +662,7 @@ def test_pet_3d_resolution_background():
     assert float(jnp.mean((rec - vol) ** 2)) < float(jnp.mean((1 - vol) ** 2))
 
 
+@pytest.mark.slow
 def test_tomography_fanbeam():
     from deepinv_tpu.physics import Tomography
     from deepinv_tpu.datasets import shepp_logan
@@ -695,6 +701,7 @@ def test_tiled_space_varying_blur():
     assert float(jnp.abs(s1 - s2)) < 1e-4
 
 
+@pytest.mark.slow
 def test_radon_slice_projector():
     """Fourier-slice NUFFT projector: matches the gather projector on
     smooth images, exact explicit adjoint, better FBP."""
@@ -732,6 +739,7 @@ def test_radon_slice_projector():
     assert float(jnp.mean((fbp - x) ** 2)) < 0.01
 
 
+@pytest.mark.slow
 def test_radon_slice_toeplitz_normal():
     """Toeplitz-embedded A^T A (two FFTs, gather-free) matches
     adjoint-of-forward to NUFFT gridding accuracy — odd and even sizes,
@@ -767,6 +775,7 @@ def test_radon_slice_toeplitz_normal():
     assert float(jnp.abs(c - a).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_tomography3d():
     """Slice-stacked 3D parallel-beam CT: adjointness, FBP, fast normal."""
     import numpy as np
@@ -798,6 +807,7 @@ def test_tomography3d():
     assert float(jnp.abs(out - y).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_nufft_toeplitz_physics():
     """Radio interferometry + non-Cartesian MultiCoilMRI run A^H A via the
     shared Toeplitz-embedded normal operator (ops/nufft.py), matching the

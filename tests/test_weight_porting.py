@@ -39,6 +39,7 @@ def test_drunet_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
 
 
+@pytest.mark.slow
 def test_admunet_port_bit_faithful(reference, torch):  # noqa: F811
     """Our ADMUNet reproduces the reference guided-diffusion DiffUNet
     bit-for-bit: same state-dict names, same outputs in both forward modes —
@@ -78,6 +79,7 @@ def test_admunet_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(d - d_ref).max() < 1e-4, np.abs(d - d_ref).max()
 
 
+@pytest.mark.slow
 def test_ram_port_bit_faithful(reference, torch):  # noqa: F811
     """Our RAM reproduces the reference RAM foundation model given the same
     (randomly initialized) torch weights, in both denoiser and physics-
@@ -119,6 +121,7 @@ def test_ram_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(r - r_ref).max() / scale < 2e-4, np.abs(r - r_ref).max()
 
 
+@pytest.mark.slow
 def test_swinir_port_bit_faithful(reference, torch):  # noqa: F811
     """Our SwinIR reproduces the reference SwinIR (denoising config) given
     the same randomly initialized torch weights — published
@@ -157,6 +160,7 @@ def test_swinir_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(s - s_ref).max() < 1e-5, np.abs(s - s_ref).max()
 
 
+@pytest.mark.slow
 def test_scunet_port_bit_faithful(reference, torch):  # noqa: F811
     """Our SCUNet reproduces the reference SCUNet given the same randomly
     initialized torch weights — the published scunet_color_real_psnr.pth
@@ -178,6 +182,7 @@ def test_scunet_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(y - y_ref).max() < 1e-5, np.abs(y - y_ref).max()
 
 
+@pytest.mark.slow
 def test_restormer_port_bit_faithful(reference, torch):  # noqa: F811
     """Our Restormer reproduces the reference Restormer given the same
     randomly initialized torch weights — the published deepinv/Restormer
@@ -220,6 +225,7 @@ def test_restormer_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(y2 - y2_ref).max() / scale < 1e-5, np.abs(y2 - y2_ref).max()
 
 
+@pytest.mark.slow
 def test_gsdrunet_port_bit_faithful(reference, torch):  # noqa: F811
     """Our GSDRUNet (gradient-step ELU-DRUNet) reproduces the reference
     given the same torch weights — GSDRUNet_torch.ckpt ports directly
@@ -247,6 +253,7 @@ def test_gsdrunet_port_bit_faithful(reference, torch):  # noqa: F811
 
 
 @pytest.mark.parametrize("model_type", ["ncsn", "ddpm"])
+@pytest.mark.slow
 def test_ncsnpp_port_bit_faithful(reference, torch, model_type):  # noqa: F811
     """Our NCSNpp/DDPM++ (EDM SongUNet) reproduces the reference given the
     same torch weights — edm-*-uncond-{ve,vp}.pt checkpoints port directly
@@ -334,6 +341,7 @@ def test_dsccp_port_bit_faithful(reference, torch):  # noqa: F811
     assert np.abs(y - y_ref).max() < 1e-3, np.abs(y - y_ref).max()
 
 
+@pytest.mark.slow
 def test_kernel_network_port_bit_faithful(reference, torch):  # noqa: F811
     """Our KernelIdentificationNetwork reproduces the reference given the
     same torch weights — carbajal_kernel_identification_network.pth ports
@@ -422,3 +430,42 @@ def test_lpips_pipeline_ranks_corruption():
     mild = x + 0.03 * jax.random.normal(jax.random.key(1), x.shape)
     heavy = x + 0.4 * jax.random.normal(jax.random.key(2), x.shape)
     assert float(lp(mild, x)[0]) < float(lp(heavy, x)[0])
+
+
+@pytest.mark.slow
+def test_deal_port_bit_faithful(reference, torch):  # noqa: F811
+    """Our DEAL reproduces the reference solver given the same torch
+    weights — splines, zero-mean MultiConv2d, Fourier spectral norm, and
+    the masked-CG fixed point all match (reference models/deal.py:15)."""
+    from deepinv.models import DEAL as RefDEAL
+    from deepinv_tpu.models import DEAL
+    from deepinv_tpu.models.convert import port_deal
+
+    ref = RefDEAL(pretrained=None, color=False)
+    # randomize all weights so agreement is non-vacuous
+    g = torch.Generator().manual_seed(3)
+    sd = {}
+    for k, v in ref.model.state_dict().items():
+        if "coefficients" in k or "weight" in k:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.05
+        else:
+            sd[k] = v
+    # keep the lambda spline positive-ish so the solve is well-posed
+    sd["spline_lambda.coefficients"] = torch.linspace(1.0, 5.0, 53)[None]
+    ref.model.load_state_dict(sd, strict=False)
+    ref.eval()
+
+    x = torch.rand(1, 1, 16, 16, generator=torch.Generator().manual_seed(0))
+    sigma = 0.1
+    with torch.no_grad():
+        y_ref = ref(x, sigma).numpy()
+
+    m = port_deal(DEAL(color=False),
+                  {"model." + k: np.asarray(v.numpy()) for k, v in sd.items()})
+    # component parity: spectral norm and mask
+    L_ref = float(ref.model.W1.spectral_norm())
+    L = float(m.W1.spectral_norm())
+    assert abs(L - L_ref) / L_ref < 1e-4, (L, L_ref)
+
+    y = np.asarray(m(jnp.asarray(x.numpy()), sigma))
+    assert np.abs(y - y_ref).max() < 1e-3, np.abs(y - y_ref).max()

@@ -171,6 +171,7 @@ def test_jit_and_grad():
     assert y.shape == (2, 1) + p.measurement_shape
 
 
+@pytest.mark.slow
 def test_pet_michelogram_oblique_lors():
     """PET multi-ring cylinder geometry (ring_differences) built on
     ops.xray.ray_integrals: direct planes match the per-plane projector,
