@@ -112,11 +112,21 @@ class MOILoss(Loss):
         key = ensure_key(key, 4)
         kidx, knoise = jax.random.split(key)
         physics_list = self.physics_list if self.physics_list is not None else [physics]
-        idx = int(jax.random.randint(kidx, (), 0, len(physics_list)))
-        p2 = physics_list[idx]
-        y2 = p2(x_net, key=knoise) if self.apply_noise else p2.A(x_net)
-        x2 = model(y2, p2)
-        return self.weight * self.metric(x2, x_net)
+        # jit-safe random operator choice: lax.switch over the list (the
+        # reference indexes a ModuleList eagerly, moi.py:16)
+        idx = jax.random.randint(kidx, (), 0, len(physics_list))
+
+        def branch(p2):
+            def f(_):
+                y2 = p2(x_net, key=knoise) if self.apply_noise else p2.A(x_net)
+                x2 = model(y2, p2)
+                return self.metric(x2, x_net)
+
+            return f
+
+        return self.weight * jax.lax.switch(
+            idx, [branch(p) for p in physics_list], 0
+        )
 
 
 class MOEILoss(EILoss):
@@ -129,8 +139,14 @@ class MOEILoss(EILoss):
     def __call__(self, x_net=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 5)
         if self.physics_list is not None:
-            idx = int(jax.random.randint(jax.random.fold_in(key, 7), (), 0, len(self.physics_list)))
-            physics = self.physics_list[idx]
+            idx = jax.random.randint(
+                jax.random.fold_in(key, 7), (), 0, len(self.physics_list)
+            )
+            return jax.lax.switch(idx, [
+                (lambda p: lambda _: super(MOEILoss, self).__call__(
+                    x_net=x_net, physics=p, model=model, key=key))(p)
+                for p in self.physics_list
+            ], 0)
         return super().__call__(x_net=x_net, physics=physics, model=model, key=key)
 
 

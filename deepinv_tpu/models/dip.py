@@ -28,6 +28,11 @@ class ConvDecoder(Module):
         self.in_size = tuple(in_size)
         self.channels = channels
         self.convs = [Conv2d(channels, channels, 3, 1, 1, key=next(ks)) for _ in range(layers)]
+        # learnable per-channel affine after each normalization (the
+        # reference's BatchNorm has affine=True, dip.py ConvDecoder) —
+        # without it the normalization strips the scale the fit needs
+        self.gammas = [jnp.ones((1, channels, 1, 1)) for _ in range(layers)]
+        self.betas = [jnp.zeros((1, channels, 1, 1)) for _ in range(layers)]
         self.out_conv = Conv2d(channels, C_out, 1, 1, 0, key=next(ks))
         self.img_shape = tuple(img_shape)
         self.n_up = layers
@@ -41,10 +46,10 @@ class ConvDecoder(Module):
             tw = max(self.in_size[1], int(round(W * (i + 1) / self.n_up)))
             h = jax.image.resize(h, h.shape[:2] + (th, tw), method="nearest")
             h = jax.nn.relu(conv(h))
-            # channel norm
+            # channel norm + learnable affine
             mu = jnp.mean(h, axis=(2, 3), keepdims=True)
             sd = jnp.std(h, axis=(2, 3), keepdims=True) + 1e-5
-            h = (h - mu) / sd
+            h = self.gammas[i] * (h - mu) / sd + self.betas[i]
         return jax.nn.sigmoid(self.out_conv(h))
 
     def latent_shape(self, batch: int = 1):

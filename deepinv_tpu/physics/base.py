@@ -218,7 +218,17 @@ class LinearPhysics(Physics):
         if phys.adj_fn is not None:
             return phys.adj_fn(y)
         if phys.img_shape is not None:
-            return adjoint_function(phys.A, phys.img_shape, dtype=_leaf_dtype(y))(y)
+            shape = phys.img_shape
+            # batch-size aware: substitute y's leading (batch) dim so one
+            # img_shape spec serves any batch (A is batch-mapped on axis 0)
+            if (
+                isinstance(shape, tuple)
+                and all(isinstance(s, int) for s in shape)
+                and hasattr(y, "shape")
+                and y.ndim >= 1
+            ):
+                shape = (y.shape[0],) + tuple(shape[1:])
+            return adjoint_function(phys.A, shape, dtype=_leaf_dtype(y))(y)
         raise NotImplementedError(
             f"{type(self).__name__} defines no A_adjoint; pass A_adjoint= or img_shape=."
         )

@@ -220,7 +220,7 @@ class Trainer:
                 # the step key and run in train mode for the logged x_net
                 x_net = model(
                     y, physics, train=True,
-                    key=jax.random.fold_in(key, -1) if key is not None else None,
+                    key=jax.random.fold_in(key, 0x7FFFFFFF) if key is not None else None,
                 )
             else:
                 x_net = model(y, physics)

@@ -369,3 +369,27 @@ def test_perceptual_metrics(key):
 
     with _pytest.raises(ValueError):
         n(x, x)
+
+
+def test_moi_loss_jit_safe(key):
+    """MOILoss picks a random operator with lax.switch — usable inside a
+    jitted train step (regression: int() on a traced index)."""
+    from deepinv_tpu.loss import MOILoss
+
+    physics_list = [
+        Inpainting(img_size=IMSIZE, mask=0.5, key=jax.random.key(i))
+        for i in range(3)
+    ]
+    x = jax.random.uniform(key, (2,) + IMSIZE)
+    loss = MOILoss(physics_list)
+    model = lambda yv, p, **kw: p.A_adjoint(yv)
+
+    @jax.jit
+    def run(xv, k):
+        return loss(x_net=xv, physics=physics_list[0], model=model, key=k)
+
+    v = run(x, key)
+    assert v.shape == (2,) and bool(jnp.all(jnp.isfinite(v)))
+    # different keys select different operators -> different values
+    v2 = run(x, jax.random.fold_in(key, 9))
+    assert v.shape == v2.shape

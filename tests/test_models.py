@@ -546,3 +546,20 @@ def test_deal_reconstruction_smoke(key):
     # denoiser calling convention model(y, sigma)
     out2 = m(y, 0.05)
     assert out2.shape == y.shape
+
+
+def test_deep_image_prior_fits_measurements(key):
+    """DIP's inner adam loop fits the observed measurements (reference
+    dip.py:198); the affine-normalized ConvDecoder has enough capacity."""
+    from deepinv_tpu.models import DeepImagePrior
+    from deepinv_tpu.physics import Inpainting, GaussianNoise
+
+    x = jax.random.uniform(key, (1, 1, 16, 16))
+    physics = Inpainting(img_size=(1, 16, 16), mask=0.5, key=key,
+                         noise_model=GaussianNoise(0.02))
+    y = physics(x, key=jax.random.fold_in(key, 1))
+    model = DeepImagePrior(img_shape=(1, 16, 16), iterations=200, lr=3e-2)
+    xhat = model(y, physics, key=jax.random.fold_in(key, 2))
+    fit = float(jnp.mean((physics.A(xhat) - y) ** 2))
+    base = float(jnp.mean(y**2))
+    assert fit < 0.2 * base, (fit, base)
