@@ -185,15 +185,17 @@ def test_data_parallel_trainer():
     assert_close(m_dp.in_conv.weight, m_sp.in_conv.weight, rtol=1e-4, atol=1e-5)
 
 
-def test_pipeline_parallel_unrolled():
+@pytest.mark.parametrize("M", [1, 3, 8])
+def test_pipeline_parallel_unrolled(M):
     """GPipe pipeline over a 'pp' axis: chunks of unrolled PGD iterations
     pipelined across 4 devices match the sequential unrolled network, in
-    value and in gradient w.r.t. the per-stage stepsizes."""
+    value and in gradient w.r.t. the per-stage stepsizes — across
+    under-/exactly-/over-subscribed microbatch schedules (M vs S)."""
     from deepinv_tpu.parallel import DistributedContext, pipeline, PipelineParallel
 
     pctx = DistributedContext(axis_names=("pp",), devices=jax.devices()[:4])
     physics = Inpainting(img_size=(1, 16, 16), mask=0.5, key=jax.random.key(0))
-    S, K, M, B = 4, 2, 3, 2
+    S, K, B = 4, 2, 2
     stepsizes = jnp.linspace(0.9, 1.2, S).reshape(S, 1)
 
     def stage_apply(step, carry):
