@@ -146,35 +146,7 @@ def make_grid(imgs, nrow: int = 8, padding: int = 2):
     return out
 
 
-def plot_ortho3D(*args, **kwargs):
-    """3D orthogonal-slice plot (reference utils/plotting.py plot_ortho3D)."""
-    from .plotting import plot as _plot
-    import numpy as _np
-
-    vols = args[0]
-    if not isinstance(vols, (list, tuple)):
-        vols = [vols]
-    slices = []
-    for v in vols:
-        v = _np.asarray(v)
-        D = v.shape[-3]
-        slices.append(v[..., D // 2, :, :])
-    return _plot(slices, **{k: v for k, v in kwargs.items() if k in ("titles", "save_fn", "show")})
-
-
-def plot_videos(*args, **kwargs):
-    """Video plotting: shows the middle frame of each (B, C, T, H, W) input
-    (the reference renders HTML animations)."""
-    return plot_ortho3D(*args, **kwargs)
-
-
-def save_videos(vids, save_fn: str = "video.npy", **kwargs):
-    """Persist video arrays; the reference writes gif/mp4 (imageio not in
-    this image) — here the raw array is saved to .npy."""
-    import numpy as _np
-
-    _np.save(save_fn, _np.asarray(vids))
-    return save_fn
+from .plotting import plot_videos, save_videos, plot_ortho3D  # noqa: E402
 
 
 def plot_napari(*args, **kwargs):

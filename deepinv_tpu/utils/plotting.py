@@ -157,3 +157,130 @@ def scatter_plot(points, labels=None, save_fn=None, show=False):
     if not show:
         plt.close(fig)
     return fig
+
+
+def plot_videos(vid_list, titles=None, time_dim: int = 2,
+                rescale_mode: str = "min_max", display: bool = False,
+                figsize=None, save_fn: Optional[str] = None, dpi=None,
+                **kwargs):
+    """Animate (B, C, T, H, W) videos side by side (reference
+    utils/plotting.py:959 ``plot_videos``).
+
+    Builds a matplotlib ``FuncAnimation`` over the time axis — one subplot
+    per video. ``save_fn`` writes a GIF (Pillow writer); ``display``
+    returns HTML in notebooks, otherwise shows the figure.
+
+    :param vid_list: one array or a list of arrays with a time axis at
+        ``time_dim``.
+    :param titles: per-video subplot titles.
+    :return: the animation object.
+    """
+    plt = _mpl()
+    from matplotlib import animation
+
+    if not isinstance(vid_list, (list, tuple)):
+        vid_list = [vid_list]
+    vids = [np.moveaxis(np.asarray(v), time_dim, 0) for v in vid_list]
+    T = min(v.shape[0] for v in vids)
+    if isinstance(titles, str):
+        titles = [titles]
+
+    fig, axs = plt.subplots(
+        1, len(vids), figsize=figsize or (3 * len(vids), 3), dpi=dpi,
+        squeeze=False,
+    )
+    ims = []
+    for j, (ax, v) in enumerate(zip(axs[0], vids)):
+        frame = rescale_img(_to_np_img(v[0]), rescale_mode)
+        ims.append(ax.imshow(frame, cmap="gray" if frame.ndim == 2 else None))
+        ax.set_axis_off()
+        if titles is not None and j < len(titles):
+            ax.set_title(titles[j])
+
+    def update(t):
+        for im, v in zip(ims, vids):
+            im.set_data(rescale_img(_to_np_img(v[t]), rescale_mode))
+        return ims
+
+    anim = animation.FuncAnimation(fig, update, frames=T, interval=100,
+                                   blit=False)
+    if save_fn is not None:
+        if not str(save_fn).endswith((".gif", ".mp4")):
+            save_fn = str(save_fn) + ".gif"
+        writer = (animation.PillowWriter(fps=10)
+                  if str(save_fn).endswith(".gif")
+                  else animation.FFMpegWriter(fps=10))
+        anim.save(save_fn, writer=writer)
+    if display:
+        try:  # notebook inline HTML (reference: IPython display)
+            from IPython.display import HTML
+
+            return HTML(anim.to_jshtml())
+        except ImportError:
+            plt.show()
+    plt.close(fig)
+    return anim
+
+
+def save_videos(vid_list, titles=None, time_dim: int = 2,
+                rescale_mode: str = "min_max", figsize=None,
+                save_fn: str = "video.gif", **kwargs):
+    """Save videos as a GIF (reference utils/plotting.py:1081
+    ``save_videos``); thin wrapper over :func:`plot_videos`."""
+    plot_videos(vid_list, titles=titles, time_dim=time_dim,
+                rescale_mode=rescale_mode, figsize=figsize, save_fn=save_fn)
+    return save_fn if str(save_fn).endswith((".gif", ".mp4")) else str(save_fn) + ".gif"
+
+
+def plot_ortho3D(img_list, titles=None, save_fn: Optional[str] = None,
+                 rescale_mode: str = "min_max", show: bool = False,
+                 figsize=None, return_fig: bool = False, **kwargs):
+    """True three-plane orthogonal view of (B, C, D, H, W) volumes
+    (reference utils/plotting.py:1150 ``plot_ortho3D``): the central
+    axial (D/2), coronal (H/2) and sagittal (W/2) slices arranged in an
+    L-shaped layout, one column per volume.
+    """
+    plt = _mpl()
+
+    if not isinstance(img_list, (list, tuple)):
+        img_list = [img_list]
+    vols = []
+    for v in img_list:
+        v = np.asarray(v)
+        while v.ndim > 4:  # drop leading batch
+            v = v[0]
+        if v.ndim == 3:
+            v = v[None]
+        vols.append(v)  # (C, D, H, W)
+    if isinstance(titles, str):
+        titles = [titles]
+
+    n = len(vols)
+    fig, axs = plt.subplots(2, 2 * n, figsize=figsize or (4 * n, 4),
+                            squeeze=False)
+    for j, v in enumerate(vols):
+        C, D, H, W = v.shape
+        axial = v[:, D // 2]              # (C, H, W)
+        coronal = v[:, :, H // 2]         # (C, D, W)
+        sagittal = v[:, :, :, W // 2]     # (C, D, H)
+        panes = [
+            (axs[0][2 * j], axial, "axial"),
+            (axs[1][2 * j], coronal, "coronal"),
+            (axs[0][2 * j + 1], np.swapaxes(sagittal, -1, -2), "sagittal"),
+        ]
+        for ax, sl, name in panes:
+            img = rescale_img(_to_np_img(sl), rescale_mode)
+            ax.imshow(img, cmap="gray" if img.ndim == 2 else None)
+            ax.set_axis_off()
+        axs[1][2 * j + 1].set_axis_off()
+        if titles is not None and j < len(titles):
+            axs[0][2 * j].set_title(titles[j])
+
+    fig.tight_layout()
+    if save_fn is not None:
+        fig.savefig(save_fn, bbox_inches="tight")
+    if show:
+        plt.show()
+    if return_fig:
+        return fig
+    plt.close(fig)

@@ -185,3 +185,33 @@ def test_io_np_tiff_roundtrip(tmp_path):
         assert t.shape[-2:] == (5, 7)
     except ImportError:
         pass
+
+
+def test_plot_videos_and_ortho3d(tmp_path):
+    """plot_videos renders a real GIF animation and plot_ortho3D a true
+    3-plane view (reference utils/plotting.py:959,1081,1150)."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from deepinv_tpu.utils import plot_videos, save_videos, plot_ortho3D
+
+    vid = np.random.default_rng(0).random((1, 1, 5, 12, 10)).astype("float32")
+    gif = save_videos([vid, vid], titles=["a", "b"],
+                      save_fn=str(tmp_path / "v.gif"))
+    assert os.path.getsize(gif) > 1000
+    # a GIF with animation frames starts with GIF89a and has >1 image block
+    with open(gif, "rb") as f:
+        head = f.read(6)
+    assert head in (b"GIF87a", b"GIF89a")
+
+    anim = plot_videos(vid, titles="v")
+    assert anim is not None
+
+    vol = np.random.default_rng(1).random((1, 1, 6, 12, 10)).astype("float32")
+    fig = plot_ortho3D([vol], titles=["vol"], return_fig=True,
+                       save_fn=str(tmp_path / "o.png"))
+    # L-shaped layout: 2x2 axes per volume
+    assert len(fig.axes) == 4
+    assert os.path.getsize(tmp_path / "o.png") > 1000
