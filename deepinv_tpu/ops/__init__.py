@@ -3,6 +3,8 @@ from .conv import (
     conv_transpose2d,
     conv2d_fft,
     conv_transpose2d_fft,
+    conv3d,
+    conv_transpose3d,
     conv3d_fft,
     conv_transpose3d_fft,
     filter_fft_2d,

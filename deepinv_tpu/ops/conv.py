@@ -34,6 +34,8 @@ from ..core.linalg import transpose_primal
 __all__ = [
     "conv2d",
     "conv_transpose2d",
+    "conv3d",
+    "conv_transpose3d",
     "conv2d_fft",
     "conv_transpose2d_fft",
     "conv3d_fft",
@@ -206,6 +208,55 @@ def conv_transpose2d_fft(
     else:
         x_shape = y.shape
     fwd = lambda x: conv2d_fft(x, filt, padding=padding, real_fft=real_fft)
+    (xT,) = jax.linear_transpose(fwd, transpose_primal(y, x_shape))(y)
+    return xT
+
+
+def conv3d(
+    x: jax.Array, filter: jax.Array, padding: str = "valid", correlation: bool = False
+) -> jax.Array:
+    """3D (grouped, broadcastable-filter) convolution, NCDHW layout
+    (reference functional/convolution.py conv3d).
+
+    :param x: input of shape (B, C, D, H, W)
+    :param filter: kernel of shape (b, c, d, h, w), b∈{1,B}, c∈{1,C}
+    """
+    padding = _check_padding(padding)
+    B, C = x.shape[:2]
+    filt = _broadcast_filter(filter, B, C, 3)
+    d, h, w = filt.shape[-3:]
+    if not correlation:
+        filt = jnp.flip(filt, axis=(-3, -2, -1))
+    if padding != "valid":
+        x = _pad_same(x, (d, h, w), padding)
+    lhs = x.reshape(1, B * C, *x.shape[-3:])
+    rhs = filt.reshape(B * C, 1, d, h, w)
+    out = lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        feature_group_count=B * C,
+        preferred_element_type=x.dtype if x.dtype == jnp.float64 else jnp.float32,
+    ).astype(x.dtype)
+    return out.reshape(B, C, *out.shape[-3:])
+
+
+def conv_transpose3d(
+    y: jax.Array, filter: jax.Array, padding: str = "valid", correlation: bool = False
+) -> jax.Array:
+    """Exact adjoint of :func:`conv3d` (same padding mode)."""
+    padding = _check_padding(padding)
+    B, C = y.shape[:2]
+    filt = _broadcast_filter(filter, B, C, 3)
+    d, h, w = filt.shape[-3:]
+    if padding == "valid":
+        x_shape = (B, C, y.shape[-3] + d - 1, y.shape[-2] + h - 1,
+                   y.shape[-1] + w - 1)
+    else:
+        x_shape = y.shape
+    fwd = lambda x: conv3d(x, filt, padding=padding, correlation=correlation)
     (xT,) = jax.linear_transpose(fwd, transpose_primal(y, x_shape))(y)
     return xT
 

@@ -63,3 +63,5 @@ from . import generator
 from .radio import RadioInterferometry
 from .scattering import BornOperator, Scattering
 from .pet import PET
+
+from . import functional  # reference-compatible functional namespace

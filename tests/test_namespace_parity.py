@@ -20,6 +20,7 @@ NAMESPACES = {
     "deepinv": "deepinv_tpu",
     "deepinv.physics": "deepinv_tpu.physics",
     "deepinv.physics.generator": "deepinv_tpu.physics.generator",
+    "deepinv.physics.functional": "deepinv_tpu.physics.functional",
     "deepinv.models": "deepinv_tpu.models",
     "deepinv.optim": "deepinv_tpu.optim",
     "deepinv.loss": "deepinv_tpu.loss",

@@ -119,3 +119,75 @@ def test_random_choice_distribution(key):
     draws = random_choice(key, 3, shape=(5000,), p=p)
     freq = np.bincount(np.asarray(draws), minlength=3) / 5000.0
     assert np.abs(freq - np.asarray(p)).max() < 0.03
+
+
+def test_conv3d_spatial_adjointness(key):
+    """Spatial conv3d/conv_transpose3d are exact adjoints for all five
+    padding modes (reference functional/convolution.py conv3d)."""
+    from deepinv_tpu.ops import conv3d, conv_transpose3d
+
+    x = jax.random.normal(key, (2, 1, 7, 9, 8))
+    f = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 3, 3, 3))
+    for pad in ["valid", "circular", "replicate", "reflect", "constant"]:
+        y = conv3d(x, f, padding=pad)
+        u = jax.random.normal(jax.random.fold_in(key, 2), x.shape)
+        v = jax.random.normal(jax.random.fold_in(key, 3), y.shape)
+        lhs = jnp.vdot(conv3d(u, f, padding=pad), v)
+        rhs = jnp.vdot(u, conv_transpose3d(v, f, padding=pad))
+        assert abs(float(lhs - rhs)) < 1e-3, (pad, float(lhs - rhs))
+
+
+def test_functional_namespace(key):
+    """deepinv.physics.functional parity surface: 1D DCT matches scipy,
+    liu_jia_pad smooths the wrap-around boundary, tiled multipliers form a
+    partition of unity, Radon wrappers round-trip."""
+    from scipy.fftpack import dct as sdct
+
+    import deepinv_tpu.physics.functional as F
+
+    x = np.asarray(jax.random.uniform(key, (2, 16)))
+    for norm in (None, "ortho"):
+        ours = np.asarray(F.dct(jnp.asarray(x), norm=norm))
+        np.testing.assert_allclose(ours, sdct(x, type=2, norm=norm),
+                                   rtol=1e-4, atol=1e-5)
+        back = np.asarray(F.idct(F.dct(jnp.asarray(x), norm=norm), norm=norm))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-5)
+
+    img = jax.random.uniform(jax.random.fold_in(key, 1), (1, 1, 24, 20))
+    z = F.liu_jia_pad(img, padding=(6, 5))
+    assert z.shape == (1, 1, 36, 30)
+    # boundary smoothing: wrap-around jump shrinks by >5x
+    orig = float(jnp.abs(img[..., 0, :] - img[..., -1, :]).mean())
+    padded = float(jnp.abs(z[..., 0, :] - z[..., -1, :]).mean())
+    assert padded < orig / 5, (orig, padded)
+    with pytest.raises(ValueError):
+        F.liu_jia_pad(img, padding=(6, 0))
+
+    m = np.asarray(F.generate_tiled_multipliers(32, 16, 8))
+    assert m.shape == (1, 1, 9, 16, 16)
+    # reassembled masks sum to ~1 everywhere (partition of unity)
+    total = np.zeros((32, 32))
+    k = 0
+    for i in range(3):
+        for j in range(3):
+            total[i * 8 : i * 8 + 16, j * 8 : j * 8 + 16] += m[0, 0, k]
+            k += 1
+    # the bump window vanishes at the outer image border (same in the
+    # reference: masks are normalized with a +1e-8 guard), so check the
+    # interior
+    np.testing.assert_allclose(total[1:-1, 1:-1], 1.0, atol=1e-3)
+
+    # multiplier adjointness (complex)
+    u = jax.random.normal(key, (2, 1, 8, 8)) + 1j * jax.random.normal(
+        jax.random.fold_in(key, 2), (2, 1, 8, 8))
+    w = jax.random.normal(jax.random.fold_in(key, 3), (2, 1, 8, 8)) + 1j
+    lhs = jnp.vdot(F.multiplier(u, w), u)
+    rhs = jnp.vdot(u, F.multiplier_adjoint(u, w))
+    assert abs(complex(lhs - rhs)) < 1e-3
+
+    # Radon wrapper round trip
+    theta = jnp.arange(0.0, 180.0, 6.0)
+    R, Ri = F.Radon(theta=theta), F.IRadon(in_size=24, theta=theta)
+    im = jax.random.uniform(jax.random.fold_in(key, 4), (1, 1, 24, 24))
+    rec = Ri(R(im))
+    assert rec.shape == im.shape
