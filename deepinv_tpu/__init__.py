@@ -80,3 +80,4 @@ def __dir__():
 
 
 __version__ = "0.1.0"
+from . import serve

@@ -215,3 +215,42 @@ def test_plot_videos_and_ortho3d(tmp_path):
     # L-shaped layout: 2x2 axes per volume
     assert len(fig.axes) == 4
     assert os.path.getsize(tmp_path / "o.png") > 1000
+
+
+def test_inference_server_client_loopback():
+    """The Client/Server pair round-trips over loopback HTTP: the server
+    (serve.py) speaks the reference client protocol (client.py:13) and the
+    jitted model output matches local inference. Auth is enforced."""
+    import jax
+
+    from deepinv_tpu.serve import InferenceServer
+    from deepinv_tpu.models import MedianFilter, ArtifactRemoval, Client
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+
+    physics = Denoising(noise_model=GaussianNoise(0.05))
+    model = ArtifactRemoval(MedianFilter(3), mode="direct", sigma=0.05)
+    x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16))
+    y = physics(x, key=jax.random.key(1))
+
+    server = InferenceServer(api_key="secret")
+    server.register("Denoising", model, physics)
+    with server.running() as url:
+        client = Client(url, api_key="secret")
+        xhat = client(y, physics)
+        np.testing.assert_allclose(
+            np.asarray(xhat), np.asarray(model(y, physics)), rtol=1e-5,
+            atol=1e-6)
+
+        # wrong token is rejected
+        import urllib.error
+
+        bad = Client(url, api_key="wrong")
+        with pytest.raises(urllib.error.HTTPError):
+            bad(y, physics)
+
+        # unknown physics name is a clean 500 with a message
+        class Weird:
+            pass
+
+        with pytest.raises(urllib.error.HTTPError):
+            Client(url, api_key="secret")(y, Weird())
