@@ -11,6 +11,7 @@ import warnings
 import pytest
 
 MODULES = [
+    "deepinv_tpu.transform.projective",
     "deepinv_tpu.physics.base",
     "deepinv_tpu.physics.blur",
     "deepinv_tpu.physics.noise",
