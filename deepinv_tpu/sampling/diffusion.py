@@ -119,9 +119,12 @@ def _ddpm_schedule(beta_start=0.1 / 1000, beta_end=20 / 1000, T=1000):
 class DiffPIR(Reconstructor):
     r"""Diffusion PnP Image Restoration (reference diffusion.py:227).
 
-    HQS iterations on the DDPM trajectory: denoise -> data prox -> renoise.
-    Images assumed in [0, 1] (internally mapped to [-1, 1] like the
-    reference).
+    HQS on the DDPM trajectory with the reference's exact schedules:
+    quadratic timestep spacing ``seq = sqrt(linspace(0, T^2, K))``,
+    ``rho_t = lambda sigma_n^2 / sigma_t^2``, the
+    ``x / (2 sqrt(a_t)) + 0.5`` denoiser renormalization, x0 clamping,
+    and renoising to the *next* level ``t_{i-1}`` (diffusion.py:423-508).
+    Images in [0, 1] (internally mapped to [-1, 1] like the reference).
     """
 
     def __init__(self, model, data_fidelity=None, sigma: float = 0.05, max_iter: int = 100, zeta: float = 0.1, lambda_: float = 7.0):
@@ -132,13 +135,26 @@ class DiffPIR(Reconstructor):
         self.zeta = zeta
         self.lambda_ = lambda_
 
+        # host-side schedule tables (static at trace time, not pytree
+        # leaves) — reference get_alpha_beta (diffusion.py:324)
         T = 1000
-        acp = _ddpm_schedule(T=T)
-        sqrt_acp = np.sqrt(acp)
-        sqrt_1m_acp = np.sqrt(1 - acp)
-        reduced = sqrt_1m_acp / sqrt_acp  # effective sigma(t) in x0 domain
-        self._acp = jnp.asarray(acp, jnp.float32)
-        self._reduced = jnp.asarray(reduced, jnp.float32)
+        betas = np.linspace(0.1 / 1000, 20 / 1000, T, dtype=np.float64)
+        acp = np.cumprod(1.0 - betas)
+        self._sqrt_acp = np.sqrt(acp).astype(np.float32)
+        self._sqrt_1m_acp = np.sqrt(1 - acp).astype(np.float32)
+        self._reduced = (self._sqrt_1m_acp / self._sqrt_acp).astype(np.float32)
+        self._T = T
+
+    def _schedule(self, sigma_n):
+        """Reference get_noise_schedule (diffusion.py:357): sigmas are the
+        reversed reduced-alpha noise levels, rhos are indexed by timestep,
+        seq is the quadratic subsampling of [0, T)."""
+        T, K = self._T, self.max_iter
+        sigmas = self._reduced[::-1]  # sigmas[i] = reduced[T-1-i]
+        rhos = self.lambda_ * (sigma_n**2) / (self._reduced**2)
+        seq = np.sqrt(np.linspace(0.0, float(T) ** 2, K)).astype(np.int32)
+        seq[-1] = seq[-1] - 1
+        return sigmas, rhos, seq
 
     def __call__(self, y, physics, key=None, seed: int = 0, x_init=None, **kwargs):
         key = ensure_key(key, seed)
@@ -148,46 +164,66 @@ class DiffPIR(Reconstructor):
             else self.sigma
         )
         sigma_n = float(np.asarray(sigma_n).reshape(-1)[0])
+        sigmas, rhos, seq = self._schedule(sigma_n)
 
-        # geometric sigma trajectory from sigma_max to ~2/255 (reference)
-        sigma_max = float(self._reduced[-1])
-        sigmas = np.exp(
-            np.linspace(np.log(sigma_max), np.log(max(2 * sigma_n, 2 / 255)), self.max_iter)
-        )
-        reduced = np.asarray(self._reduced)
-        t_idx = np.abs(reduced[None, :] - sigmas[:, None] / 2).argmin(axis=1)
-        acp_t = np.asarray(self._acp)[t_idx]
-        rhos = self.lambda_ * (sigma_n**2) / ((sigmas / 2) ** 2)
+        # per-iteration rows; the final iteration is denoise-only and does
+        # not modify x (reference diffusion.py:480 skips the update when
+        # seq[i] == seq[-1]), so the scan runs K-1 full iterations
+        t_of = lambda s: int(np.abs(self._reduced - sigmas[s]).argmin())
+        rows = []
+        for i in range(self.max_iter - 1):
+            t_i = t_of(seq[i])
+            t_im1 = t_of(seq[i + 1])
+            rows.append([
+                float(sigmas[seq[i]]),          # curr_sigma
+                float(self._sqrt_acp[t_i]),
+                float(self._sqrt_1m_acp[t_i]),
+                float(rhos[t_i]),
+                float(self._sqrt_acp[t_im1]),
+                float(self._sqrt_1m_acp[t_im1]),
+            ])
+        sched = jnp.asarray(np.asarray(rows, np.float32))
 
-        x0 = physics.A_adjoint(y) if x_init is None else x_init
-        x = 2 * x0 - 1
+        x0_in = physics.A_adjoint(y) if x_init is None else x_init
+        x = 2 * x0_in - 1
+
+        # noise initialization at the first (largest) level, VP-scaled
+        # (reference diffusion.py:466-472)
         k0, key = jax.random.split(key)
-        x = x + float(sigmas[0]) * jax.random.normal(k0, x.shape, x.dtype)
-
-        keys = jax.random.split(key, self.max_iter)
-        sched = jnp.asarray(
-            np.stack([sigmas, acp_t, rhos], axis=1), jnp.float32
+        sigma0 = float(sigmas[seq[0]])
+        init_std = float(np.sqrt(max(sigma0**2 - 4.0 * self.sigma**2, 0.0)))
+        x = (x + init_std * jax.random.normal(k0, x.shape, x.dtype)) * float(
+            self._sqrt_acp[-1]
         )
+
+        keys = jax.random.split(key, self.max_iter - 1)
+        zeta = self.zeta
 
         def body(x, inp):
             k, row = inp
-            sig_t, at, rho = row[0], row[1], row[2]
-            # 1. denoise (denoiser works in [0,1] with sigma/2 scaling)
-            x0_est = 2 * self.model((x + 1) / 2, sig_t / 2) - 1
-            # 2. data prox in [0,1] domain
-            x0_01 = (x0_est + 1) / 2
-            x0_prox = self.data_fidelity.prox(x0_01, y, physics, gamma=1.0 / (2 * rho))
-            x0_est = 2 * x0_prox - 1
-            # 3. renoise to next level
-            eps_hat = (x - jnp.sqrt(at) * x0_est) / jnp.sqrt(jnp.clip(1 - at, 1e-8, None))
-            z = jax.random.normal(k, x.shape, x.dtype)
-            x_next = jnp.sqrt(at) * x0_est + jnp.sqrt(jnp.clip(1 - at, 0.0, None)) * (
-                np.sqrt(1 - self.zeta) * eps_hat + np.sqrt(self.zeta) * z
+            curr_sigma, sa_t, s1m_t, rho_t, sa_p, s1m_p = (
+                row[0], row[1], row[2], row[3], row[4], row[5]
             )
-            return x_next, x0_est
+            at_sqrt = sa_t
+            # denoising step: renormalize to [0, 1] at the x0 scale
+            x_aux = x / (2 * at_sqrt) + 0.5
+            out = self.model(x_aux, curr_sigma / 2)
+            x0 = jnp.clip(2 * out - 1, -1.0, 1.0)
+            # data-fidelity prox in [0, 1]
+            x0_p = self.data_fidelity.prox(
+                x0 / 2 + 0.5, y, physics, gamma=1.0 / (2 * rho_t)
+            )
+            x0 = 2 * x0_p - 1
+            # effective noise + renoise to the NEXT level t_{i-1}
+            eps = (x - sa_t * x0) / jnp.clip(s1m_t, 1e-12, None)
+            z = jax.random.normal(k, x.shape, x.dtype)
+            x_next = sa_p * x0 + s1m_p * (
+                np.sqrt(1 - zeta) * eps + np.sqrt(zeta) * z
+            )
+            return x_next, None
 
-        x, x0_last = jax.lax.scan(body, x, (keys, sched))
-        return (x0_last[-1] + 1) / 2
+        x, _ = jax.lax.scan(body, x, (keys, sched))
+        return x / 2 + 0.5
 
     forward = __call__
 

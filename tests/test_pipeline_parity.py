@@ -216,3 +216,61 @@ def test_ddrm_pipeline_statistical_parity(reference, torch):  # noqa: F811
     # so this is a coarse drift guard on top of the mean-PSNR check
     s_t, s_j = np.std(imgs_t), np.std(imgs_j)
     assert abs(s_t - s_j) / s_t < 0.2, (s_t, s_j)
+
+
+@pytest.mark.slow
+def test_diffpir_pipeline_statistical_parity(reference, torch):  # noqa: F811
+    """DiffPIR (reference sampling/diffusion.py:227) through both
+    frameworks with the same ported DnCNN: geometric sigma trajectory,
+    t-index mapping and rho schedule must agree — statistical check over
+    seeds like the DDRM test."""
+    import deepinv as dinv
+    from deepinv_tpu.physics import Inpainting, GaussianNoise
+    from deepinv_tpu.sampling import DiffPIR
+    from deepinv_tpu.models import DnCNN
+    from deepinv_tpu.models.convert import port_dncnn
+
+    H = W = 32
+    rng = np.random.default_rng(0)
+    x_np = (rng.random((1, 1, H, W)) > 0.5).astype(np.float32) * 0.6 + 0.2
+    mask_np = (rng.random((1, H, W)) < 0.7).astype(np.float32)
+    sigma_noise = 0.05
+
+    physics_t = dinv.physics.Inpainting(
+        img_size=(1, H, W), mask=torch.from_numpy(mask_np),
+        noise_model=dinv.physics.GaussianNoise(
+            sigma=sigma_noise, rng=torch.Generator().manual_seed(0)),
+    )
+    y_t = physics_t(torch.from_numpy(x_np))
+    torch.manual_seed(0)
+    ref_net = dinv.models.DnCNN(1, 1, depth=4, pretrained=None).eval()
+
+    class RefSoftIdentity(dinv.models.base.Denoiser):
+        def forward(self, x, sigma, **kwargs):
+            return 0.95 * x + 0.05 * ref_net(x, sigma)
+
+    model_t = dinv.sampling.DiffPIR(
+        model=RefSoftIdentity(), data_fidelity=dinv.optim.L2(),
+        max_iter=20, zeta=0.3, sigma=sigma_noise,
+    )
+    psnrs_t = []
+    with torch.no_grad():
+        for s in range(6):
+            torch.manual_seed(s)
+            xh = model_t(y_t, physics_t).numpy()
+            psnrs_t.append(_psnr(xh, x_np))
+
+    sd = {k: np.asarray(v.numpy()) for k, v in ref_net.state_dict().items()}
+    net = port_dncnn(DnCNN(1, 1, depth=4, pretrained=None), sd)
+    den = lambda v, s, **kw: 0.95 * v + 0.05 * net(v, s)
+    physics = Inpainting(img_size=(1, H, W), mask=jnp.asarray(mask_np),
+                         noise_model=GaussianNoise(sigma_noise))
+    y = jnp.asarray(y_t.numpy())
+    model = DiffPIR(den, max_iter=20, zeta=0.3, sigma=sigma_noise)
+    f = jax.jit(lambda yv, k: model(yv, physics, key=k))
+    psnrs_j = [
+        _psnr(np.asarray(f(y, jax.random.key(s))), x_np) for s in range(6)
+    ]
+
+    m_t, m_j = np.mean(psnrs_t), np.mean(psnrs_j)
+    assert abs(m_t - m_j) < 1.0, (m_t, m_j, psnrs_t, psnrs_j)
