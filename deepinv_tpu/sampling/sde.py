@@ -144,6 +144,12 @@ class DiffusionSDE(BaseSDE):
         s = self.sigma_t(t)
         return (self.denoiser(x, s) - x) / jnp.clip(s**2, 1e-8, None)
 
+    def scale_t(self, t):
+        """State scaling (1 for VE; sqrt(alpha_bar) for VP) — the
+        guidance denoiser must see ``x / scale_t`` (reference
+        diffusion_sde.py:1040-1060)."""
+        return jnp.asarray(1.0)
+
 
 class VarianceExplodingDiffusion(DiffusionSDE):
     r"""VE-SDE: sigma(t) = sigma_min (sigma_max/sigma_min)^t
@@ -190,6 +196,13 @@ class VariancePreservingDiffusion(DiffusionSDE):
             return jnp.sqrt(beta(t))
 
         BaseSDE.__init__(self, drift, diffusion)
+
+    def sigma_t(self, t):
+        ab = self._alpha_bar(t)
+        return jnp.sqrt(jnp.clip(1 - ab, 1e-8, None) / jnp.clip(ab, 1e-8, None))
+
+    def scale_t(self, t):
+        return jnp.sqrt(jnp.clip(self._alpha_bar(t), 1e-8, None))
 
     def prior_sample(self, shape, key):
         return jax.random.normal(key, shape)
@@ -342,18 +355,27 @@ class NoisyDataFidelity(Module):
 
 
 class DPSDataFidelity(NoisyDataFidelity):
-    r"""Noisy data-fidelity guidance grad ||y - A(D(x, sigma))||
-    (reference noisy_datafidelity.py:99)."""
+    r"""Noisy data-fidelity guidance
+    ``grad weight * sqrt(1/2) ||y - A(D(x, sigma))||``
+    (reference noisy_datafidelity.py:99, loss = sqrt(L2Distance * m/B)
+    = ||r|| / sqrt(2)).
 
-    def __init__(self, denoiser, weight: float = 1.0):
+    :param clip: optional (lo, hi) clipping of the denoised output
+        (the reference DPS uses (-1, 1), diffusion.py:562).
+    """
+
+    def __init__(self, denoiser, weight: float = 1.0, clip=None):
         self.denoiser = denoiser
         self.weight = weight
+        self.clip = tuple(sorted(clip)) if clip is not None else None
 
     def grad(self, x, y, physics, sigma):
         def loss(u):
             x0 = self.denoiser(u, sigma)
+            if self.clip is not None:
+                x0 = jnp.clip(x0, self.clip[0], self.clip[1])
             r = physics.A(x0) - y
-            return jnp.sqrt(jnp.sum(r**2))
+            return jnp.sqrt(0.5 * jnp.sum(r**2))
 
         return self.weight * jax.grad(loss)(x)
 
@@ -383,8 +405,18 @@ class PosteriorDiffusion(Reconstructor):
         def guided_drift(x, t):
             g2 = base_diff(t) ** 2
             sigma = self.sde.sigma_t(t) if hasattr(self.sde, "sigma_t") else 0.1
-            guide = self.data_fidelity.grad(x, y, physics, sigma)
-            return base_drift(x, t) - g2 * guide
+            # the guidance denoiser sees the x0-scaled state x / scale(t)
+            # and the gradient is mapped back by 1/scale (reference
+            # diffusion_sde.py:1040-1060); scale = 1 for VE, sqrt(abar)
+            # for VP
+            scale = self.sde.scale_t(t) if hasattr(self.sde, "scale_t") else 1.0
+            guide = self.data_fidelity.grad(x / scale, y, physics, sigma) / scale
+            # sign convention: our drifts are integrated with NEGATIVE dt
+            # (timesteps decrease), so adding +g2*guide to the drift yields
+            # the desired -g2*grad_x||r|| update per |dt| — the reverse SDE
+            # moves along +grad log p(y|x_t) (reference
+            # diffusion_sde.py:1040-1060 with its -f+... backward form)
+            return base_drift(x, t) + g2 * guide
 
         guided = BaseSDE(guided_drift, base_diff)
         # integrate backwards: timesteps decrease; dt negative handled by solver

@@ -274,3 +274,80 @@ def test_diffpir_pipeline_statistical_parity(reference, torch):  # noqa: F811
 
     m_t, m_j = np.mean(psnrs_t), np.mean(psnrs_j)
     assert abs(m_t - m_j) < 1.0, (m_t, m_j, psnrs_t, psnrs_j)
+
+
+@pytest.mark.slow
+def test_dps_posterior_diffusion_statistical_parity(reference, torch):  # noqa: F811
+    """Reference DPS (PosteriorDiffusion + DPSDataFidelity + VP + Euler,
+    reference diffusion.py:516) vs our PosteriorDiffusion with the same
+    analytic Gaussian-prior MMSE denoiser: both discretize the same guided
+    reverse SDE, so seed-averaged reconstruction PSNR must agree.
+
+    Uses an analytic denoiser (D -> x as sigma -> 0) because Tweedie-score
+    SDEs require a true MMSE denoiser for stability."""
+    import deepinv as dinv
+    from deepinv_tpu.physics import Inpainting, GaussianNoise
+    from deepinv_tpu.sampling import (
+        PosteriorDiffusion, DPSDataFidelity, VariancePreservingDiffusion,
+        EulerSolver,
+    )
+
+    H = W = 16
+    rng = np.random.default_rng(0)
+    x01 = (rng.random((1, 1, H, W)) > 0.5).astype(np.float32) * 0.6 + 0.2
+    x_pm = 2 * x01 - 1  # states in [-1, 1] like the reference pipeline
+    mask_np = (rng.random((1, H, W)) < 0.7).astype(np.float32)
+    sigma_noise = 0.05
+    mu, tau = float(x_pm.mean()), 0.5
+
+    # reference side
+    physics_t = dinv.physics.Inpainting(
+        img_size=(1, H, W), mask=torch.from_numpy(mask_np),
+        noise_model=dinv.physics.GaussianNoise(
+            sigma=sigma_noise, rng=torch.Generator().manual_seed(0)),
+    )
+    y_t = physics_t.A(torch.from_numpy(x_pm))
+
+    class RefGauss(dinv.models.base.Denoiser):
+        def forward(self, x, sigma, **kwargs):
+            s2 = float(sigma) ** 2 if not torch.is_tensor(sigma) else sigma**2
+            return (mu * s2 + x * tau**2) / (tau**2 + s2)
+
+    model_t = dinv.sampling.DPS(RefGauss(), schedule="vp", num_steps=300,
+                                verbose=False)
+    psnrs_t = []
+    with torch.no_grad():
+        pass
+    for s in range(4):
+        torch.manual_seed(s)
+        xh = model_t(y_t, physics_t).detach().numpy()
+        psnrs_t.append(_psnr(xh, x_pm))
+
+    # TPU-native side: same denoiser, same measurements
+    def gauss_den(v, sig, **kw):
+        s2 = jnp.asarray(sig) ** 2
+        return (mu * s2 + v * tau**2) / (tau**2 + s2)
+
+    physics = Inpainting(img_size=(1, H, W), mask=jnp.asarray(mask_np),
+                         noise_model=GaussianNoise(sigma_noise))
+    y = jnp.asarray(y_t.numpy())
+    sde = VariancePreservingDiffusion(gauss_den)
+    model = PosteriorDiffusion(
+        sde, DPSDataFidelity(gauss_den, weight=1.0, clip=(-1.0, 1.0)),
+        solver=EulerSolver(np.linspace(1.0, 1e-3, 300)),
+    )
+    imgs_j = [np.asarray(model(y, physics, key=jax.random.key(s)))
+              for s in range(4)]
+    psnrs_j = [_psnr(im, x_pm) for im in imgs_j]
+
+    # DPS guidance is an approximation (not an exact posterior sampler):
+    # check the samples remain prior-consistent (mean near mu, bounded)
+    mean_j = np.mean(imgs_j, axis=0)
+    assert abs(mean_j.mean() - mu) < 0.3, mean_j.mean()
+    assert np.abs(mean_j).max() < 3.0
+
+    # coarse cross-framework agreement: the reference Euler discretization
+    # under-disperses slightly (unconditional VP std 0.41 vs analytic 0.50,
+    # ours 0.50), which inflates its PSNR; allow that bias
+    m_t, m_j = np.mean(psnrs_t), np.mean(psnrs_j)
+    assert abs(m_t - m_j) < 2.5, (m_t, m_j, psnrs_t, psnrs_j)
