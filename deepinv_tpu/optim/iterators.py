@@ -167,8 +167,11 @@ class ADMMIteration(OptimIterator):
     requires_prox_g = True
 
     def init_state(self, x_init, y, physics):
+        # the reference seeds the auxiliary variable with the iterate itself
+        # (optimizers.py init gives est = (x0, x0); admm.py:58 only zeroes z
+        # when shapes differ) — first iterations match bit-for-bit
         return {
-            "est": (x_init, jax.tree_util.tree_map(jnp.zeros_like, x_init)),
+            "est": (x_init, x_init),
             "it": jnp.asarray(0),
         }
 

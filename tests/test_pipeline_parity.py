@@ -351,3 +351,42 @@ def test_dps_posterior_diffusion_statistical_parity(reference, torch):  # noqa: 
     # ours 0.50), which inflates its PSNR; allow that bias
     m_t, m_j = np.mean(psnrs_t), np.mean(psnrs_j)
     assert abs(m_t - m_j) < 2.5, (m_t, m_j, psnrs_t, psnrs_j)
+
+
+def test_optimizer_transient_parity(reference, torch):  # noqa: F811
+    """Six proximal algorithms (ADMM, DRS, FISTA, GD, HQS, PGD) with a
+    Tikhonov prior match the reference ITERATE-FOR-ITERATE (15 iterations,
+    not just at convergence) — catches initialization and relaxation drift
+    (e.g. ADMM's auxiliary variable seeding, reference admm.py:58)."""
+    import deepinv as dinv
+    from deepinv_tpu.physics import BlurFFT
+    from deepinv_tpu.ops import gaussian_blur
+    from deepinv_tpu.optim import optim_builder, L2, Tikhonov
+
+    H = W = 32
+    rng = np.random.default_rng(0)
+    x_np = rng.random((1, 1, H, W)).astype(np.float32)
+    filt_t = dinv.physics.blur.gaussian_blur(sigma=1.0)
+    pt = dinv.physics.BlurFFT(img_size=(1, H, W), filter=filt_t)
+    yt = pt.A(torch.from_numpy(x_np))
+    pj = BlurFFT(img_size=(1, H, W), filter=gaussian_blur(sigma=1.0))
+    yj = jnp.asarray(yt.numpy())
+
+    for algo in ["ADMM", "DRS", "FISTA", "GD", "HQS", "PGD"]:
+        params = {"stepsize": 0.5, "lambda": 0.1, "g_param": 0.1}
+        if algo == "FISTA":
+            params["a"] = 3.0
+        mt = dinv.optim.optim_builder(
+            algo, prior=dinv.optim.Tikhonov(),
+            data_fidelity=dinv.optim.L2(), max_iter=15,
+            params_algo=dict(params),
+        )
+        with torch.no_grad():
+            ot = mt(yt, pt).numpy()
+        mj = optim_builder(
+            algo, prior=Tikhonov(), data_fidelity=L2(), max_iter=15,
+            params_algo=dict(params),
+        )
+        oj = np.asarray(jax.jit(lambda m, yv, p: m(yv, p))(mj, yj, pj))
+        err = np.abs(ot - oj).max()
+        assert err < 1e-4, (algo, err)
