@@ -81,7 +81,16 @@ class DataFidelity(Potential):
         return jax.lax.fori_loop(0, max_iter_inter, body, x)
 
     def prox_conjugate(self, x, y, physics, *args, gamma=1.0, lamb=1.0, **kwargs):
-        """Moreau decomposition on the measurement-space distance d."""
+        """Prox of the conjugate of the FULL fidelity f = d(A., y) by the
+        Moreau identity on :meth:`prox` (reference Potential.prox_conjugate,
+        potential.py:120 — DataFidelity inherits it unchanged, so the
+        physics rides inside)."""
+        return x - gamma * self.prox(
+            x / gamma, y, physics, *args, gamma=lamb / gamma, **kwargs
+        )
+
+    def prox_d_conjugate(self, x, y, *args, gamma=1.0, lamb=1.0, **kwargs):
+        """Moreau decomposition on the measurement-space distance d only."""
         return x - gamma * self.prox_d(x / gamma, y, *args, gamma=lamb / gamma, **kwargs)
 
 

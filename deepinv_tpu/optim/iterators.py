@@ -224,19 +224,30 @@ class CPIteration(OptimIterator):
 
     requires_prox_g = True
 
-    # optional explicit splitting operator (reference PDCP optimizers.py:2081);
-    # defaults to the physics forward operator
+    # optional explicit splitting operator (reference CP params "K",
+    # primal_dual_CP.py:70); defaults to the IDENTITY like the reference —
+    # the physics enters through the full-fidelity prox_conjugate, so for
+    # decomposable physics the dual step is a closed form
     K = None
     K_adjoint = None
 
     def _ops(self, physics):
         if self.K is not None:
             return self.K, self.K_adjoint
-        return physics.A, physics.A_adjoint
+        ident = lambda v: v
+        return ident, ident
 
     def init_state(self, x_init, y, physics):
         Kf, _ = self._ops(physics)
-        u0 = jax.tree_util.tree_map(jnp.zeros_like, Kf(x_init))
+        Kx = Kf(x_init)
+        # the reference seeds the dual with the measurement itself
+        # (PDCP custom_init, optimizers.py:2219: u_init = y); fall back to
+        # zeros when the dual space does not match y (custom K)
+        same = jax.tree_util.tree_structure(Kx) == jax.tree_util.tree_structure(y) and all(
+            a.shape == b.shape
+            for a, b in zip(jax.tree_util.tree_leaves(Kx), jax.tree_util.tree_leaves(y))
+        )
+        u0 = y if same else jax.tree_util.tree_map(jnp.zeros_like, Kx)
         return {"est": (x_init, x_init, u0), "it": jnp.asarray(0)}
 
     def __call__(self, X, data_fidelity, prior, params, y, physics):
@@ -245,7 +256,8 @@ class CPIteration(OptimIterator):
         sigma = params.get("stepsize_dual", 1.0)
         tau = params["stepsize"]
         lam = params.get("lambda", 1.0)
-        # dual ascent on f*(u): u = prox_{sigma f*}(u + sigma K xbar)
+        # dual ascent on f*(u): u = prox_{sigma f*}(u + sigma K xbar);
+        # f is the FULL fidelity d(A., y) (reference fStepCP:129)
         u = data_fidelity.prox_conjugate(
             u + sigma * Kf(xbar), y, physics, gamma=sigma
         )

@@ -354,7 +354,7 @@ def test_dps_posterior_diffusion_statistical_parity(reference, torch):  # noqa: 
 
 
 def test_optimizer_transient_parity(reference, torch):  # noqa: F811
-    """Six proximal algorithms (ADMM, DRS, FISTA, GD, HQS, PGD) with a
+    """Seven proximal algorithms (ADMM, DRS, FISTA, GD, HQS, PGD, CP) with a
     Tikhonov prior match the reference ITERATE-FOR-ITERATE (15 iterations,
     not just at convergence) — catches initialization and relaxation drift
     (e.g. ADMM's auxiliary variable seeding, reference admm.py:58)."""
@@ -372,15 +372,23 @@ def test_optimizer_transient_parity(reference, torch):  # noqa: F811
     pj = BlurFFT(img_size=(1, H, W), filter=gaussian_blur(sigma=1.0))
     yj = jnp.asarray(yt.numpy())
 
-    for algo in ["ADMM", "DRS", "FISTA", "GD", "HQS", "PGD"]:
+    for algo in ["ADMM", "DRS", "FISTA", "GD", "HQS", "PGD", "CP"]:
         params = {"stepsize": 0.5, "lambda": 0.1, "g_param": 0.1}
         if algo == "FISTA":
             params["a"] = 3.0
-        mt = dinv.optim.optim_builder(
-            algo, prior=dinv.optim.Tikhonov(),
-            data_fidelity=dinv.optim.L2(), max_iter=15,
-            params_algo=dict(params),
-        )
+        if algo == "CP":
+            params.update(stepsize_dual=0.5, beta=1.0)
+            mt = dinv.optim.PDCP(
+                prior=dinv.optim.Tikhonov(),
+                data_fidelity=dinv.optim.L2(), max_iter=15,
+                params_algo=dict(params),
+            )
+        else:
+            mt = dinv.optim.optim_builder(
+                algo, prior=dinv.optim.Tikhonov(),
+                data_fidelity=dinv.optim.L2(), max_iter=15,
+                params_algo=dict(params),
+            )
         with torch.no_grad():
             ot = mt(yt, pt).numpy()
         mj = optim_builder(
