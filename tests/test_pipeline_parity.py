@@ -398,3 +398,42 @@ def test_optimizer_transient_parity(reference, torch):  # noqa: F811
         oj = np.asarray(jax.jit(lambda m, yv, p: m(yv, p))(mj, yj, pj))
         err = np.abs(ot - oj).max()
         assert err < 1e-4, (algo, err)
+
+
+def test_mlem_sirt_transient_parity(reference, torch):  # noqa: F811
+    """MLEM and SIRT match the reference bit-for-bit at every iteration
+    (reference mlem.py / sirt.py)."""
+    import deepinv as dinv
+    from deepinv_tpu.physics import Inpainting
+    from deepinv_tpu.optim import optim_builder, PoissonLikelihood, Zero, L2
+
+    H = W = 16
+    rng = np.random.default_rng(0)
+    x_np = rng.random((1, 1, H, W)).astype(np.float32) * 0.8 + 0.2
+    mask_np = np.ones((1, H, W), np.float32)
+    pt = dinv.physics.Inpainting(img_size=(1, H, W),
+                                 mask=torch.from_numpy(mask_np))
+    yt = pt.A(torch.from_numpy(x_np)) + 0.01
+    pj = Inpainting(img_size=(1, H, W), mask=jnp.asarray(mask_np))
+    yj = jnp.asarray(yt.numpy())
+
+    for it in (1, 10):
+        mt = dinv.optim.MLEM(
+            data_fidelity=dinv.optim.PoissonLikelihood(),
+            prior=dinv.optim.ZeroPrior(), max_iter=it,
+            params_algo={"stepsize": 1.0, "lambda": 1.0},
+        )
+        with torch.no_grad():
+            ot = mt(yt, pt).numpy()
+        mj = optim_builder("MLEM", data_fidelity=PoissonLikelihood(),
+                           prior=Zero(), max_iter=it,
+                           params_algo={"stepsize": 1.0, "lambda": 1.0})
+        assert np.abs(ot - np.asarray(mj(yj, pj))).max() < 1e-5
+
+        st = dinv.optim.SIRT(max_iter=it, stepsize=1.0)
+        with torch.no_grad():
+            ot = st(yt, pt).numpy()
+        sj = optim_builder("SIRT", data_fidelity=L2(), prior=Zero(),
+                           max_iter=it,
+                           params_algo={"stepsize": 1.0, "lambda": 1.0})
+        assert np.abs(ot - np.asarray(sj(yj, pj))).max() < 1e-5
