@@ -270,9 +270,12 @@ class FisherTippettNoise(NoiseModel):
         self.l = jnp.asarray(l)
 
     def sample(self, y, key):
+        # inputs are LOG-intensities (reference noise.py:870: x = exp(x),
+        # gamma speckle with mean x, then log) — y_out = y + log(G/l),
+        # G ~ Gamma(l, 1)
         l = _bcast(self.l, y)
         g = jax.random.gamma(key, jnp.broadcast_to(l, y.shape).astype(y.dtype))
-        return jnp.log(jnp.maximum(g * y / l, 1e-20))
+        return jnp.log(jnp.maximum(g * jnp.exp(y) / l, 1e-20))
 
 
 class RicianNoise(NoiseModel):

@@ -437,3 +437,38 @@ def test_mlem_sirt_transient_parity(reference, torch):  # noqa: F811
                            max_iter=it,
                            params_algo={"stepsize": 1.0, "lambda": 1.0})
         assert np.abs(ot - np.asarray(sj(yj, pj))).max() < 1e-5
+
+
+def test_noise_model_moment_parity(reference, torch):  # noqa: F811
+    """All stochastic noise models match the reference distributionally
+    (mean/std over 64x32x32 draws at x = 0.5) — catches parameterization
+    drift like FisherTippett's log-intensity convention (noise.py:870)."""
+    import deepinv as dinv
+    import deepinv_tpu.physics as P
+
+    x_np = np.full((64, 1, 32, 32), 0.5, np.float32)
+    xt = torch.from_numpy(x_np)
+    xj = jnp.asarray(x_np)
+    g = torch.Generator().manual_seed(0)
+    pairs = [
+        (dinv.physics.GaussianNoise(sigma=0.1, rng=g), P.GaussianNoise(0.1)),
+        (dinv.physics.PoissonNoise(gain=0.05, rng=g), P.PoissonNoise(gain=0.05)),
+        (dinv.physics.PoissonGaussianNoise(gain=0.05, sigma=0.05, rng=g),
+         P.PoissonGaussianNoise(gain=0.05, sigma=0.05)),
+        (dinv.physics.GammaNoise(l=10.0), P.GammaNoise(l=10.0)),
+        (dinv.physics.UniformNoise(a=0.1, rng=g), P.UniformNoise(a=0.1)),
+        (dinv.physics.LogPoissonNoise(N0=1024, mu=0.02, rng=g),
+         P.LogPoissonNoise(N0=1024, mu=0.02)),
+        (dinv.physics.SaltPepperNoise(p=0.05, s=0.05, rng=g),
+         P.SaltPepperNoise(p=0.05, s=0.05)),
+        (dinv.physics.RicianNoise(sigma=0.1), P.RicianNoise(sigma=0.1)),
+        (dinv.physics.FisherTippettNoise(l=10.0), P.FisherTippettNoise(l=10.0)),
+        (dinv.physics.LaplaceNoise(b=0.1), P.LaplaceNoise(b=0.1)),
+    ]
+    for nt, nj in pairs:
+        name = type(nt).__name__
+        with torch.no_grad():
+            yt = nt(xt).numpy()
+        yj = np.asarray(nj(xj, key=jax.random.key(0)))
+        assert abs(yt.mean() - yj.mean()) < 0.02, (name, yt.mean(), yj.mean())
+        assert abs(yt.std() - yj.std()) < 0.02, (name, yt.std(), yj.std())
