@@ -57,37 +57,54 @@ class MotionBlurGenerator(PhysicsGenerator):
         (2, 1, 16, 16)
     """
 
-    def __init__(self, psf_size=(31, 31), length: int = 1000, sigma: float = 0.25, seed: int = 0):
+    def __init__(self, psf_size=(31, 31), l: float = 0.3,
+                 sigma: float = 0.25, n_steps: int = 1000, seed: int = 0,
+                 length: int = None):
         super().__init__(seed=seed)
         self.psf_size = tuple(psf_size) if not isinstance(psf_size, int) else (psf_size, psf_size)
-        self.length = length
+        self.l = l
         self.sigma = sigma
+        self.n_steps = length if length is not None else n_steps
 
-    def sample(self, batch_size, key, **kwargs):
-        h, w = self.psf_size
+    def matern_kernel(self, diff, sigma=None, l=None):
+        """Matern 5/2 covariance (reference generator/blur.py:275)."""
+        sigma = self.sigma if sigma is None else sigma
+        l = self.l if l is None else l
+        frac = 5**0.5 * jnp.abs(diff) / l
+        return sigma**2 * (1 + frac + frac**2 / 3) * jnp.exp(-frac)
 
-        def one(k):
-            k1, k2 = jax.random.split(k)
-            # smooth random velocity -> trajectory (random walk of heading)
-            steps = jax.random.normal(k1, (self.length, 2))
-            # exponential moving average for smoothness
-            def ema(carry, s):
-                v = 0.99 * carry + self.sigma * s
-                return v, v
+    def f_matern(self, key, batch_size, sigma=None, l=None):
+        """Stationary GP draws by spectral filtering of white noise
+        (reference generator/blur.py:290): rfft of the Matern kernel over
+        t in [-pi, pi], multiply white noise spectrum by sqrt(kernel_fft),
+        keep the first n_steps/(2 pi) samples."""
+        n = self.n_steps
+        vec = jax.random.normal(key, (batch_size, n))
+        time = jnp.linspace(-jnp.pi, jnp.pi, n)[None]
+        kernel = self.matern_kernel(time, sigma, l)
+        kernel_fft = jnp.fft.rfft(kernel)
+        vec_fft = jnp.fft.rfft(vec)
+        full = jnp.fft.irfft(vec_fft * jnp.sqrt(kernel_fft.astype(jnp.complex64))).real
+        keep = int(n / (2 * jnp.pi))
+        return full[:, :keep]
 
-            _, vel = jax.lax.scan(ema, jnp.zeros(2), steps)
-            traj = jnp.cumsum(vel, axis=0)
-            traj = traj - jnp.mean(traj, axis=0)
-            # normalize into psf grid
-            scale = jnp.max(jnp.abs(traj)) + 1e-8
-            traj = traj / scale * (min(h, w) / 2 - 1)
-            iy = jnp.clip(jnp.round(traj[:, 0] + h // 2).astype(jnp.int32), 0, h - 1)
-            ix = jnp.clip(jnp.round(traj[:, 1] + w // 2).astype(jnp.int32), 0, w - 1)
-            psf = jnp.zeros((h, w)).at[iy, ix].add(1.0)
-            return psf / jnp.sum(psf)
+    def sample(self, batch_size, key, sigma=None, l=None, **kwargs):
+        from ...ops import histogramdd
 
-        keys = jax.random.split(key, batch_size)
-        psfs = jax.vmap(one)(keys)
+        kx, ky = jax.random.split(key)
+        f_x = self.f_matern(kx, batch_size, sigma, l)
+        f_y = self.f_matern(ky, batch_size, sigma, l)
+        traj = jnp.stack(
+            [f_x - f_x.mean(axis=1, keepdims=True),
+             f_y - f_y.mean(axis=1, keepdims=True)], axis=-1
+        )  # (B, T, 2)
+
+        def one(tr):
+            k, _ = histogramdd(tr, bins=list(self.psf_size), low=[-1, -1],
+                               upp=[1, 1])
+            return k / (jnp.sum(k) + 1e-6)
+
+        psfs = jax.vmap(one)(traj)
         return {"filter": psfs[:, None]}
 
 

@@ -175,3 +175,44 @@ def test_diffraction_3d_generator():
     f = out["filter"]
     assert f.shape == (2, 1, 5, 17, 17)
     assert abs(float(jnp.sum(f[0])) - 1.0) < 1e-4
+
+
+@pytest.mark.slow
+def test_motion_blur_matches_reference_statistics():
+    """MotionBlurGenerator reproduces the reference's Matern-GP trajectory
+    distribution (reference generator/blur.py:212-355): same normalization,
+    PSF support fraction, and radial second moment to sampling tolerance."""
+    from test_namespace_parity import _make_stubs, REFERENCE
+    import os, sys, tempfile
+
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+    stub = tempfile.mkdtemp()
+    _make_stubs(stub)
+    sys.path.insert(0, stub)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from deepinv.physics.generator import MotionBlurGenerator as RefGen
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    finally:
+        sys.path.remove(stub)
+        sys.path.remove(REFERENCE)
+
+    B = 128
+    rk = RefGen((15, 15), rng=torch.Generator().manual_seed(0)).step(B)[
+        "filter"].numpy()[:, 0]
+    jk = np.asarray(MotionBlurGenerator((15, 15)).step(
+        batch_size=B, key=jax.random.key(0))["filter"])[:, 0]
+
+    ys, xs = np.mgrid[0:15, 0:15]
+    r2 = (ys - 7) ** 2 + (xs - 7) ** 2
+    for k in (rk, jk):
+        np.testing.assert_allclose(k.sum((-2, -1)), 1.0, atol=1e-4)
+    ref_m2 = (rk * r2).sum((-2, -1)).mean()
+    jax_m2 = (jk * r2).sum((-2, -1)).mean()
+    assert abs(ref_m2 - jax_m2) < 0.8, (ref_m2, jax_m2)
+    ref_support = (rk > 1e-8).mean()
+    jax_support = (jk > 1e-8).mean()
+    assert abs(ref_support - jax_support) < 0.015, (ref_support, jax_support)
