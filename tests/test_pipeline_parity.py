@@ -128,6 +128,7 @@ def test_pgd_mri_pipeline_parity(reference, torch):  # noqa: F811
     physics_t = dinv.physics.MRI(mask=mask_t, img_size=(H, W))
     y_t = physics_t.A(torch.from_numpy(x_np))
 
+    torch.manual_seed(0)  # deterministic weights regardless of test order
     ref_den = dinv.models.DnCNN(2, 2, depth=4, pretrained=None).eval()
     prior_t = dinv.optim.PnP(ref_den)
     model_t = dinv.optim.optim_builder(
