@@ -296,31 +296,109 @@ def conv_transpose3d_fft(
 # ---------------------------------------------------------------------------
 
 
-def gaussian_blur(sigma=(1.0, 1.0), angle: float = 0.0, psf_size=None) -> jax.Array:
-    """2D anisotropic rotated Gaussian kernel, shape (1, 1, h, w), sum=1.
+def gaussian_blur(sigma=(1.0, 1.0), angle=0.0, psf_size=None) -> jax.Array:
+    """Batched N-dimensional anisotropic rotated Gaussian kernels, shape
+    ``(B, 1, *psf_size)``, each summing to 1.
 
-    Host-side (numpy) construction: the axon TPU platform cannot execute
-    eager reductions, and PSFs are static constants anyway.
+    Follows the reference semantics (functional/blur.py:137 via the legacy
+    wrapper physics/blur.py:1263): a scalar ``sigma`` means an isotropic 2D
+    kernel; the dimension (1/2/3) otherwise comes from ``psf_size`` or
+    ``len(sigma)``; ``sigma`` may be an array of shape ``(B, dim)`` in
+    (depth, height, width) axis order, and ``angle`` (degrees) a scalar,
+    ``(B,)`` for 2D in-plane rotation, or ``(B, 3)`` of (gamma, beta, alpha)
+    rotations about the x/y/z axes for 3D.
+
+    Static (python-scalar) inputs are built host-side with numpy — the axon
+    TPU platform cannot execute eager reductions, and such PSFs are
+    constants anyway; array inputs trace with jnp and are jit-compatible.
     """
     import numpy as np
 
     if isinstance(sigma, (int, float)):
         sigma = (float(sigma), float(sigma))
+
+    traced = isinstance(sigma, jax.Array) or isinstance(angle, jax.Array)
+    xp = jnp if traced else np
+
     if psf_size is None:
+        if isinstance(sigma, jax.Array):
+            raise ValueError("psf_size is required when sigma is an array")
         c = int(max(sigma) / 0.3 + 1)
-        psf_size = (2 * c + 1, 2 * c + 1)
-    sy, sx = float(sigma[0]), float(sigma[1])
-    # reference rotation convention (functional/blur.py:137): positive angle
-    # rotates the kernel counter-clockwise in (row, col) image coordinates
-    th = -math.radians(float(angle))
-    ax_y = np.linspace(-(psf_size[0] - 1) / 2, (psf_size[0] - 1) / 2, psf_size[0])
-    ax_x = np.linspace(-(psf_size[1] - 1) / 2, (psf_size[1] - 1) / 2, psf_size[1])
-    yy, xx = np.meshgrid(ax_y, ax_x, indexing="ij")
-    xr = math.cos(th) * xx + math.sin(th) * yy
-    yr = -math.sin(th) * xx + math.cos(th) * yy
-    k = np.exp(-0.5 * ((xr / sx) ** 2 + (yr / sy) ** 2))
-    k = k / np.sum(k)
-    return jnp.asarray(k[None, None], jnp.float32)
+        psf_size = (2 * c + 1,) * len(sigma)
+    elif isinstance(psf_size, int):
+        psf_size = (psf_size, psf_size)
+    psf_size = tuple(int(s) for s in psf_size)
+    dim = len(psf_size)
+    if dim not in (1, 2, 3):
+        raise ValueError("Only 1D, 2D, and 3D kernels are supported.")
+
+    # resolve batch size, sigma -> (B, dim), angle -> (B,) [2D] / (B, 3) [3D]
+    B = 1
+    if isinstance(sigma, jax.Array) and sigma.ndim == 2:
+        B = sigma.shape[0]
+    if isinstance(angle, jax.Array) and angle.ndim >= 1 and angle.shape[0] > B:
+        B = angle.shape[0]
+
+    if isinstance(sigma, (tuple, list)):
+        if len(sigma) != dim:
+            raise ValueError(f"len(sigma) must match psf_size dimension {dim}")
+        sig = xp.asarray([list(map(float, sigma))] * B, dtype=xp.float32)
+    else:
+        sig = xp.broadcast_to(xp.asarray(sigma, xp.float32).reshape(-1, dim), (B, dim))
+
+    if isinstance(angle, (int, float)):
+        ang = (
+            xp.full((B,), float(angle), dtype=xp.float32)
+            if dim <= 2
+            else xp.asarray([[float(angle), 0.0, 0.0]] * B, dtype=xp.float32)
+        )
+    elif isinstance(angle, (tuple, list)):
+        ang = xp.asarray([list(map(float, angle))] * B, dtype=xp.float32)
+    else:
+        ang = xp.broadcast_to(
+            xp.asarray(angle, xp.float32).reshape(B, -1), (B, 3 if dim == 3 else 1)
+        )
+        if dim == 2:
+            ang = ang.reshape(B)
+    ang = ang * (math.pi / 180.0)
+
+    # coordinate grid in (x, y, z) order: x = last psf axis (reference
+    # functional/blur.py:194-207)
+    grids = [
+        np.linspace(-(n - 1) / 2, (n - 1) / 2, n, dtype=np.float32) for n in psf_size
+    ]
+    mesh = np.meshgrid(*grids, indexing="ij")
+    coords = xp.asarray(np.stack(mesh[::-1], axis=-1))  # (*psf_size, dim)
+    coords = xp.broadcast_to(coords[None], (B, *psf_size, dim))
+
+    # sigma arrives in (depth, height, width) order; flip to (x, y, z)
+    sig = sig[:, ::-1]
+
+    if dim == 2:
+        c, s = xp.cos(ang), xp.sin(ang)
+        rot = xp.stack([c, -s, s, c], axis=1).reshape(B, 2, 2)
+        coords = xp.einsum("bij,b...j->b...i", rot, coords)
+    elif dim == 3:
+        g, b_, a = ang[:, 0], ang[:, 1], ang[:, 2]
+        ca, sa, cb, sb, cg, sg = xp.cos(a), xp.sin(a), xp.cos(b_), xp.sin(b_), xp.cos(g), xp.sin(g)
+        R = xp.stack(
+            [
+                ca * cb, ca * sb * sg - sa * cg, ca * sb * cg + sa * sg,
+                sa * cb, sa * sb * sg + ca * cg, sa * sb * cg - ca * sg,
+                -sb, cb * sg, cb * cg,
+            ],
+            axis=1,
+        ).reshape(B, 3, 3)
+        coords = xp.einsum("bij,b...j->b...i", R, coords)
+
+    kernel = xp.ones((B, *psf_size), dtype=xp.float32)
+    for d in range(dim):
+        sd = sig[:, d].reshape(B, *(1,) * dim)
+        kernel = kernel * xp.exp(-0.5 * coords[..., d] ** 2 / sd**2) / (
+            math.sqrt(2 * math.pi) * sd
+        )
+    kernel = kernel / xp.sum(kernel, axis=tuple(range(1, dim + 1)), keepdims=True)
+    return jnp.asarray(kernel[:, None], jnp.float32)
 
 
 def bilinear_filter(factor: int = 2) -> jax.Array:

@@ -177,6 +177,111 @@ def test_diffraction_3d_generator():
     assert abs(float(jnp.sum(f[0])) - 1.0) < 1e-4
 
 
+def _import_reference():
+    """Import the torch reference with the stub shims; skip if unavailable."""
+    from test_namespace_parity import _make_stubs, REFERENCE
+    import os, sys, tempfile
+
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("torch")
+    stub = tempfile.mkdtemp()
+    _make_stubs(stub)
+    sys.path.insert(0, stub)
+    sys.path.insert(0, REFERENCE)
+    try:
+        import deepinv
+
+        return deepinv
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference not importable: {e}")
+    finally:
+        sys.path.remove(stub)
+        sys.path.remove(REFERENCE)
+
+
+@pytest.mark.slow
+def test_gaussian_blur_functional_matches_reference():
+    """gaussian_blur reproduces the reference N-dim batched kernels exactly
+    (reference functional/blur.py:137): 1D/2D/3D, batched sigma/angle."""
+    deepinv = _import_reference()
+    import torch
+    from deepinv.physics.functional.blur import gaussian_blur as ref_gb
+    from deepinv_tpu.ops.conv import gaussian_blur as j_gb
+
+    rng = np.random.RandomState(0)
+    cases = [
+        ((11, 9), rng.uniform(0.5, 3.0, (4, 2)), rng.uniform(0, 360, (4,))),
+        ((7,), rng.uniform(0.5, 3.0, (3, 1)), 0.0),
+        ((5, 7, 9), rng.uniform(0.5, 2.0, (2, 3)), rng.uniform(0, 360, (2, 3))),
+    ]
+    for psf_size, sig, ang in cases:
+        sig = sig.astype(np.float32)
+        r = ref_gb(
+            psf_size,
+            torch.tensor(sig),
+            torch.tensor(np.asarray(ang, np.float32)) if np.ndim(ang) else float(ang),
+        ).numpy()
+        j = np.asarray(
+            j_gb(
+                sigma=jnp.asarray(sig),
+                angle=jnp.asarray(np.asarray(ang, np.float32)) if np.ndim(ang) else ang,
+                psf_size=psf_size,
+            )
+        )
+        np.testing.assert_allclose(r, j, atol=2e-7)
+
+
+@pytest.mark.slow
+def test_diffraction_blur_matches_reference():
+    """DiffractionBlurGenerator with fixed Zernike coefficients is
+    bit-faithful to the reference pupil synthesis (generator/blur.py:358),
+    including the multi-channel chromatic fc model."""
+    deepinv = _import_reference()
+    import torch
+    from deepinv.physics.generator import DiffractionBlurGenerator as RefD
+    from deepinv_tpu.physics.generator import DiffractionBlurGenerator as JD
+
+    rng = np.random.RandomState(0)
+    coeff = rng.uniform(-0.075, 0.075, (2, 8)).astype(np.float32)
+    rg, jg = RefD((31, 31)), JD((31, 31))
+    assert rg.zernike_polynomials == jg.zernike_polynomials
+    rf = rg.step(coeff=torch.tensor(coeff))["filter"].numpy()
+    jf = np.asarray(jg.step(batch_size=2, key=jax.random.key(0),
+                            coeff=jnp.asarray(coeff))["filter"])
+    np.testing.assert_allclose(rf, jf, atol=5e-7)
+
+    c3 = rng.uniform(-0.075, 0.075, (2, 3, 8)).astype(np.float32)
+    rg3 = RefD((15, 15), fc=(0.18, 0.20, 0.22))
+    jg3 = JD((15, 15), fc=(0.18, 0.20, 0.22))
+    rf3 = rg3.step(coeff=torch.tensor(c3))["filter"].numpy()
+    jf3 = np.asarray(jg3.step(batch_size=2, key=jax.random.key(0),
+                              coeff=jnp.asarray(c3))["filter"])
+    np.testing.assert_allclose(rf3, jf3, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_gaussian_blur_generator_matches_reference_statistics():
+    """GaussianBlurGenerator sampling ranges/moments match the reference
+    (generator/blur.py:40) on a large batch."""
+    deepinv = _import_reference()
+    import torch
+    from deepinv.physics.generator import GaussianBlurGenerator as RefG
+    from deepinv_tpu.physics.generator import GaussianBlurGenerator as JG
+
+    B = 256
+    rk = RefG((15, 15), isotropic=False,
+              rng=torch.Generator().manual_seed(0)).step(B)["filter"].numpy()
+    jk = np.asarray(JG((15, 15), isotropic=False).step(
+        batch_size=B, key=jax.random.key(0))["filter"])
+    assert rk.shape == jk.shape == (B, 1, 15, 15)
+    ys, xs = np.mgrid[0:15, 0:15]
+    r2 = (ys - 7) ** 2 + (xs - 7) ** 2
+    ref_m2 = (rk * r2).sum((-2, -1)).mean()
+    jax_m2 = (jk * r2).sum((-2, -1)).mean()
+    assert abs(ref_m2 - jax_m2) / ref_m2 < 0.1, (ref_m2, jax_m2)
+
+
 @pytest.mark.slow
 def test_motion_blur_matches_reference_statistics():
     """MotionBlurGenerator reproduces the reference's Matern-GP trajectory
