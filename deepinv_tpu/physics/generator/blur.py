@@ -525,152 +525,425 @@ class DiffractionBlurGenerator(PSFGenerator):
 
 
 class ProductConvolutionBlurGenerator(PhysicsGenerator):
-    r"""Space-varying blur parameters (reference generator/blur.py
-    ProductConvolutionBlurGenerator): K random PSFs + smooth partition-of-
-    unity multipliers for :class:`SpaceVaryingBlur`."""
+    r"""Space-varying blur parameters for :class:`SpaceVaryingBlur`
+    (reference generator/blur.py:982): PSFs are sampled on a coarse spatial
+    grid, compressed to ``n_eigen_psf`` eigen-PSFs by SVD, and the
+    per-grid-point expansion coefficients are interpolated to the full image
+    with thin-plate splines, yielding smooth multiplier fields.
 
-    def __init__(self, psf_generator=None, img_size=(32, 32), n_eigen_psf: int = 4, seed: int = 0):
+    :param psf_generator: PSF generator sampled at each grid point.
+    :param img_size: (H, W) of the image.
+    :param n_eigen_psf: number of eigen-PSFs kept (default 10).
+    :param spacing: grid spacing (defaults to ``(H//8, W//8)``).
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics.generator import (
+        ...     DiffractionBlurGenerator, ProductConvolutionBlurGenerator)
+        >>> pc = ProductConvolutionBlurGenerator(
+        ...     DiffractionBlurGenerator((7, 7), fc=0.25),
+        ...     img_size=(64, 64), n_eigen_psf=8)
+        >>> params = pc.step(1, key=jax.random.key(0))
+        >>> sorted(params)
+        ['filters', 'multipliers']
+        >>> params["filters"].shape, params["multipliers"].shape
+        ((1, 1, 8, 7, 7), (1, 1, 8, 64, 64))
+    """
+
+    def __init__(self, psf_generator=None, img_size=(32, 32), n_eigen_psf: int = 10,
+                 spacing=None, seed: int = 0):
         super().__init__(seed=seed)
         self.psf_generator = (
             psf_generator if psf_generator is not None else DiffractionBlurGenerator(psf_size=(15, 15))
         )
+        if isinstance(img_size, int):
+            img_size = (img_size, img_size)
         self.img_size = tuple(img_size)[-2:]
-        self.K = n_eigen_psf
-
-    def sample(self, batch_size, key, **kwargs):
-        kf, kw = jax.random.split(key)
-        filters = self.psf_generator.sample(self.K * batch_size, kf)["filter"]
-        h, w = filters.shape[-2:]
-        filters = filters.reshape(batch_size, 1, self.K, h, w)
-        # smooth random multipliers, softmax-normalized across K
-        H, W = self.img_size
-        coarse = jax.random.normal(kw, (batch_size, 1, self.K, 8, 8))
-        up = jax.image.resize(coarse, (batch_size, 1, self.K, H, W), "bilinear")
-        mult = jax.nn.softmax(up * 3.0, axis=2)
-        return {"filters": filters, "multipliers": mult}
-
-
-class TiledBlurGenerator(ProductConvolutionBlurGenerator):
-    r"""Tile-piecewise-constant multipliers (reference TiledBlurGenerator):
-    the image is split into a grid of tiles, each with its own PSF."""
-
-    def __init__(self, psf_generator=None, img_size=(32, 32), tiles=(2, 2), seed: int = 0):
-        super().__init__(psf_generator, img_size, n_eigen_psf=tiles[0] * tiles[1], seed=seed)
-        self.tiles = tuple(tiles)
-
-    def sample(self, batch_size, key, **kwargs):
-        out = super().sample(batch_size, key, **kwargs)
-        H, W = self.img_size
-        th, tw = self.tiles
-        # hard tile assignment instead of smooth softmax
-        ys = jnp.minimum(jnp.arange(H) * th // H, th - 1)
-        xs = jnp.minimum(jnp.arange(W) * tw // W, tw - 1)
-        tile_id = ys[:, None] * tw + xs[None, :]
-        mult = jax.nn.one_hot(tile_id, th * tw, axis=-1)  # (H, W, K)
-        mult = jnp.moveaxis(mult, -1, 0)[None, None]  # (1,1,K,H,W)
-        out["multipliers"] = jnp.broadcast_to(
-            mult, (batch_size, 1, th * tw, H, W)
+        if isinstance(spacing, int):
+            spacing = (spacing, spacing)
+        self.spacing = (
+            tuple(spacing) if spacing is not None
+            else (self.img_size[0] // 8, self.img_size[1] // 8)
         )
-        return out
-
-
-class ConfocalBlurGenerator3D(PhysicsGenerator):
-    r"""3D confocal microscopy PSFs (reference ConfocalBlurGenerator3D):
-    separable lateral Airy-like x axial Gaussian profiles with random
-    numerical aperture / wavelength jitter."""
-
-    def __init__(self, psf_size=(9, 15, 15), NA: float = 1.2, seed: int = 0):
-        super().__init__(seed=seed)
-        self.psf_size = tuple(psf_size)
-        self.NA = NA
+        self.n_eigen_psf = n_eigen_psf
+        self.n_psf_grid = (self.img_size[0] // self.spacing[0]) * (
+            self.img_size[1] // self.spacing[1]
+        )
+        if self.n_psf_grid < self.n_eigen_psf:
+            raise ValueError(
+                f"n_eigen_psf={n_eigen_psf} must be smaller than the number "
+                f"of PSF grid points = {self.n_psf_grid}"
+            )
+        # control points (coarse grid) and query points (full image), both in
+        # [0, 1]^2 (reference blur.py:1049)
+        t0 = np.linspace(0, 1, self.img_size[0] // self.spacing[0])
+        t1 = np.linspace(0, 1, self.img_size[1] // self.spacing[1])
+        yy, xx = np.meshgrid(t0, t1, indexing="ij")
+        self._X = jnp.asarray(np.stack([yy.ravel(), xx.ravel()], 1), jnp.float32)
+        T0 = np.linspace(0, 1, self.img_size[0])
+        T1 = np.linspace(0, 1, self.img_size[1])
+        YY, XX = np.meshgrid(T0, T1, indexing="ij")
+        self._XX = jnp.asarray(np.stack([YY.ravel(), XX.ravel()], 1), jnp.float32)
 
     def sample(self, batch_size, key, **kwargs):
-        D, H, W = self.psf_size
-        kna, kwl = jax.random.split(key)
-        na = self.NA * (1 + 0.1 * jax.random.normal(kna, (batch_size,)))
-        wl = 0.5 * (1 + 0.1 * jax.random.normal(kwl, (batch_size,)))
+        from ...ops.misc import ThinPlateSpline
 
-        z = jnp.arange(D) - (D - 1) / 2
-        yx = jnp.arange(H) - (H - 1) / 2
-        yy, xx = jnp.meshgrid(yx, yx, indexing="ij")
-        r2 = yy**2 + xx**2
+        psf_grid = self.psf_generator.sample(
+            self.n_psf_grid * batch_size, key, **kwargs
+        )["filter"]
+        ph, pw = psf_grid.shape[-2:]
+        C = psf_grid.shape[1]
+        psf_grid = psf_grid.reshape(batch_size, self.n_psf_grid, C, ph, pw)
+        # (B, C, n_grid, h*w) design matrix; top-K right singular vectors are
+        # the eigen-PSFs (reference blur.py:1090)
+        M = jnp.swapaxes(psf_grid.reshape(batch_size, self.n_psf_grid, C, ph * pw), 1, 2)
+        _, _, Vh = jnp.linalg.svd(M, full_matrices=False)
+        K = min(self.n_eigen_psf, Vh.shape[-2])
+        Vh = Vh[..., :K, :]
+        coeffs = jnp.einsum("bcnp,bckp->bcnk", M, Vh)  # (B, C, n_grid, K)
+        eigen_psf = Vh.reshape(batch_size, C, K, ph, pw)
 
-        def one(na_i, wl_i):
-            sig_lat = wl_i / (2 * na_i) * 2.0
-            sig_ax = 2 * wl_i / (na_i**2) * 1.5
-            lat = jnp.exp(-r2 / (2 * sig_lat**2))
-            ax = jnp.exp(-(z**2) / (2 * sig_ax**2))
-            psf = ax[:, None, None] * lat[None]
-            return psf / jnp.sum(psf)
+        tps = ThinPlateSpline(0.0).fit(self._X, coeffs)
+        w = jnp.swapaxes(tps.transform(self._XX), -1, -2)  # (B, C, K, H*W)
+        w = w.reshape(batch_size, C, K, *self.img_size)
+        return {"filters": eigen_psf, "multipliers": w}
 
-        psfs = jax.vmap(one)(na, wl)
-        return {"filter": psfs[:, None]}
+
+class TiledBlurGenerator(PhysicsGenerator):
+    r"""Per-tile PSFs for :class:`TiledSpaceVaryingBlur`
+    (reference generator/blur.py:1669): the image is divided into
+    (overlapping) patches and each patch gets its own PSF drawn from
+    ``psf_generator``.
+
+    :param psf_generator: PSF generator sampled once per tile.
+    :param patch_size: tile size (int or (ph, pw)).
+    :param stride: stride between tiles; defaults to ``patch_size``.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics.generator import (MotionBlurGenerator,
+        ...     TiledBlurGenerator)
+        >>> g = TiledBlurGenerator(MotionBlurGenerator((5, 5)), patch_size=16)
+        >>> g.step(2, key=jax.random.key(0), img_size=(32, 32))["filters"].shape
+        (2, 1, 4, 5, 5)
+    """
+
+    def __init__(self, psf_generator=None, patch_size=16, stride=None, seed: int = 0,
+                 img_size=None, tiles=None):
+        super().__init__(seed=seed)
+        self.psf_generator = (
+            psf_generator if psf_generator is not None else DiffractionBlurGenerator(psf_size=(15, 15))
+        )
+        if tiles is not None and img_size is not None:
+            # legacy surface: an explicit (ty, tx) tile grid over img_size
+            img_size = (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)[-2:]
+            patch_size = (img_size[0] // tiles[0], img_size[1] // tiles[1])
+        self.patch_size = (
+            (patch_size, patch_size) if isinstance(patch_size, int) else tuple(patch_size)
+        )
+        self.stride = (
+            self.patch_size if stride is None
+            else ((stride, stride) if isinstance(stride, int) else tuple(stride))
+        )
+        self.psf_size = getattr(self.psf_generator, "psf_size", None)
+        self.img_size = img_size
+
+    def get_num_patches(self, img_size):
+        """(n_h, n_w) tiles covering ``img_size`` (reference mixins
+        get_num_patches with pad_if_needed)."""
+        H, W = img_size[-2:]
+        ph, pw = self.patch_size
+        sh, sw = self.stride
+        ny = -(-max(H - ph, 0) // sh) + 1
+        nx = -(-max(W - pw, 0) // sw) + 1
+        return ny, nx
+
+    def sample(self, batch_size, key, img_size=None, **kwargs):
+        img_size = img_size if img_size is not None else self.img_size
+        if img_size is None:
+            raise ValueError("img_size must be given at construction or step time")
+        if isinstance(img_size, int):
+            img_size = (img_size, img_size)
+        ny, nx = self.get_num_patches(img_size)
+        K = ny * nx
+        psf = self.psf_generator.sample(batch_size * K, key, **kwargs)["filter"]
+        h, w = psf.shape[-2:]
+        psf = jnp.swapaxes(psf.reshape(batch_size, K, -1, h, w), 1, 2)
+        return {"filters": psf}
 
 
 class DiffractionBlurGenerator3D(PSFGenerator):
     r"""3D diffraction-limited PSF stacks (reference generator/blur.py:1112):
-    the 2D Zernike pupil is propagated to each defocus plane by the angular
-    spectrum phase ``exp(-2i pi k_z z)`` with
-    ``k_z = sqrt(kb^2 - k_lateral^2)``; the PSF at depth z is
+    the 2D Zernike pupil (delegated to
+    :class:`DiffractionBlurGenerator`) is propagated to each defocus plane
+    by the angular-spectrum phase ``exp(-2i pi k_z z)`` with
+    ``k_z = sqrt(kb^2 - k_lateral^2)``; the PSF at depth ``z`` is
     ``|FFT(pupil_z)|^2``, normalized over the whole volume.
 
-    :param psf_size: (D, H, W) size of the generated 3D PSF.
-    :param fc: lateral cutoff frequency (pupil radius fraction).
-    :param kb: total wavenumber over sampling frequency (default 0.25).
-    :param stepz_pixel: axial/lateral voxel size ratio.
+    :param psf_size: (depth, H, W) of the generated 3D PSF.
+    :param zernike_index: active Zernike modes (see 2D generator).
+    :param fc: lateral cutoff frequency; scalar or per-channel sequence.
+    :param kb: total wave number ``NI/wavelength * pixel_size``; must exceed
+        ``fc``. Scalar or per-channel.
+    :param stepz_pixel: axial / lateral voxel-size ratio.
+    :param pupil_size: super-resolved pupil grid (default (512, 512)).
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics.generator import DiffractionBlurGenerator3D
+        >>> g = DiffractionBlurGenerator3D((5, 17, 17), stepz_pixel=2,
+        ...                                zernike_index=(3,),
+        ...                                index_convention='ansi')
+        >>> g.zernike_polynomials
+        ['Zernike(n = 2, m = -2) -- Oblique Astigmatism']
+        >>> out = g.step(2, key=jax.random.key(0))
+        >>> out["filter"].shape
+        (2, 1, 5, 17, 17)
     """
 
-    def __init__(self, psf_size=(9, 31, 31), fc: float = 0.2, kb: float = 0.25,
-                 stepz_pixel: float = 2.0, num_channels: int = 1,
-                 max_zernike_amplitude: float = 0.15, n_zernike: int = 8,
-                 seed: int = 0):
+    def __init__(self, psf_size=(9, 31, 31), zernike_index=tuple(range(4, 12)),
+                 fc=0.2, kb=0.25, max_zernike_amplitude: float = 0.15,
+                 zernike_perturbation_amplitude: float = 0.0,
+                 pupil_size=(512, 512), apodize: bool = False,
+                 random_rotate: bool = False, stepz_pixel: float = 1.0,
+                 index_convention: str = "noll", seed: int = 0,
+                 num_channels: int = 1, n_zernike=None, **kwargs):
         if len(psf_size) != 3:
-            raise ValueError("psf_size must be (D, H, W)")
+            raise ValueError("You should provide a tuple of len == 3 to generate 3D PSFs.")
         super().__init__(psf_size=psf_size[1:], num_channels=num_channels, seed=seed)
-        self.depth = psf_size[0]
-        self.fc = fc
+        if n_zernike is not None:  # legacy count-based surface
+            zernike_index = tuple(range(4, 4 + n_zernike))
+        self.generator2d = DiffractionBlurGenerator(
+            psf_size=psf_size[1:], zernike_index=zernike_index, fc=fc,
+            max_zernike_amplitude=max_zernike_amplitude,
+            zernike_perturbation_amplitude=zernike_perturbation_amplitude,
+            pupil_size=pupil_size, apodize=apodize,
+            index_convention=index_convention, seed=seed, **kwargs,
+        )
+        self.psf_size = tuple(psf_size)
+        self.shape = self.psf_size
+        self.fc = self.generator2d.fc
         self.kb = kb
+        self.apodize = apodize
+        self.random_rotate = random_rotate
         self.stepz_pixel = stepz_pixel
-        self.max_amp = max_zernike_amplitude
-        self.n_zernike = n_zernike
-        h, w = self.psf_size
-        g = max(h, w)
-        self._basis, self._pupil_mask = zernike_basis(
-            n_modes=n_zernike + 3, grid_size=g, radius=fc * g
+        self.nzs = psf_size[0]
+        self.zernike_index = self.generator2d.zernike_index
+        self.n_zernike = len(self.zernike_index)
+        self._defocus = (
+            jnp.linspace(-self.nzs / 2, self.nzs / 2, self.nzs)[:, None, None]
+            * self.stepz_pixel
         )
-        # lateral frequency grid (cycles/pixel) and axial wavevector
-        fx = np.fft.fftshift(np.fft.fftfreq(g))
-        FX, FY = np.meshgrid(fx, fx, indexing="ij")
-        k_lat2 = FX**2 + FY**2
-        kz = np.sqrt(np.clip(kb**2 - k_lat2, 0.0, None))
-        self._kz = jnp.asarray(kz, jnp.float32)
 
-    def sample(self, batch_size, key, **kwargs):
-        D = self.depth
-        h, w = self.psf_size
-        basis = self._basis[3 : 3 + self.n_zernike]
-        coeffs = jax.random.uniform(
-            key, (batch_size, self.n_zernike), minval=-self.max_amp, maxval=self.max_amp
+    @property
+    def zernike_polynomials(self):
+        return self.generator2d.zernike_polynomials
+
+    def sample(self, batch_size, key, coeff=None, angle=None, fc=None, kb=None,
+               max_zernike_amplitude=None, zernike_perturbation_amplitude=None,
+               **kwargs):
+        k2d, ka = jax.random.split(key)
+        gen_dict = self.generator2d.sample(
+            batch_size, k2d, coeff=coeff, fc=fc,
+            max_zernike_amplitude=max_zernike_amplitude,
+            zernike_perturbation_amplitude=zernike_perturbation_amplitude,
+            **kwargs,
         )
-        zs = (jnp.arange(D) - (D - 1) / 2.0) * self.stepz_pixel
+        pupil = gen_dict["pupil"]  # (B, C, P, P) complex
+        fc_used = gen_dict["fc"]  # (B, C)
 
-        def one(c):
-            phase = jnp.tensordot(c, basis, axes=1)
-            pupil0 = self._pupil_mask * jnp.exp(2j * jnp.pi * phase)
+        kb_val = self.kb if kb is None else kb
+        kb_used = self.generator2d._format_fc(kb_val, batch_size=fc_used.shape[0])
+        kb_used = jnp.broadcast_to(kb_used, fc_used.shape)
 
-            def plane(z):
-                pupil = pupil0 * jnp.exp(-2j * jnp.pi * self._kz * z)
-                field = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(pupil)))
-                return jnp.abs(field) ** 2
+        XXn, YYn = jnp.meshgrid(self.generator2d.lin_x, self.generator2d.lin_y,
+                                indexing="ij")
+        k_lat = jnp.sqrt(XXn**2 + YYn**2)
+        B, C = fc_used.shape
+        kb_hw = kb_used.reshape(B, C, 1, 1)
+        # complex sqrt keeps the evanescent branch (reference blur.py:1335)
+        d = jnp.sqrt((kb_hw**2 - k_lat**2).astype(jnp.complex64))
+        prop = jnp.exp(
+            -1j * 2 * jnp.pi * d[:, :, None] * self._defocus[None, None]
+        )  # (B, C, D, P, P)
+        p = jnp.nan_to_num(pupil[:, :, None] * prop, nan=0.0)
 
-            psf = jax.vmap(plane)(zs)  # (D, g, g)
-            g = psf.shape[-1]
-            top, left = (g - h) // 2, (g - w) // 2
-            psf = psf[:, top : top + h, left : left + w]
-            return psf / jnp.sum(psf)
+        psf = jnp.fft.ifftshift(
+            jnp.fft.fft2(jnp.fft.fftshift(p, axes=(-2, -1)), axes=(-2, -1)),
+            axes=(-2, -1),
+        )
+        psf = jnp.abs(psf) ** 2
+        g2 = self.generator2d
+        psf = psf[
+            ...,
+            g2.pad_pre[0] : g2.pupil_size[0] - g2.pad_post[0],
+            g2.pad_pre[1] : g2.pupil_size[1] - g2.pad_post[1],
+        ]  # (B, C, D, h, w)
 
-        psfs = jax.vmap(one)(coeffs)  # (B, D, h, w)
-        return {"filter": psfs[:, None], "coeff": coeffs}
+        if self.random_rotate:
+            from ...transform.geometric import rotate_via_shear
+
+            if angle is None:
+                angle = g2.generate_angles(B, ka)
+            D = psf.shape[2]
+            flat = psf.reshape(B, C * D, *psf.shape[-2:])
+            psf = rotate_via_shear(flat, angle).reshape(psf.shape)
+
+        if self.apodize:
+            psf = g2.apodize_mask[None, None, None] * psf
+
+        psf = psf / jnp.sum(psf, axis=(-3, -2, -1), keepdims=True)
+
+        params = {"filter": psf, "pupil": pupil, "coeff": gen_dict["coeff"],
+                  "fc": fc_used}
+        if self.random_rotate:
+            params["angle"] = angle
+        return params
+
+
+class ConfocalBlurGenerator3D(PSFGenerator):
+    r"""3D confocal laser-scanning-microscope PSFs
+    (reference generator/blur.py:1388): the product of an illumination PSF
+    and a collection PSF convolved with the pinhole aperture, each computed
+    from physical optics parameters via :class:`DiffractionBlurGenerator3D`.
+
+    :param psf_size: (depth, height, width).
+    :param zernike_index: active Zernike modes.
+    :param NI: refractive index of the immersion medium (default 1.51, oil).
+    :param NA: numerical aperture (< NI; default 1.37).
+    :param lambda_ill: illumination wavelength(s) in meters; a list of C
+        values makes C-channel PSFs.
+    :param lambda_coll: collection wavelength(s), same length as lambda_ill.
+    :param pixelsize_XY: lateral pixel size (m).
+    :param pixelsize_Z: axial pixel size (m).
+    :param pinhole_radius: pinhole radius in Airy units.
+
+    :Examples:
+
+        >>> import jax
+        >>> from deepinv_tpu.physics.generator import ConfocalBlurGenerator3D
+        >>> g = ConfocalBlurGenerator3D((5, 17, 17), zernike_index=(3,))
+        >>> g.zernike_polynomials
+        ['Zernike(n = 1, m = -1) -- Vertical Tilt']
+        >>> out = g.step(1, key=jax.random.key(0))
+        >>> sorted(out)
+        ['coeff_coll', 'coeff_ill', 'fc_coll', 'fc_ill', 'filter', 'pupil_coll', 'pupil_ill']
+        >>> out["filter"].shape
+        (1, 1, 5, 17, 17)
+    """
+
+    def __init__(self, psf_size=(9, 15, 15), zernike_index=tuple(range(4, 12)),
+                 NI: float = 1.51, NA: float = 1.37,
+                 lambda_ill=489e-9, lambda_coll=395e-9,
+                 pixelsize_XY: float = 50e-9, pixelsize_Z: float = 100e-9,
+                 pinhole_radius: float = 1,
+                 max_zernike_amplitude: float = 0.1,
+                 zernike_perturbation_amplitude: float = 0.0,
+                 pupil_size=(512, 512), index_convention: str = "noll",
+                 seed: int = 0, **kwargs):
+        if len(psf_size) != 3:
+            raise ValueError("You should provide a tuple of len == 3 to generate 3D PSFs.")
+        if isinstance(lambda_ill, (int, float)):
+            lambda_ill = [lambda_ill]
+        if isinstance(lambda_coll, (int, float)):
+            lambda_coll = [lambda_coll]
+        if len(lambda_ill) != len(lambda_coll):
+            raise ValueError(
+                f"lambda_ill and lambda_coll must have the same length, "
+                f"got {len(lambda_ill)} and {len(lambda_coll)}."
+            )
+        super().__init__(psf_size=psf_size[1:], seed=seed)
+        self.psf_size = tuple(psf_size)
+        self.shape = self.psf_size
+
+        fc_ill = [NA / lam * pixelsize_XY for lam in lambda_ill]
+        kb_ill = [NI / lam * pixelsize_XY for lam in lambda_ill]
+        fc_coll = [NA / lam * pixelsize_XY for lam in lambda_coll]
+        kb_coll = [NI / lam * pixelsize_XY for lam in lambda_coll]
+        self.fc_ill = fc_ill[0] if len(fc_ill) == 1 else fc_ill
+        self.kb_ill = kb_ill[0] if len(kb_ill) == 1 else kb_ill
+        self.fc_coll = fc_coll[0] if len(fc_coll) == 1 else fc_coll
+        self.kb_coll = kb_coll[0] if len(kb_coll) == 1 else kb_coll
+
+        self.pinhole_radius = pinhole_radius
+        self.pixelsize_XY = pixelsize_XY
+        self.pixel_size_Z = pixelsize_Z
+        self.lambda_ill = lambda_ill
+        self.lambda_coll = lambda_coll
+        self.NI = NI
+        self.NA = NA
+
+        common = dict(
+            psf_size=psf_size, zernike_index=zernike_index,
+            stepz_pixel=int(pixelsize_Z / pixelsize_XY),
+            max_zernike_amplitude=max_zernike_amplitude,
+            zernike_perturbation_amplitude=zernike_perturbation_amplitude,
+            pupil_size=pupil_size, index_convention=index_convention,
+            seed=seed, **kwargs,
+        )
+        self.generator_ill = DiffractionBlurGenerator3D(
+            fc=self.fc_ill, kb=self.kb_ill, **common
+        )
+        self.generator_coll = DiffractionBlurGenerator3D(
+            fc=self.fc_coll, kb=self.kb_coll, **common
+        )
+
+        # per-channel pinhole discs (host-side constants)
+        self._pinholes = []
+        for lam_c in self.lambda_coll:
+            airy_unit = 0.61 * lam_c / self.NA
+            ph_radius = self.pinhole_radius * airy_unit
+            n = int(3 * ph_radius / self.pixelsize_XY)
+            lin = np.linspace(-1.5 * ph_radius, 1.5 * ph_radius, n)
+            step = lin[1] - lin[0]
+            XX, YY = np.meshgrid(lin, lin, indexing="ij")
+            rho = jnp.asarray(np.sqrt(XX**2 + YY**2), jnp.float32)
+            self._pinholes.append(
+                bump_function(rho, ph_radius - step / 2, step / 2)
+            )
+
+    @property
+    def zernike_polynomials(self):
+        return self.generator_ill.zernike_polynomials
+
+    def sample(self, batch_size, key, coeff_ill=None, coeff_coll=None,
+               fc_ill=None, kb_ill=None, fc_coll=None, kb_coll=None, **kwargs):
+        from ...ops.conv import conv2d
+
+        ki, kc = jax.random.split(key)
+        dict_ill = self.generator_ill.sample(
+            batch_size, ki, coeff=coeff_ill, fc=fc_ill, kb=kb_ill
+        )
+        dict_coll = self.generator_coll.sample(
+            batch_size, kc, coeff=coeff_coll, fc=fc_coll, kb=kb_coll
+        )
+        psf_ill = dict_ill["filter"]
+        psf_coll = dict_coll["filter"]
+
+        # collection PSF seen through the pinhole: 2D convolution with the
+        # aperture disc in every z plane, per channel (reference blur.py:1637)
+        B, C, D, H, W = psf_coll.shape
+        chans = []
+        for c, pin in enumerate(self._pinholes):
+            planes = psf_coll[:, c].reshape(B * D, 1, H, W)
+            conv = conv2d(planes, pin[None, None], padding="constant")
+            chans.append(conv.reshape(B, D, H, W))
+        psf_coll_conv = jnp.stack(chans, axis=1)
+
+        psf = psf_ill * psf_coll_conv
+        psf = psf / jnp.sum(psf, axis=(-3, -2, -1), keepdims=True)
+        return {
+            "filter": psf,
+            "pupil_ill": dict_ill["pupil"],
+            "pupil_coll": dict_coll["pupil"],
+            "coeff_ill": dict_ill["coeff"],
+            "coeff_coll": dict_coll["coeff"],
+            "fc_ill": dict_ill["fc"],
+            "fc_coll": dict_coll["fc"],
+        }
 
 
 def bump_function(x, a=1.0, b=1.0):

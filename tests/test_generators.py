@@ -283,6 +283,96 @@ def test_gaussian_blur_generator_matches_reference_statistics():
 
 
 @pytest.mark.slow
+def test_diffraction_blur_3d_matches_reference():
+    """DiffractionBlurGenerator3D / ConfocalBlurGenerator3D with fixed
+    Zernike coefficients are bit-faithful to the reference angular-spectrum
+    propagation (generator/blur.py:1112,1388)."""
+    _import_reference()
+    import torch
+    from deepinv.physics.generator import (
+        DiffractionBlurGenerator3D as Ref3D,
+        ConfocalBlurGenerator3D as RefC,
+    )
+    from deepinv_tpu.physics.generator import (
+        DiffractionBlurGenerator3D as J3D,
+        ConfocalBlurGenerator3D as JC,
+    )
+
+    rng = np.random.RandomState(0)
+    coeff = rng.uniform(-0.05, 0.05, (2, 8)).astype(np.float32)
+    rf = Ref3D((5, 17, 17), stepz_pixel=2).step(coeff=torch.tensor(coeff))[
+        "filter"].numpy()
+    jf = np.asarray(J3D((5, 17, 17), stepz_pixel=2).step(
+        2, key=jax.random.key(0), coeff=jnp.asarray(coeff))["filter"])
+    np.testing.assert_allclose(rf, jf, atol=5e-7)
+
+    ci = rng.uniform(-0.05, 0.05, (1, 8)).astype(np.float32)
+    cc = rng.uniform(-0.05, 0.05, (1, 8)).astype(np.float32)
+    rfc = RefC((5, 17, 17)).step(
+        coeff_ill=torch.tensor(ci), coeff_coll=torch.tensor(cc))["filter"].numpy()
+    jfc = np.asarray(JC((5, 17, 17)).step(
+        1, key=jax.random.key(0), coeff_ill=jnp.asarray(ci),
+        coeff_coll=jnp.asarray(cc))["filter"])
+    np.testing.assert_allclose(rfc, jfc, atol=5e-7)
+
+
+@pytest.mark.slow
+def test_product_convolution_generator_matches_reference():
+    """ProductConvolutionBlurGenerator: with identical grid PSFs injected,
+    the eigen-PSF + TPS-multiplier decomposition reproduces the reference
+    space-varying operator output (generator/blur.py:982; the SVD basis has
+    per-vector sign freedom, so the operator output is the invariant)."""
+    _import_reference()
+    import torch
+    import deepinv as dinv
+    from deepinv.physics.generator import ProductConvolutionBlurGenerator as RefPC
+    from deepinv_tpu.physics.generator import ProductConvolutionBlurGenerator as JPC
+    from deepinv_tpu.physics import SpaceVaryingBlur
+    from deepinv_tpu.ops.conv import gaussian_blur as jgb
+
+    rng = np.random.RandomState(0)
+    H = W = 48
+    spacing = H // 8
+    n_grid = (H // spacing) * (W // spacing)
+    sig = rng.uniform(0.6, 1.8, (n_grid, 2)).astype(np.float32)
+    ang = rng.uniform(0, 180, (n_grid,)).astype(np.float32)
+    psfs = np.asarray(jgb(sigma=jnp.asarray(sig), angle=jnp.asarray(ang),
+                          psf_size=(7, 7)))
+
+    class TorchStub:
+        psf_size = (7, 7)
+
+        def rng_manual_seed(self, seed):
+            pass
+
+        def step(self, batch_size, **kw):
+            assert batch_size == n_grid
+            return {"filter": torch.tensor(psfs)}
+
+    class JaxStub:
+        psf_size = (7, 7)
+
+        def sample(self, batch_size, key, **kw):
+            assert batch_size == n_grid
+            return {"filter": jnp.asarray(psfs)}
+
+    rp = RefPC(TorchStub(), img_size=(H, W), n_eigen_psf=8).step(1)
+    jp = JPC(JaxStub(), img_size=(H, W), n_eigen_psf=8).step(
+        1, key=jax.random.key(0))
+    assert jp["filters"].shape == tuple(rp["filters"].shape)
+    assert jp["multipliers"].shape == tuple(rp["multipliers"].shape)
+
+    x = rng.rand(1, 1, H, W).astype(np.float32)
+    ry = dinv.physics.SpaceVaryingBlur(
+        filters=rp["filters"], multipliers=rp["multipliers"], padding="valid"
+    ).A(torch.tensor(x)).numpy()
+    jy = np.asarray(SpaceVaryingBlur(
+        filters=jp["filters"], multipliers=jp["multipliers"], padding="valid"
+    ).A(jnp.asarray(x)))
+    np.testing.assert_allclose(ry, jy, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_motion_blur_matches_reference_statistics():
     """MotionBlurGenerator reproduces the reference's Matern-GP trajectory
     distribution (reference generator/blur.py:212-355): same normalization,
