@@ -56,7 +56,7 @@ def test_blur_generators(gen, key):
     "gen_cls", [RandomMaskGenerator, GaussianMaskGenerator, EquispacedMaskGenerator, PolyOrderMaskGenerator]
 )
 def test_mri_mask_generators(gen_cls, key):
-    gen = gen_cls((32, 32), acceleration=4)
+    gen = gen_cls((2, 32, 32), acceleration=4)
     params = gen.step(batch_size=2, key=key)
     mask = params["mask"]
     assert mask.shape == (2, 2, 32, 32)
@@ -84,7 +84,7 @@ def test_splitting_generators(key):
     assert abs(float(jnp.mean(ms)) - 0.7) < 0.1
 
     mult = MultiplicativeSplittingMaskGenerator(
-        RandomMaskGenerator((32, 32), acceleration=2, n_channels=1),
+        RandomMaskGenerator((32, 32), acceleration=2),
         BernoulliSplittingMaskGenerator((1, 32, 32), split_ratio=0.5),
     )
     mm = mult.step(2, key=key)["mask"]
@@ -411,3 +411,98 @@ def test_motion_blur_matches_reference_statistics():
     ref_support = (rk > 1e-8).mean()
     jax_support = (jk > 1e-8).mean()
     assert abs(ref_support - jax_support) < 0.015, (ref_support, jax_support)
+
+
+@pytest.mark.slow
+def test_mri_mask_pdfs_match_reference():
+    """PolyOrder binary-search pdf and Gaussian tail-adjusted pdf are
+    bit-faithful to the reference (generator/mri.py:234,314), and line
+    budgets (n_center/n_lines) agree for default + explicit
+    center_fraction."""
+    _import_reference()
+    from deepinv.physics.generator import GaussianMaskGenerator as RefG
+    from deepinv.physics.generator.mri import PolyOrderMaskGenerator as RefP
+    from deepinv_tpu.physics.generator import (
+        GaussianMaskGenerator, PolyOrderMaskGenerator)
+
+    for W, acc, cf, p in [(128, 8, 0.04, 8), (64, 4, None, 4), (96, 6, 0.05, 12)]:
+        rp = RefP((2, W, W), acceleration=acc, center_fraction=cf, poly_order=p)
+        jp = PolyOrderMaskGenerator((2, W, W), acceleration=acc,
+                                    center_fraction=cf, poly_order=p)
+        np.testing.assert_allclose(rp.pdf.numpy(), np.asarray(jp.pdf), atol=1e-6)
+
+    for W, acc in [(64, 4), (128, 8), (100, 6)]:
+        rg = RefG((2, W, W), acceleration=acc)
+        jg = GaussianMaskGenerator((2, W, W), acceleration=acc)
+        assert (rg.n_center, rg.n_lines) == (jg.n_center, jg.n_lines)
+        np.testing.assert_allclose(rg.get_pdf(W).numpy(),
+                                   np.asarray(jg.get_pdf(W)), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mri_mask_sampling_matches_reference_structure():
+    """Random/Gaussian masks draw exactly n_lines outer columns without
+    replacement (reference mri.py:170-196): per-(batch, time) line counts
+    match the reference, masks vary across time, and columns are constant
+    over H."""
+    _import_reference()
+    from deepinv.physics.generator import (
+        RandomMaskGenerator as RefR, GaussianMaskGenerator as RefG)
+    from deepinv_tpu.physics.generator import (
+        RandomMaskGenerator, GaussianMaskGenerator)
+
+    for Rt, Jx in [(RefR, RandomMaskGenerator), (RefG, GaussianMaskGenerator)]:
+        rt = Rt((2, 4, 64, 64), acceleration=8, center_fraction=0.04)
+        jx = Jx((2, 4, 64, 64), acceleration=8, center_fraction=0.04)
+        mt = rt.step(batch_size=3)["mask"]
+        mj = jx.step(batch_size=3, key=jax.random.key(1))["mask"]
+        assert tuple(mt.shape) == tuple(mj.shape) == (3, 2, 4, 64, 64)
+        ct = mt[:, 0, :, 0, :].sum(-1).numpy()
+        cj = np.asarray(mj[:, 0, :, 0, :].sum(-1))
+        assert (ct == cj).all()
+        assert not np.allclose(np.asarray(mj[:, :, 0]), np.asarray(mj[:, :, 1]))
+        assert np.all(np.asarray(mj).std(axis=-2) == 0)
+
+
+@pytest.mark.slow
+def test_equispaced_mask_matches_reference_bitwise():
+    """EquispacedMaskGenerator reproduces the reference fastMRI column sets
+    bit-exactly for every possible random offset, including the k-t shear
+    (reference mri.py:358-389)."""
+    _import_reference()
+    import torch
+    from deepinv.physics.generator import EquispacedMaskGenerator as RefE
+    from deepinv_tpu.physics.generator import EquispacedMaskGenerator
+
+    for W, acc, cf in [(64, 4, None), (128, 8, 0.04)]:
+        rt = RefE((1, 4, W, W), acceleration=acc, center_fraction=cf)
+        jx = EquispacedMaskGenerator((1, 4, W, W), acceleration=acc,
+                                     center_fraction=cf)
+        adjusted = (rt.acc * (rt.n_center - W)) / (rt.n_center * rt.acc - W)
+        pad = (W - rt.n_center + 1) // 2
+        for off in range(int(round(adjusted))):
+            mask_t = torch.zeros((1, 1, 4, W, W))
+            mask_t[..., pad:pad + rt.n_center] = 1
+            for t in range(4):
+                cols = (torch.arange((t + off) % adjusted, W - 1, adjusted)
+                        .round().type(torch.int32))
+                mask_t[0, :, t, :, cols] = 1
+            orig = jax.random.randint
+            try:
+                jax.random.randint = lambda *a, **k: jnp.full((1,), off, jnp.int32)
+                lines = jx.sample_mask(jax.random.key(0), 1, 4, 1, W)
+            finally:
+                jax.random.randint = orig
+            np.testing.assert_array_equal(mask_t[0, 0, :, 0, :].numpy(),
+                                          np.asarray(lines[0]))
+
+
+def test_mask_generator_step_conventions():
+    """Reference step() conventions (mri.py:99-133): batch_size=0 drops the
+    batch dim, img_size overrides at step time, and (H, W) img_size implies
+    one channel."""
+    from deepinv_tpu.physics.generator import RandomMaskGenerator
+
+    g = RandomMaskGenerator((64, 64))
+    assert g.step(batch_size=0, key=jax.random.key(0))["mask"].shape == (1, 64, 64)
+    assert g.step(2, key=jax.random.key(0), img_size=(32, 48))["mask"].shape == (2, 1, 32, 48)
