@@ -83,12 +83,15 @@ def test_splitting_generators(key):
     ms = gs.step(2, key=key)["mask"]
     assert abs(float(jnp.mean(ms)) - 0.7) < 0.1
 
+    base = RandomMaskGenerator((1, 32, 32), acceleration=2)
+    orig = base.step(2, key=key)["mask"]
     mult = MultiplicativeSplittingMaskGenerator(
-        RandomMaskGenerator((32, 32), acceleration=2),
-        BernoulliSplittingMaskGenerator((1, 32, 32), split_ratio=0.5),
+        (1, 32, 32), RandomMaskGenerator((1, 32, 32), acceleration=2)
     )
-    mm = mult.step(2, key=key)["mask"]
+    mm = mult.step(2, key=key, input_mask=orig)["mask"]
     assert mm.shape == (2, 1, 32, 32)
+    # split is a subset of the original acceleration mask
+    assert float(jnp.max(mm - orig)) <= 0.0
 
     p2p = Phase2PhaseSplittingMaskGenerator((2, 8, 16, 16))
     mp = p2p.step(2, key=key)["mask"]
@@ -506,3 +509,69 @@ def test_mask_generator_step_conventions():
     g = RandomMaskGenerator((64, 64))
     assert g.step(batch_size=0, key=jax.random.key(0))["mask"].shape == (1, 64, 64)
     assert g.step(2, key=jax.random.key(0), img_size=(32, 48))["mask"].shape == (2, 1, 32, 48)
+
+
+@pytest.mark.slow
+def test_splitting_generators_match_reference_structure():
+    """Splitting generators reproduce the reference algorithms
+    (generator/inpainting.py:12,334): exact-count input_mask splitting,
+    SSDU Gaussian removal counts with a preserved center block, and the
+    Artifact2Artifact persist_prev protocol."""
+    _import_reference()
+    import torch
+    from deepinv.physics.generator import (
+        BernoulliSplittingMaskGenerator as RefB,
+        GaussianSplittingMaskGenerator as RefG)
+    from deepinv_tpu.physics.generator import (
+        BernoulliSplittingMaskGenerator, GaussianSplittingMaskGenerator,
+        RandomMaskGenerator, Artifact2ArtifactSplittingMaskGenerator)
+
+    # exact-count split of an input mask (pixelwise): kept entries ==
+    # int(split_ratio * nnz) and mask is a subset of the input
+    inp = RandomMaskGenerator((2, 32, 32), acceleration=2).step(
+        1, key=jax.random.key(0))["mask"][0]
+    rb = RefB((2, 32, 32), split_ratio=0.6)
+    jb = BernoulliSplittingMaskGenerator((2, 32, 32), split_ratio=0.6)
+    mt = rb.step(batch_size=1, input_mask=torch.tensor(np.asarray(inp)))["mask"][0]
+    mj = jb.step(batch_size=1, key=jax.random.key(1), input_mask=inp)["mask"][0]
+    nnz = int(np.asarray(inp)[0].sum())
+    assert int(mt[0].sum()) == int(np.asarray(mj)[0].sum()) == int(0.6 * nnz)
+    assert float(jnp.max(mj - inp)) <= 0
+    # channels identical (pixelwise)
+    assert bool(jnp.array_equal(mj[0], mj[1]))
+
+    # SSDU Gaussian: removal count and untouched center block
+    rg = RefG((1, 64, 64), split_ratio=0.7, std_scale=4.0, center_block=(8, 8))
+    jg = GaussianSplittingMaskGenerator((1, 64, 64), split_ratio=0.7,
+                                        std_scale=4.0, center_block=(8, 8))
+    np.testing.assert_allclose(rg.get_pdf((64, 64)).numpy(),
+                               np.asarray(jg.get_pdf((64, 64))), atol=1e-6)
+    ones = jnp.ones((1, 64, 64))
+    mt = rg.step(batch_size=1, input_mask=torch.ones(1, 64, 64))["mask"][0]
+    mj = jg.step(batch_size=1, key=jax.random.key(2), input_mask=ones)["mask"][0]
+    assert int(mt.sum()) == int(np.asarray(mj).sum())
+    c = 64 // 2
+    assert float(mj[:, c - 4:c + 4, c - 4:c + 4].min()) == 1.0
+
+    # Artifact2Artifact persist_prev draws a different chunk
+    ja = Artifact2ArtifactSplittingMaskGenerator((1, 8, 8, 8), split_size=2)
+    m1 = ja.batch_sample(jax.random.key(3))
+    prev = ja.prev_idx
+    for s in range(5):
+        m2 = ja.batch_sample(jax.random.key(100 + s), persist_prev=True)
+        assert ja.prev_idx != prev or False  # must differ from previous chunk
+        ja.prev_idx = prev  # reset for next draw
+
+
+def test_bernoulli_random_split_ratio(key):
+    """random_split_ratio resamples the ratio per draw in
+    [min, max] (reference inpainting.py:57,196)."""
+    from deepinv_tpu.physics.generator import BernoulliSplittingMaskGenerator
+
+    g = BernoulliSplittingMaskGenerator(
+        (1, 64, 64), split_ratio=0.6, random_split_ratio=True,
+        min_split_ratio=0.1, max_split_ratio=0.9)
+    means = [float(g.step(1, key=jax.random.key(i))["mask"].mean())
+             for i in range(6)]
+    assert np.std(means) > 0.05, means
+    assert all(0.02 < m < 0.98 for m in means)
