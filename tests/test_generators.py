@@ -575,3 +575,29 @@ def test_bernoulli_random_split_ratio(key):
              for i in range(6)]
     assert np.std(means) > 0.05, means
     assert all(0.02 < m < 0.98 for m in means)
+
+
+@pytest.mark.slow
+def test_downsampling_generator_matches_reference():
+    """DownsamplingGenerator kernels are bit-faithful to the reference
+    (generator/downsampling.py:59) for every (filter, factor), incl. the
+    crop path when the kernel exceeds psf_size; batch draws share one
+    factor."""
+    _import_reference()
+    import torch
+    from deepinv.physics.generator import DownsamplingGenerator as RefD
+    from deepinv_tpu.physics.generator import DownsamplingGenerator
+
+    rd = RefD(filters=["bilinear", "bicubic", "gaussian"], factors=[2, 4],
+              psf_size=(17, 17))
+    jd = DownsamplingGenerator(filters=["bilinear", "bicubic", "gaussian"],
+                               factors=[2, 4], psf_size=(17, 17))
+    for name in ["bilinear", "bicubic", "gaussian"]:
+        for f in [2, 4]:
+            rk = rd.str2filter(name, torch.tensor(f)).detach().numpy()
+            jk = np.asarray(jd.str2filter(name, f))
+            assert rk.shape == jk.shape
+            np.testing.assert_allclose(rk, jk, atol=3e-7)
+    p = jd.step(batch_size=3, key=jax.random.key(0))
+    assert p["filter"].shape == (3, 1, 17, 17)
+    assert len(set(np.asarray(p["factor"]).tolist())) == 1
