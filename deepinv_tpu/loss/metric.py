@@ -38,53 +38,142 @@ def _flatten_batch(v):
 class Metric(Module):
     """Base metric (reference metric.py:12).
 
+    :param metric: optional callable implementing the unreduced metric.
     :param complex_abs: take the complex magnitude first (2-channel or
         complex dtype inputs).
-    :param train_loss: return ``1 - m`` (for [0,1] metrics) or ``-m`` so
-        higher-better metrics can train networks.
-    :param reduction: None | 'mean' | 'sum' over the batch.
-    :param norm_inputs: None | 'l2' | 'min_max' input normalization.
+    :param train_loss: invert higher-better metrics (``invert_metric``,
+        default ``-m``) so they can train networks.
+    :param reduction: None | 'mean' | 'sum' | 'none' | callable over the
+        batch dimension.
+    :param norm_inputs: None | 'l2' | 'min_max' | 'clip' | 'standardize'
+        input normalization (metric.py:31).
+    :param center_crop: center crop before computing the metric
+        (metric.py:32): int or tuple crops to that size over the trailing
+        spatial dims; negative (or zero) values remove ``|c|`` border pixels.
     """
 
     lower_better = True
 
-    def __init__(self, complex_abs=False, train_loss=False, reduction=None, norm_inputs=None):
+    def __init__(self, metric=None, complex_abs=False, train_loss=False,
+                 reduction=None, norm_inputs=None, center_crop=None):
+        self._metric = metric
         self.complex_abs = complex_abs
         self.train_loss = train_loss
         self.reduction = reduction
         self.norm_inputs = norm_inputs
+        self.center_crop = center_crop
+        if isinstance(center_crop, tuple) and not (
+            all(c > 0 for c in center_crop) or all(c <= 0 for c in center_crop)
+        ):
+            raise ValueError(
+                "If center_crop is a tuple, all values must be either "
+                "positive or negative."
+            )
 
     def metric(self, x_net, x, *args, **kwargs):
+        if self._metric is not None:
+            return self._metric(x_net, x, *args, **kwargs)
         raise NotImplementedError
 
-    def _preprocess(self, v):
+    def invert_metric(self, m):
+        """Inversion used when a higher=better metric trains a network
+        (metric.py:187)."""
+        return -m
+
+    def _center_crop(self, v):
+        if self.center_crop is None or v is None:
+            return v
+        crops = (
+            (self.center_crop,) * (v.ndim - 2)
+            if isinstance(self.center_crop, int) else tuple(self.center_crop)
+        )
+        if v.ndim < 2 + len(crops):
+            raise ValueError(
+                f"Tensor has {v.ndim} dimensions but center_crop requires at "
+                f"least {2 + len(crops)} dimensions"
+            )
+        idx = [slice(None)] * v.ndim
+        for i, c in enumerate(crops):
+            ax = v.ndim - len(crops) + i
+            n = v.shape[ax]
+            if c > 0:
+                if c > n:
+                    raise ValueError(f"Crop size {c} larger than dim size {n}")
+                start = (n - c) // 2
+                idx[ax] = slice(start, start + c)
+            else:
+                b = abs(c)
+                if 2 * b >= n:
+                    raise ValueError(
+                        f"Border removal of {b} px would remove dim of size {n}"
+                    )
+                idx[ax] = slice(b, n - b)
+        return v[tuple(idx)]
+
+    def _normalize(self, v):
         if v is None:
             return None
-        if self.complex_abs:
-            if jnp.iscomplexobj(v):
-                v = jnp.abs(v)
-            elif v.shape[1] == 2:
-                v = jnp.sqrt(jnp.sum(v**2, axis=1, keepdims=True))
-        if self.norm_inputs == "l2":
+        if self.norm_inputs is None:
+            return v
+        mode = self.norm_inputs.lower()
+        if mode == "l2":
             n = jnp.sqrt(jnp.sum(_flatten_batch(jnp.abs(v) ** 2), axis=1))
-            v = v / jnp.clip(n, 1e-12, None).reshape((-1,) + (1,) * (v.ndim - 1))
-        elif self.norm_inputs == "min_max":
-            vmin = jnp.min(_flatten_batch(v), axis=1).reshape((-1,) + (1,) * (v.ndim - 1))
-            vmax = jnp.max(_flatten_batch(v), axis=1).reshape((-1,) + (1,) * (v.ndim - 1))
-            v = (v - vmin) / jnp.clip(vmax - vmin, 1e-12, None)
+            return v / jnp.clip(n, 1e-12, None).reshape(
+                (-1,) + (1,) * (v.ndim - 1))
+        if mode == "min_max":
+            vmin = jnp.min(_flatten_batch(v), axis=1).reshape(
+                (-1,) + (1,) * (v.ndim - 1))
+            vmax = jnp.max(_flatten_batch(v), axis=1).reshape(
+                (-1,) + (1,) * (v.ndim - 1))
+            return (v - vmin) / jnp.clip(vmax - vmin, 1e-12, None)
+        if mode == "clip":
+            return jnp.clip(v, 0.0, 1.0)
+        if mode in ("none", "standardize"):
+            return v
+        raise ValueError("norm_inputs must be l2, min_max, clip, "
+                         "standardize, none or None.")
+
+    def _complex_abs(self, v):
+        if v is None or not self.complex_abs:
+            return v
+        if jnp.iscomplexobj(v):
+            return jnp.abs(v)
+        if v.shape[1] == 2:
+            return jnp.sqrt(jnp.sum(v**2, axis=1, keepdims=True))
         return v
 
     def __call__(self, x_net=None, x=None, *args, **kwargs):
-        m = self.metric(self._preprocess(x_net), self._preprocess(x), *args, **kwargs)
-        if self.train_loss:
-            m = 1.0 - m if not self.lower_better else m
-        if self.reduction == "mean":
+        if isinstance(x_net, (list, tuple)):
+            x_net = x_net[0] if x_net is not None else None
+            x = x[0] if x is not None else None
+        x_net = self._center_crop(self._complex_abs(x_net))
+        x = self._center_crop(self._complex_abs(x))
+        if self.norm_inputs == "standardize":
+            if x_net is None or x is None:
+                raise ValueError(
+                    "Both x and x_net must not be None to use standardize."
+                )
+            x_net = (x_net - x_net.mean()) / x_net.std() * x.std() + x.mean()
+        x_net = self._normalize(x_net)
+        x = self._normalize(x)
+        if x_net is None:
+            return jnp.asarray([jnp.nan])
+        m = self.metric(x_net, x, *args, **kwargs)
+        if callable(self.reduction):
+            m = self.reduction(m)
+        elif self.reduction == "mean":
             m = jnp.mean(m)
         elif self.reduction == "sum":
             m = jnp.sum(m)
+        if self.train_loss and not self.lower_better:
+            return self.invert_metric(m)
         return m
 
     forward = __call__
+
+    def __add__(self, other):
+        return Metric(metric=lambda x_net, x, *a, **k:
+                      self(x_net, x, *a, **k) + other(x_net, x, *a, **k))
 
 
 class MSE(Metric):
@@ -139,16 +228,6 @@ class PSNR(Metric):
         mse = jnp.mean(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1)
         return 10 * jnp.log10(maxp**2 / jnp.clip(mse, 1e-12, None))
 
-    def __call__(self, x_net=None, x=None, *args, **kwargs):
-        m = self.metric(self._preprocess(x_net), self._preprocess(x))
-        if self.train_loss:
-            m = -m
-        if self.reduction == "mean":
-            m = jnp.mean(m)
-        elif self.reduction == "sum":
-            m = jnp.sum(m)
-        return m
-
 
 class SNR(Metric):
     """Signal-to-noise ratio in dB (distortion.py:305)."""
@@ -170,21 +249,41 @@ def _gaussian_window(size=11, sigma=1.5):
 
 
 class SSIM(Metric):
-    """Structural similarity (distortion.py:143), 11x11 Gaussian window."""
+    """Structural similarity (distortion.py:143), 11x11 Gaussian window;
+    ``multiscale=True`` computes MS-SSIM with the standard 5-scale weights.
+
+    :param multiscale: compute MS-SSIM (reference distortion.py:180).
+    :param max_pixel: maximum pixel value; ``None`` uses the per-image max.
+    :param min_pixel: minimum pixel value; ``None`` uses the per-image min.
+    """
 
     lower_better = False
+    _MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
-    def __init__(self, max_pixel: float = 1.0, **kwargs):
+    def __init__(self, multiscale: bool = False, max_pixel: float = 1.0,
+                 min_pixel: float = 0.0, **kwargs):
+        kwargs.pop("torchmetric_kwargs", None)
         super().__init__(**kwargs)
+        self.multiscale = multiscale
         self.max_pixel = max_pixel
+        self.min_pixel = min_pixel
         self.window = _gaussian_window()
 
-    def metric(self, x_net, x, *args, **kwargs):
+    def invert_metric(self, m):
+        return 1.0 - m
+
+    def _data_range(self, x):
+        mx = (self.max_pixel if self.max_pixel is not None
+              else jnp.max(_flatten_batch(x), axis=1).reshape(-1, 1, 1, 1))
+        mn = (self.min_pixel if self.min_pixel is not None
+              else jnp.min(_flatten_batch(x), axis=1).reshape(-1, 1, 1, 1))
+        return mx - mn
+
+    def _ssim_cs(self, x_net, x, L):
         from jax import lax
 
-        L = self.max_pixel
         C1, C2 = (0.01 * L) ** 2, (0.03 * L) ** 2
-        B, C = x.shape[:2]
+        C = x.shape[1]
         w = jnp.broadcast_to(self.window, (C, 1, 11, 11))
 
         def filt(v):
@@ -199,10 +298,32 @@ class SSIM(Metric):
         s1 = filt(x_net**2) - mu1s
         s2 = filt(x**2) - mu2s
         s12 = filt(x_net * x) - mu12
-        ssim_map = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
-            (mu1s + mu2s + C1) * (s1 + s2 + C2)
-        )
-        return jnp.mean(_flatten_batch(ssim_map), axis=1)
+        cs_map = (2 * s12 + C2) / (s1 + s2 + C2)
+        ssim_map = ((2 * mu12 + C1) / (mu1s + mu2s + C1)) * cs_map
+        return (jnp.mean(_flatten_batch(ssim_map), axis=1),
+                jnp.mean(_flatten_batch(cs_map), axis=1))
+
+    def metric(self, x_net, x, *args, **kwargs):
+        from jax import lax
+
+        L = self._data_range(x)
+        if not self.multiscale:
+            return self._ssim_cs(x_net, x, jnp.squeeze(jnp.asarray(L)))[0]
+
+        pool = lambda v: lax.reduce_window(
+            v, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / 4
+        vals = []
+        a, b = x_net, x
+        n = len(self._MS_WEIGHTS)
+        for i in range(n):
+            ssim_i, cs_i = self._ssim_cs(a, b, jnp.squeeze(jnp.asarray(L)))
+            vals.append(ssim_i if i == n - 1 else cs_i)
+            if i < n - 1:
+                a, b = pool(a), pool(b)
+        out = jnp.ones_like(vals[0])
+        for v, wgt in zip(vals, self._MS_WEIGHTS):
+            out = out * jnp.clip(v, 0.0, None) ** wgt
+        return out
 
 
 class LpNorm(Metric):
@@ -226,8 +347,9 @@ class L1L2(Metric):
         self.alpha = alpha
 
     def metric(self, x_net, x, *args, **kwargs):
-        l1 = jnp.sum(_flatten_batch(jnp.abs(x_net - x)), axis=1)
-        l2 = jnp.sqrt(jnp.sum(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1))
+        # reference composes MAE + MSE (means, not sums/norms)
+        l1 = jnp.mean(_flatten_batch(jnp.abs(x_net - x)), axis=1)
+        l2 = jnp.mean(_flatten_batch(jnp.abs(x_net - x) ** 2), axis=1)
         return self.alpha * l1 + (1 - self.alpha) * l2
 
 
@@ -242,16 +364,20 @@ class SpectralAngleMapper(Metric):
 
 
 class ERGAS(Metric):
-    """Global relative error for pansharpening (distortion.py:597)."""
+    """Global relative error for pansharpening (distortion.py:597).
 
-    def __init__(self, factor: int = 4, **kwargs):
+    Matches the torchmetrics convention the reference wraps:
+    ``100 * factor * sqrt(mean_b(rmse_b^2 / mean_b^2))``.
+    """
+
+    def __init__(self, factor: int, **kwargs):
         super().__init__(**kwargs)
         self.factor = factor
 
     def metric(self, x_net, x, *args, **kwargs):
         rmse2 = jnp.mean(jnp.abs(x_net - x) ** 2, axis=(-2, -1))
         mean2 = jnp.clip(jnp.mean(x, axis=(-2, -1)) ** 2, 1e-12, None)
-        return 100.0 / self.factor * jnp.sqrt(jnp.mean(rmse2 / mean2, axis=-1)).reshape(-1)
+        return 100.0 * self.factor * jnp.sqrt(jnp.mean(rmse2 / mean2, axis=-1)).reshape(-1)
 
 
 class QNR(Metric):
@@ -270,6 +396,9 @@ class QNR(Metric):
         super().__init__(**kwargs)
         self.alpha = alpha
         self.beta = beta
+
+    def invert_metric(self, m):
+        return 1.0 - m
 
     @staticmethod
     def _uqi(a, b):

@@ -349,7 +349,8 @@ def test_perceptual_metrics(key):
 
     # fidelity metrics: identical images score best
     assert float(jnp.min(CosineSimilarity()(x, x))) > 0.999
-    assert float(jnp.min(RecoveryCoefficient()(x, x))) > 0.999
+    rc = RecoveryCoefficient()(x, x, mask=jnp.ones_like(x))
+    assert float(jnp.max(jnp.abs(rc - 1.0))) < 1e-3
     assert float(jnp.max(GMSD()(x, x))) < 1e-4
     h_same = HaarPSI()(x, x)
     h_noisy = HaarPSI()(noisy, x)

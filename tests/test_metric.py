@@ -138,8 +138,9 @@ def test_perceptual_monotonic():
         np.stack([np.sin(6 * np.pi * xx), np.cos(4 * np.pi * yy), xx * yy]),
         jnp.float32,
     )[None]
-    mild = x + jnp.asarray(rng.normal(0, 0.05, x.shape), jnp.float32)
-    heavy = x + jnp.asarray(rng.normal(0, 0.4, x.shape), jnp.float32)
+    x = (x + 1.0) / 2.0  # HaarPSI requires [0, 1] inputs
+    mild = jnp.clip(x + jnp.asarray(rng.normal(0, 0.05, x.shape), jnp.float32), 0, 1)
+    heavy = jnp.clip(x + jnp.asarray(rng.normal(0, 0.4, x.shape), jnp.float32), 0, 1)
     for metric in (GMSD(),):  # lower better
         assert float(metric(mild, x)[0]) < float(metric(heavy, x)[0])
     for metric in (HaarPSI(), CosineSimilarity()):  # higher better
@@ -165,3 +166,84 @@ def test_metrics_jit(pair):
     p, s = f(x_net, x)
     assert np.allclose(p, PSNR()(x_net, x), atol=1e-5)
     assert np.allclose(s, SSIM()(x_net, x), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_metrics_match_reference():
+    """Full-reference and no-reference metrics match the torch reference
+    numerically on random images (loss/metric/{distortion,perceptual}.py):
+    L1L2, GMSD, HaarPSI (color/gray, both parameterizations),
+    CosineSimilarity, RecoveryCoefficient, BlurStrength, SharpnessIndex."""
+    import sys
+    from test_generators import _import_reference
+    _import_reference()
+    import torch
+    import deepinv.loss.metric as RM
+    import deepinv_tpu.loss.metric as JM
+    import deepinv_tpu.loss.perceptual as JP
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 3, 33, 31).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.randn(2, 3, 33, 31).astype(np.float32), 0, 1)
+    tx, ty = torch.tensor(x), torch.tensor(y)
+    jx, jy = jnp.asarray(x), jnp.asarray(y)
+
+    def cmp(r, j, tol):
+        np.testing.assert_allclose(np.asarray(r.detach()), np.asarray(j),
+                                   atol=tol)
+
+    cmp(RM.L1L2()(ty, tx), JM.L1L2()(jy, jx), 1e-6)
+    cmp(RM.GMSD()(ty, tx), JP.GMSD()(jy, jx), 1e-5)
+    cmp(RM.HaarPSI()(ty, tx), JP.HaarPSI()(jy, jx), 1e-4)
+    cmp(RM.HaarPSI(C=30, alpha=4.2, preprocess_with_subsampling=False)(ty, tx),
+        JP.HaarPSI(C=30, alpha=4.2, preprocess_with_subsampling=False)(jy, jx),
+        1e-4)
+    cmp(RM.HaarPSI()(ty[:, :1], tx[:, :1]),
+        JP.HaarPSI()(jy[:, :1], jx[:, :1]), 1e-4)
+    cmp(RM.CosineSimilarity()(ty, tx), JP.CosineSimilarity()(jy, jx), 1e-6)
+    mask = (rng.rand(2, 3, 33, 31) > 0.5).astype(np.float32)
+    cmp(RM.RecoveryCoefficient()(ty, tx, mask=torch.tensor(mask)),
+        JP.RecoveryCoefficient()(jy, jx, mask=jnp.asarray(mask)), 1e-5)
+    cmp(RM.BlurStrength()(ty), JP.BlurStrength()(jy), 1e-5)
+    cmp(RM.SharpnessIndex()(ty), JP.SharpnessIndex()(jy), 3e-2)
+
+
+@pytest.mark.slow
+def test_ergas_ssim_match_torchmetrics_formula():
+    """ERGAS and SSIM reproduce the torchmetrics formulas the reference
+    wraps (100*ratio ERGAS scaling; gaussian-11/1.5 valid-region SSIM)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.randn(2, 3, 64, 64).astype(np.float32), 0, 1)
+    tx, ty = torch.tensor(x), torch.tensor(y)
+    jx, jy = jnp.asarray(x), jnp.asarray(y)
+
+    b, c, h, w = ty.shape
+    diff = (ty - tx).reshape(b, c, -1)
+    rmse = torch.sqrt((diff * diff).sum(2) / (h * w))
+    mean_t = tx.reshape(b, c, -1).mean(2)
+    ref_ergas = 100 * 4 * torch.sqrt((((rmse / mean_t) ** 2).sum(1)) / c)
+    np.testing.assert_allclose(np.asarray(ERGAS(factor=4)(jy, jx)),
+                               ref_ergas.numpy(), atol=1e-3)
+
+    k, sigma, pad = 11, 1.5, 5
+    coords = torch.arange(k, dtype=torch.float32) - (k - 1) / 2
+    g = torch.exp(-(coords**2) / (2 * sigma**2))
+    g = g / g.sum()
+    kernel = (g[:, None] @ g[None, :]).expand(c, 1, k, k)
+    pp = F.pad(ty, (pad,) * 4, mode="reflect")
+    tt = F.pad(tx, (pad,) * 4, mode="reflect")
+    conv = lambda v: F.conv2d(v, kernel, groups=c)
+    mu1, mu2 = conv(pp), conv(tt)
+    s1 = conv(pp * pp) - mu1**2
+    s2 = conv(tt * tt) - mu2**2
+    s12 = conv(pp * tt) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+    ref_ssim = m[..., pad:-pad, pad:-pad].reshape(b, -1).mean(-1)
+    np.testing.assert_allclose(np.asarray(SSIM()(jy, jx)), ref_ssim.numpy(),
+                               atol=1e-5)
