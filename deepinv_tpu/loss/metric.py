@@ -310,6 +310,14 @@ class SSIM(Metric):
         if not self.multiscale:
             return self._ssim_cs(x_net, x, jnp.squeeze(jnp.asarray(L)))[0]
 
+        min_size = 11 * 2 ** (len(self._MS_WEIGHTS) - 1)
+        if x.shape[-2] < min_size or x.shape[-1] < min_size:
+            raise ValueError(
+                f"MS-SSIM needs images of at least {min_size}x{min_size} "
+                f"pixels for {len(self._MS_WEIGHTS)} scales, got "
+                f"{x.shape[-2]}x{x.shape[-1]}"
+            )
+
         pool = lambda v: lax.reduce_window(
             v, 0.0, lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / 4
         vals = []
