@@ -64,41 +64,46 @@ class DiscriminatorLoss(Loss):
     def adversarial_loss(self, real, fake, D):
         pred_real = D(real)
         pred_fake = D(jax.lax.stop_gradient(fake))
-        return (
-            self.weight_adv
-            * 0.5
-            * (self.metric_gan(pred_real, real=True) + self.metric_gan(pred_fake, real=False))
+        return self.weight_adv * (
+            self.metric_gan(pred_real, real=True) + self.metric_gan(pred_fake, real=False)
         )
 
 
 class SupAdversarialGeneratorLoss(GeneratorLoss):
-    """Supervised: fool D on (x, x_net) pairs (consistency.py:7)."""
+    """Supervised: fool D on (x, x_net) pairs (consistency.py:7).
+    Default ``weight_adv=0.01`` from the original paper (consistency.py:38)."""
+
+    def __init__(self, weight_adv: float = 0.01):
+        super().__init__(weight_adv=weight_adv)
 
     def __call__(self, x=None, x_net=None, D=None, **kwargs):
         return self.adversarial_loss(x, x_net, D)
 
 
 class SupAdversarialDiscriminatorLoss(DiscriminatorLoss):
-    """Supervised discriminator loss (consistency.py:52)."""
+    """Supervised discriminator loss; the reference halves this variant
+    (consistency.py:81)."""
 
     def __call__(self, x=None, x_net=None, D=None, **kwargs):
-        return self.adversarial_loss(x, x_net, D)
+        return self.adversarial_loss(x, x_net, D) * 0.5
 
 
 class UnsupAdversarialGeneratorLoss(GeneratorLoss):
     """Unsupervised: discriminate measurements y vs re-measured y_hat
     (consistency.py:84)."""
 
-    def __call__(self, y=None, x_net=None, physics=None, D=None, **kwargs):
-        y_hat = physics.A(x_net)
+    def __call__(self, y=None, x_net=None, physics=None, D=None, y_hat=None, **kwargs):
+        if y_hat is None:
+            y_hat = physics.A(x_net)
         return self.adversarial_loss(y, y_hat, D)
 
 
 class UnsupAdversarialDiscriminatorLoss(DiscriminatorLoss):
     """Unsupervised discriminator loss (consistency.py:132)."""
 
-    def __call__(self, y=None, x_net=None, physics=None, D=None, **kwargs):
-        y_hat = physics.A(x_net)
+    def __call__(self, y=None, x_net=None, physics=None, D=None, y_hat=None, **kwargs):
+        if y_hat is None:
+            y_hat = physics.A(x_net)
         return self.adversarial_loss(y, y_hat, D)
 
 

@@ -283,7 +283,10 @@ class ScoreLoss(Loss):
 
 
 class TVLoss(Loss):
-    """Total-variation regularization loss (reference tv.py:47)."""
+    r"""Total-variation regularization loss :math:`\|D x\|_2^2` with the
+    reference's normalization (reference tv.py:21-43): per-axis sum of
+    squared first differences divided by the element count of the
+    difference tensor, times ``2 * weight``; returns a ``(B,)`` vector."""
 
     def __init__(self, weight: float = 1.0):
         self.weight = weight
@@ -291,8 +294,11 @@ class TVLoss(Loss):
     def __call__(self, x_net=None, **kwargs):
         dh = jnp.diff(x_net, axis=-2)
         dw = jnp.diff(x_net, axis=-1)
-        tv = _bmean(jnp.abs(dh)) + _bmean(jnp.abs(dw))
-        return self.weight * tv
+        count_h = dh[0].size
+        count_w = dw[0].size
+        h_tv = jnp.sum(dh.reshape(dh.shape[0], -1) ** 2, axis=1)
+        w_tv = jnp.sum(dw.reshape(dw.shape[0], -1) ** 2, axis=1)
+        return self.weight * 2 * (h_tv / count_h + w_tv / count_w)
 
 
 class JacobianSpectralNorm(Loss):
@@ -300,25 +306,56 @@ class JacobianSpectralNorm(Loss):
     (reference regularisers.py). In JAX each iteration is one jvp+vjp pair.
     """
 
-    def __init__(self, max_iter: int = 10, tol: float = 1e-3, eval_mode: bool = False):
+    def __init__(
+        self,
+        max_iter: int = 10,
+        tol: float = 1e-3,
+        eval_mode: bool = False,
+        verbose: bool = False,
+        reduction: Optional[str] = "max",
+        reduced_batchsize: Optional[int] = None,
+    ):
         self.max_iter = max_iter
         self.tol = tol
+        if reduction is None or (isinstance(reduction, str) and reduction.lower() == "none"):
+            self.reduction = lambda v: v
+        elif reduction.lower() == "mean":
+            self.reduction = jnp.mean
+        elif reduction.lower() == "sum":
+            self.reduction = jnp.sum
+        elif reduction.lower() == "max":
+            self.reduction = jnp.max
+        else:
+            raise ValueError('Reduction should be "mean", "sum", "max", "none" or None.')
+        self.reduced_batchsize = reduced_batchsize
 
     def compute_norm(self, f, x, key=None):
+        """Per-batch-element power iteration on :math:`J^\\top J` with the
+        reference's Rayleigh-quotient estimate (regularisers.py:119-162)."""
+        if self.reduced_batchsize is not None:
+            x = x[: self.reduced_batchsize]
         key = ensure_key(key, 11)
         u = jax.random.normal(key, x.shape, x.dtype)
-        u = u / jnp.sqrt(jnp.sum(u**2))
+        bflat = lambda v: v.reshape(v.shape[0], -1)
+        bnorm = lambda v: jnp.sqrt(jnp.sum(bflat(v) ** 2, axis=1))
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        u = u / bnorm(u).reshape(bshape)
 
         def body(_, u):
             _, jvp_u = jax.jvp(f, (x,), (u,))
             _, vjp_fn = jax.vjp(f, x)
-            (jtj_u,) = vjp_fn(jvp_u)
-            n = jnp.sqrt(jnp.sum(jtj_u**2))
-            return jtj_u / jnp.clip(n, 1e-12, None)
+            (v,) = vjp_fn(jvp_u)
+            z = jnp.sum(bflat(u) * bflat(v), axis=1) / jnp.clip(bnorm(u) ** 2, 1e-12, None)
+            u = v / jnp.clip(bnorm(v), 1e-12, None).reshape(bshape)
+            return u, z
 
-        u = jax.lax.fori_loop(0, self.max_iter, body, u)
-        _, jvp_u = jax.jvp(f, (x,), (u,))
-        return jnp.sqrt(jnp.sum(jvp_u**2))
+        def scan_body(u, _):
+            u, z = body(None, u)
+            return u, z
+
+        u, zs = jax.lax.scan(scan_body, u, None, length=self.max_iter)
+        z = zs[-1]
+        return self.reduction(jnp.sqrt(jnp.clip(z, 0.0, None)))
 
     def __call__(self, y=None, x_net=None, model=None, physics=None, key=None, **kwargs):
         f = lambda u: model(u, physics) if physics is not None else model(u)
@@ -329,9 +366,28 @@ class FNEJacobianSpectralNorm(JacobianSpectralNorm):
     r"""Firm-nonexpansiveness regularizer: spectral norm of ``2J - I``
     (reference regularisers.py:FNE)."""
 
-    def __call__(self, y=None, x_net=None, model=None, physics=None, key=None, **kwargs):
+    def __call__(
+        self,
+        y=None,
+        x_net=None,
+        model=None,
+        physics=None,
+        key=None,
+        interpolation: bool = False,
+        **kwargs,
+    ):
+        key = ensure_key(key, 11)
+        if interpolation:
+            # reference regularisers.py:270-274: evaluate at a random convex
+            # combination eta*y + (1-eta)*x_net, eta ~ U[0,1) per batch element
+            key, ksub = jax.random.split(key)
+            eta = jax.random.uniform(ksub, (y.shape[0],) + (1,) * (y.ndim - 1), y.dtype)
+            point = eta * y + (1 - eta) * x_net
+        else:
+            point = y
+
         def g(u):
             out = model(u, physics) if physics is not None else model(u)
             return 2 * out - u
 
-        return self.compute_norm(g, y, key=key)
+        return self.compute_norm(g, point, key=key)

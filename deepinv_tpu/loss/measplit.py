@@ -94,7 +94,7 @@ class SplittingModel(Module):
 
     def __init__(self, model, split_ratio=0.9, mask_generator=None,
                  eval_n_samples=5, eval_split_input=True,
-                 eval_split_output=False, pixelwise=True):
+                 eval_split_output=False, pixelwise=True, noise_model=None):
         self.model = model
         self.split_ratio = split_ratio
         self.mask_generator = mask_generator
@@ -102,6 +102,9 @@ class SplittingModel(Module):
         self.eval_split_input = eval_split_input
         self.eval_split_output = eval_split_output
         self.pixelwise = pixelwise
+        # Robust-SSDU: further-noise the split input during training
+        # (reference mri/measplit.py:299 RobustSplittingModel.split)
+        self.noise_model = noise_model
 
     def _mask(self, y, physics, key):
         return sample_split_mask(
@@ -124,6 +127,9 @@ class SplittingModel(Module):
             if mask0 is None:
                 mask0 = mask
             y1, p1 = split(mask, y, physics)
+            if self.noise_model is not None and train:
+                knoise = jax.random.fold_in(jax.random.fold_in(key, i), 7)
+                y1 = mask * self.noise_model(y1, key=knoise)
             o = self.model(y1, p1)
             if split_output:
                 base = _base_mask(physics)

@@ -23,36 +23,75 @@ __all__ = [
 
 
 class WeightedSplittingLoss(Loss):
-    r"""K-weighted splitting loss (Millard & Chiew; reference mri/measplit.py:19).
+    r"""K-weighted Noisier2Noise-SSDU loss (Millard & Chiew; reference
+    mri/measplit.py:19).
 
-    The split residual is weighted in k-space by ``w = (1 - P_2)^{-1/2}``
-    where ``P_2`` is the probability a line lands in the loss subset —
-    removes the bias of plain splitting for non-uniform sampling densities.
+    The split residual is weighted in k-space by ``w = (1 - K)^{-1/2}`` with
+    ``K = (1 - P~ P)^{-1} (1 - P)`` where ``P`` / ``P~`` are the 1-D sampling
+    pdfs of the acceleration-mask and splitting-mask generators (estimated
+    Monte-Carlo via ``PhysicsGenerator.average``, reference
+    measplit.py:144-191) — removes the bias of plain splitting for
+    non-uniform sampling densities.
     """
 
-    def __init__(self, mask_generator, physics_generator=None, metric=None, eps: float = 1e-3):
+    def __init__(self, mask_generator, physics_generator=None, metric=None,
+                 eps: float = 1e-9):
         self.mask_generator = mask_generator
         self.physics_generator = physics_generator
         self.metric = metric if metric is not None else MSE()
         self.eps = eps
+        if physics_generator is not None:
+            self.weight = self.compute_weight(mask_generator, physics_generator,
+                                              eps=eps)
+        else:
+            self.weight = jnp.asarray(1.0)
+
+    @staticmethod
+    def compute_weight(mask_generator, physics_generator, eps: float = 1e-9,
+                       img_size=None, n: int = 2000, key=None):
+        """Reference measplit.py:144: 1-D pdfs -> K -> ``(1-K)^{-1/2}``,
+        returned with shape ``(1, W)``."""
+        kwargs = {} if img_size is None else {"img_size": img_size}
+        P = physics_generator.average(n=n, key=ensure_key(key, 101), **kwargs)["mask"]
+        P_tilde = mask_generator.average(n=n, key=ensure_key(key, 102), **kwargs)["mask"]
+        P, P_tilde = jnp.asarray(P), jnp.asarray(P_tilde)
+        # the pdfs are reduced to 1-D along W, so only (H, W) must agree
+        if P.shape[-2:] != P_tilde.shape[-2:]:
+            raise ValueError(
+                "physics_generator and mask_generator should produce same size masks."
+            )
+        while P.ndim > 1:
+            P, P_tilde = P[0], P_tilde[0]
+        P_tilde = jnp.minimum(P_tilde, 1 - eps)
+        k_weight = (1 - P) / jnp.clip(1 - P_tilde * P, eps, None)
+        k_weight = k_weight[None]  # (1, W)
+        return jnp.clip(1 - k_weight, eps, None) ** (-0.5)
+
+    def _forward(self, y, physics, model, key):
+        """One split + model pass; returns (x1, mask1)."""
+        from .measplit import SplittingModel, sample_split_mask, split as split_fn
+
+        if isinstance(model, SplittingModel):
+            # same key -> the model's input mask equals the loss mask
+            x1, mask1 = model(y, physics, key=key, train=True, return_mask=True)
+        else:
+            mask1 = sample_split_mask(y, physics, key, 0.6, True,
+                                      self.mask_generator)
+            y1, p1 = split_fn(mask1, y, physics)
+            x1 = model(y1, p1)
+        return x1, mask1
+
+    def _recon_loss(self, x1, mask1, y, physics):
+        base_mask = getattr(physics, "mask", None)
+        base = base_mask if base_mask is not None else 1.0
+        mask2 = base - mask1 * base
+        resid = self.weight * mask2 * (physics.A(x1) - y)
+        return jnp.mean(jnp.abs(resid).reshape(y.shape[0], -1) ** 2, axis=1)
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 14)
-        k1, k2 = jax.random.split(key)
-        base_mask = getattr(physics, "mask", None)
-        split = self.mask_generator.step(y.shape[0], key=k1)["mask"]
-        split = jnp.broadcast_to(split, y.shape)
-        m1 = split * (base_mask if base_mask is not None else 1.0)
-        y1 = m1 * y
-        p1 = physics.update(mask=m1)
-        x1 = model(y1, p1)
-        # complementary subset
-        m2 = (1 - split) * (base_mask if base_mask is not None else 1.0)
-        # density weight: approximate P_2 by the empirical complement density
-        p2_density = jnp.mean(m2, axis=(0, 2), keepdims=True)
-        w = 1.0 / jnp.sqrt(jnp.clip(1.0 - p2_density, self.eps, None))
-        resid = w * m2 * (physics.A(x1) - y)
-        return jnp.mean(resid.reshape(y.shape[0], -1) ** 2, axis=1)
+        x1, mask1 = self._forward(y, physics, model, key)
+        return self._recon_loss(x1, mask1, y, physics)
 
     def adapt_model(self, model):
         """Input-splitting wrapper; weighted losses evaluate on the full
@@ -68,22 +107,51 @@ class WeightedSplittingLoss(Loss):
 
 
 class RobustSplittingLoss(WeightedSplittingLoss):
-    r"""Robust SSDU: weighted splitting + extra noise injection on the input
-    split (reference mri/measplit.py:194)."""
+    r"""Robust-SSDU (Millard & Chiew 2024; reference mri/measplit.py:274):
+    weighted splitting on a further-noised input split plus a
+    Noisier2Noise correction term
+    ``||(1 + 1/alpha^2) M_1 M (A(x_net) - y)||^2``.
 
-    def __init__(self, mask_generator, noise_model=None, physics_generator=None, metric=None, alpha: float = 0.75):
-        super().__init__(mask_generator, physics_generator, metric)
+    The adapted model noises its split input ``y_1`` with
+    ``alpha * sigma`` Gaussian noise during training (reference
+    RobustSplittingModel.split:299).
+    """
+
+    def __init__(self, mask_generator, physics_generator=None, noise_model=None,
+                 alpha: float = 0.75, metric=None):
         from ..physics.noise import GaussianNoise
 
-        self.noise_model = noise_model if noise_model is not None else GaussianNoise(0.01)
+        super().__init__(mask_generator, physics_generator, metric)
+        if noise_model is None:
+            noise_model = GaussianNoise(0.1)
         self.alpha = alpha
+        # reference measplit.py:239: the injected noise std is alpha * sigma
+        self.noise_model = noise_model.update(sigma=noise_model.sigma * alpha)
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 15)
-        kn, ks = jax.random.split(key)
-        y_noisy = y + self.alpha * (self.noise_model(y, key=kn) - y)
-        return super().__call__(
-            x_net=x_net, y=y_noisy, physics=physics, model=model, key=ks, **kwargs
+        x1, mask1 = self._forward(y, physics, model, key)
+        recon_loss = self._recon_loss(x1, mask1, y, physics)
+        # Noisier2Noise correction on the *input* subset M_1 (same mask as
+        # the recon term and the model's internal split)
+        base_mask = getattr(physics, "mask", None)
+        base = base_mask if base_mask is not None else 1.0
+        w = (1 + 1 / (self.alpha**2)) * mask1 * base
+        resid = w * (physics.A(x1) - y)
+        n2n = jnp.mean(jnp.abs(resid).reshape(y.shape[0], -1) ** 2, axis=1)
+        return recon_loss + n2n
+
+    def adapt_model(self, model):
+        """Wrap with a splitting model that noises the split input during
+        training (reference RobustSplittingModel, measplit.py:287)."""
+        from .measplit import SplittingModel
+
+        if isinstance(model, SplittingModel):
+            return model
+        return SplittingModel(
+            model, mask_generator=self.mask_generator,
+            eval_n_samples=1, eval_split_input=False, pixelwise=True,
+            noise_model=self.noise_model,
         )
 
 

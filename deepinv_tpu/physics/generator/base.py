@@ -48,6 +48,35 @@ class PhysicsGenerator(Module):
         key = ensure_key(key, seed if seed is not None else self.seed)
         return self.sample(batch_size, key, **kwargs)
 
+    def average(self, n: int = 2000, batch_size: int = 1, key=None, **kwargs) -> dict:
+        """Monte-Carlo average of the generated parameters over ``n`` draws
+        (reference generator/base.py:152) — e.g. the expected mask / pdf of a
+        mask generator, used by the K-weighted splitting losses."""
+        if n <= 0:
+            raise ValueError("n must be positive")
+        key = ensure_key(key, self.seed)
+        params_sum = None
+        n_processed = 0
+        while n_processed < n:
+            n_batch = min(n - n_processed, max(batch_size, 1))
+            key, sub = jax.random.split(key)
+            params = self.step(batch_size=n_batch, key=sub, **kwargs)
+            n_processed += n_batch
+            partial = {
+                k: jnp.sum(v, axis=0, keepdims=True) if hasattr(v, "ndim") and v.ndim
+                else v * n_batch
+                for k, v in params.items()
+            }
+            if params_sum is None:
+                params_sum = partial
+            else:
+                if set(partial) != set(params_sum):
+                    raise ValueError(
+                        "PhysicsGenerator.step returned inconsistent keys across calls"
+                    )
+                params_sum = {k: params_sum[k] + partial[k] for k in params_sum}
+        return {k: v / n for k, v in params_sum.items()}
+
     def __add__(self, other: "PhysicsGenerator") -> "PhysicsGenerator":
         return _JointGenerator(self, other)
 

@@ -121,6 +121,10 @@ class BernoulliSplittingMaskGenerator(PhysicsGenerator):
                 return False
             elif np.ndim(input_mask) == 2 and np.ndim(input_mask) < len(self.img_size):
                 return False
+            elif isinstance(input_mask, jax.core.Tracer):
+                # under jit the channel-equality check is value-dependent;
+                # trust the caller (shape checks above still apply)
+                pass
             elif not all(
                 bool(jnp.array_equal(input_mask[i], input_mask[0]))
                 for i in range(1, input_mask.shape[0])
@@ -150,13 +154,31 @@ class BernoulliSplittingMaskGenerator(PhysicsGenerator):
         if input_mask is not None and np.size(input_mask) > 1:
             input_mask = jnp.asarray(input_mask)
             src = input_mask[0] if pixelwise else input_mask
-            idx = np.argwhere(np.asarray(src) != 0)
-            perm = np.asarray(jax.random.permutation(ks, len(idx)))
-            n_keep = int(float(split_ratio) * len(idx))
-            keep = idx[perm[:n_keep]]
-            mask = jnp.zeros(src.shape, input_mask.dtype)
-            if len(keep):
-                mask = mask.at[tuple(keep.T)].set(1)
+            if isinstance(input_mask, jax.core.Tracer) or isinstance(
+                split_ratio, jax.core.Tracer
+            ):
+                # jit-safe exact-count subset of the nonzero support:
+                # random scores ranked; keep the floor(ratio * nnz) best
+                support = src != 0
+                u = jax.random.uniform(ks, src.shape)
+                n_keep = jnp.floor(
+                    split_ratio * jnp.sum(support)
+                ).astype(jnp.int32)
+                scores = jnp.where(support, u, -jnp.inf).ravel()
+                order = jnp.argsort(-scores)
+                ranks = jnp.zeros_like(order).at[order].set(
+                    jnp.arange(order.size)
+                )
+                mask = (ranks < n_keep).reshape(src.shape)
+                mask = mask.astype(input_mask.dtype)
+            else:
+                idx = np.argwhere(np.asarray(src) != 0)
+                perm = np.asarray(jax.random.permutation(ks, len(idx)))
+                n_keep = int(float(split_ratio) * len(idx))
+                keep = idx[perm[:n_keep]]
+                mask = jnp.zeros(src.shape, input_mask.dtype)
+                if len(keep):
+                    mask = mask.at[tuple(keep.T)].set(1)
             if pixelwise:
                 mask = jnp.stack([mask] * input_mask.shape[0])
         else:

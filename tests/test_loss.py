@@ -394,3 +394,100 @@ def test_moi_loss_jit_safe(key):
     # different keys select different operators -> different values
     v2 = run(x, jax.random.fold_in(key, 9))
     assert v.shape == v2.shape
+
+
+def test_tv_loss_reference_formula(key):
+    """TVLoss matches the reference's normalization exactly (tv.py:21-43):
+    2*w*(sum(dh^2)/count_h + sum(dw^2)/count_w), per batch element."""
+    x = jax.random.normal(key, (2, 3, 9, 11))
+    xn = np.asarray(x)
+    dh = np.diff(xn, axis=2)
+    dw = np.diff(xn, axis=3)
+    want = 0.7 * 2 * (
+        (dh**2).reshape(2, -1).sum(1) / dh[0].size
+        + (dw**2).reshape(2, -1).sum(1) / dw[0].size
+    )
+    got = np.asarray(TVLoss(weight=0.7)(x_net=x))
+    assert got.shape == (2,)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_jacobian_spectral_norm_per_batch(key):
+    """Per-batch-element power iteration + reduction semantics
+    (reference regularisers.py: reduction in {max, mean, sum, none})."""
+    scale = jnp.asarray([1.25, 2.0]).reshape(2, 1, 1, 1)
+    y = jax.random.normal(key, (2, 1, 8, 8))
+    f = lambda u: scale * u
+    v_none = JacobianSpectralNorm(max_iter=40, reduction=None)(y=y, model=f)
+    np.testing.assert_allclose(np.asarray(v_none), [1.25, 2.0], rtol=1e-3)
+    v_max = JacobianSpectralNorm(max_iter=40, reduction="max")(y=y, model=f)
+    assert abs(float(v_max) - 2.0) < 1e-3
+    v_mean = JacobianSpectralNorm(max_iter=40, reduction="mean")(y=y, model=f)
+    assert abs(float(v_mean) - 1.625) < 1e-3
+
+
+def test_adversarial_loss_scaling(key):
+    """Reference scaling: base discriminator loss = real+fake (no 0.5);
+    the Sup variant halves it (consistency.py:81); SupGenerator defaults
+    to weight_adv=0.01 (consistency.py:38)."""
+    from deepinv_tpu.loss import (
+        SupAdversarialGeneratorLoss,
+        SupAdversarialDiscriminatorLoss,
+        UnsupAdversarialDiscriminatorLoss,
+    )
+
+    D = lambda v: jnp.mean(v, axis=(1, 2, 3), keepdims=True) * 3.0
+    x = jax.random.uniform(key, (2, 1, 8, 8))
+    x_net = x + 0.1
+    pr, pf = D(x), D(x_net)
+    mse = lambda p, t: float(jnp.mean((p - t) ** 2))
+    base = mse(pr, 1.0) + mse(pf, 0.0)
+    got_unsup = float(UnsupAdversarialDiscriminatorLoss(weight_adv=1.0)(
+        y=x, y_hat=x_net, D=D))
+    assert abs(got_unsup - base) < 1e-6
+    got_sup = float(SupAdversarialDiscriminatorLoss(weight_adv=1.0)(
+        x=x, x_net=x_net, D=D))
+    assert abs(got_sup - base * 0.5) < 1e-6
+    assert SupAdversarialGeneratorLoss().weight_adv == 0.01
+
+
+def test_weighted_splitting_compute_weight(key):
+    """K-weight closed form for uniform Bernoulli pdfs
+    (reference mri/measplit.py:144): K = (1-P)/(1-P~P), w = (1-K)^{-1/2}."""
+    from deepinv_tpu.loss import WeightedSplittingLoss
+    from deepinv_tpu.physics.generator import BernoulliSplittingMaskGenerator
+
+    pg = BernoulliSplittingMaskGenerator((1, 8, 8), split_ratio=0.8)
+    sg = BernoulliSplittingMaskGenerator((1, 8, 8), split_ratio=0.7)
+    w = np.asarray(WeightedSplittingLoss.compute_weight(sg, pg))
+    assert w.shape == (1, 8)
+    k = (1 - 0.8) / (1 - 0.7 * 0.8)
+    want = (1 - k) ** -0.5
+    np.testing.assert_allclose(w, want, rtol=0.08)
+
+
+def test_robust_splitting_noises_input(key):
+    """RobustSplittingLoss.adapt_model injects alpha*sigma noise into the
+    split input during training only (reference RobustSplittingModel)."""
+    from deepinv_tpu.loss import RobustSplittingLoss
+    from deepinv_tpu.physics import MRI, GaussianNoise
+    from deepinv_tpu.physics.generator import BernoulliSplittingMaskGenerator
+
+    gen = BernoulliSplittingMaskGenerator((2, 16, 16), split_ratio=0.7)
+    loss = RobustSplittingLoss(gen, noise_model=GaussianNoise(0.1), alpha=0.5)
+    assert abs(float(loss.noise_model.sigma) - 0.05) < 1e-8
+
+    seen = []
+    model = lambda yy, p, **kw: (seen.append(yy), p.A_adjoint(yy))[1]
+    am = loss.adapt_model(model)
+    mask = jnp.ones((16, 16))
+    physics = MRI(mask=mask)
+    x = jax.random.normal(key, (2, 2, 16, 16))
+    y = physics.A(x)
+    am(y, physics, key=key, train=True)
+    y1_train = seen[-1]
+    am(y, physics, key=key, train=False)
+    y1_eval = seen[-1]
+    # eval uses the full clean measurement; train input differs by the noise
+    assert np.allclose(np.asarray(y1_eval), np.asarray(y))
+    assert not np.allclose(np.asarray(y1_train), np.asarray(y1_eval))
