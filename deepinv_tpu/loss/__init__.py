@@ -24,7 +24,9 @@ from .losses import (
     SurePoissonLoss,
     SurePGLoss,
     R2RLoss,
+    R2RModel,
     ScoreLoss,
+    ScoreModel,
     TVLoss,
     JacobianSpectralNorm,
     FNEJacobianSpectralNorm,

@@ -14,6 +14,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..core import Module
 from ..core.rng import ensure_key
 from .base import Loss
 from .metric import MSE
@@ -28,7 +29,9 @@ __all__ = [
     "SurePoissonLoss",
     "SurePGLoss",
     "R2RLoss",
+    "R2RModel",
     "ScoreLoss",
+    "ScoreModel",
     "TVLoss",
     "JacobianSpectralNorm",
     "FNEJacobianSpectralNorm",
@@ -244,42 +247,184 @@ class SurePGLoss(Loss):
         return loss
 
 
-class R2RLoss(Loss):
-    r"""Recorrupted-to-Recorrupted (reference r2r.py:9):
-    ``y1 = y + alpha w``, ``y2 = y - w/alpha``, loss = ||A f(y1) - y2||^2.
+def _resolve_noise_model(own, physics):
+    nm = own if own is not None else getattr(physics, "noise_model", None)
+    if nm is None:
+        raise ValueError(
+            "Noise model not found in the constructor or physics module."
+        )
+    return nm
 
-    ``adapt_model`` makes the model consume the recorrupted input at train
-    time (reference R2RModel)."""
 
-    def __init__(self, metric=None, alpha: float = 0.5, sigma: float = 0.1):
-        self.metric = metric if metric is not None else MSE()
+class R2RModel(Module):
+    """GR2R re-corruption wrapper (reference r2r.py:185 R2RModel): the model
+    consumes ``y_1 ~ p(y_1 | y, alpha)`` — Gaussian re-noising, Poisson
+    binomial thinning, or Gamma Beta thinning — one sample at train time,
+    ``eval_n_samples`` Monte-Carlo averaged at evaluation."""
+
+    train_aware = True
+
+    def __init__(self, model, noise_model=None, alpha: float = 0.15,
+                 eval_n_samples: int = 5):
+        self.model = model
+        self.noise_model = noise_model
         self.alpha = alpha
-        self.sigma = sigma
+        self.eval_n_samples = eval_n_samples
+
+    def corrupt(self, y, noise_model, key):
+        """Draw ``y_1`` for the given exponential-family noise model
+        (reference r2r.py:160-183 corruptors)."""
+        a = self.alpha
+        name = type(noise_model).__name__
+        if name in ("GaussianNoise", "UniformGaussianNoise"):
+            w = jax.random.normal(key, y.shape, y.dtype) * noise_model.sigma
+            return y + w * jnp.sqrt(a / (1 - a))
+        if name == "PoissonNoise":
+            gain = noise_model.gain
+            z = y / gain
+            w = jax.random.binomial(key, jnp.round(z), a)
+            return gain * (z - w) / (1 - a)
+        if name == "GammaNoise":
+            l = noise_model.l
+            w = jax.random.beta(key, l * a, l * (1 - a), y.shape)
+            return y * (1 - w) / (1 - a)
+        raise NotImplementedError(f"R2R corruption for {name} not implemented")
+
+    def __call__(self, y, physics=None, key=None, train=False,
+                 return_corruption=False):
+        key = ensure_key(key, 22)
+        nm = _resolve_noise_model(self.noise_model, physics)
+        n = 1 if train else max(self.eval_n_samples, 1)
+        out, y1 = 0.0, None
+        for i in range(n):
+            y1 = self.corrupt(y, nm, jax.random.fold_in(key, i))
+            out = out + self.model(y1, physics) / n
+        return (out, y1) if return_corruption else out
+
+
+class R2RLoss(Loss):
+    r"""Generalized Recorrupted-to-Recorrupted (reference r2r.py:9):
+    ``y_1 ~ p(y_1 | y, alpha)`` feeds the adapted model and the loss is
+    ``|| A R(y_1) - y_2 ||^2`` with ``y_2 = (y - (1-alpha) y_1) / alpha``.
+    Supports Gaussian, Poisson (binomial thinning) and Gamma noise.
+
+    The JAX design shares the corruption between model and loss through the
+    PRNG key instead of the reference's stored ``get_corruption()`` state.
+    """
+
+    def __init__(self, metric=None, noise_model=None, alpha: float = 0.15,
+                 eval_n_samples: int = 5, sigma: Optional[float] = None):
+        self.metric = metric if metric is not None else MSE()
+        if noise_model is None and sigma is not None:
+            from ..physics.noise import GaussianNoise
+
+            noise_model = GaussianNoise(sigma)
+        self.noise_model = noise_model
+        self.alpha = alpha
+        self.eval_n_samples = eval_n_samples
+
+    def adapt_model(self, model):
+        """Wrap the model to re-corrupt its input (reference r2r.py:129)."""
+        if isinstance(model, R2RModel):
+            return model
+        return R2RModel(model, self.noise_model, self.alpha,
+                        self.eval_n_samples)
 
     def __call__(self, y=None, physics=None, model=None, x_net=None, key=None, **kwargs):
         key = ensure_key(key, 9)
-        w = jax.random.normal(key, y.shape, y.dtype) * self.sigma
-        y1 = y + self.alpha * w
-        y2 = y - w / self.alpha
-        xhat = model(y1, physics)
-        return self.metric(physics.A(xhat), y2)
+        m = model if isinstance(model, R2RModel) else self.adapt_model(model)
+        x1, y1 = m(y, physics, key=key, train=True, return_corruption=True)
+        y2 = (y - y1 * (1 - self.alpha)) / self.alpha
+        return self.metric(physics.A(x1), y2)
+
+
+class ScoreModel(Module):
+    """Noise2Score wrapper (reference score.py:115 ScoreModel): the backbone
+    approximates the score ``S(y)``; the wrapper perturbs the input with
+    annealed noise during training and reconstructs via Tweedie's formula at
+    evaluation (Gaussian/Poisson/Gamma)."""
+
+    train_aware = True
+
+    def __init__(self, model, noise_model=None, delta=(0.001, 0.1),
+                 total_batches: int = 1000):
+        self.model = model
+        self.noise_model = noise_model
+        self.delta = delta
+        self.total_batches = total_batches
+        self.counter = 0  # eager-mode annealing fallback (see __call__)
+
+    def __call__(self, y, physics=None, key=None, train=False, step=None,
+                 return_error=False):
+        key = ensure_key(key, 23)
+        nm = _resolve_noise_model(self.noise_model, physics)
+        dmin, dmax = self.delta
+        if train:
+            if step is None:
+                # host-side counter: fine eagerly; under jit pass step=.
+                # The loss path (return_error=True) reads without bumping so
+                # an eager trainer step (forward + loss) anneals once.
+                if not return_error:
+                    self.counter += 1
+                step = max(self.counter, 1)
+            # linear anneal max -> min, clamped (the reference extrapolates
+            # past total_batches, which makes delta negative and divergent)
+            w = jnp.clip(step / self.total_batches, 0.0, 1.0)
+            delta = dmax * (1 - w) + dmin * w
+            ks, ke = jax.random.split(key)
+            sigma = jax.random.normal(
+                ks, (y.shape[0],) + (1,) * (y.ndim - 1), y.dtype) * delta
+        else:
+            sigma = dmin
+            ke = key
+        eps = jax.random.normal(ke, y.shape, y.dtype)
+        grad = self.model(y + eps * sigma, physics)
+        error = _bmean((eps + grad * sigma) ** 2)
+        name = type(nm).__name__
+        if name in ("GaussianNoise", "UniformGaussianNoise"):
+            out = y + nm.sigma**2 * grad
+        elif name == "PoissonNoise":
+            yy = y if getattr(nm, "normalize", True) else y * nm.gain
+            out = yy + nm.gain * yy * grad
+        elif name == "GammaNoise":
+            l = nm.l
+            out = l * y / ((l - 1.0) - y * grad)
+        else:
+            raise NotImplementedError(f"Tweedie formula for {name} not implemented")
+        return (out, error) if return_error else out
 
 
 class ScoreLoss(Loss):
-    r"""Noise2Score (reference score.py:6): learn the score of the noisy
-    distribution with the AR residual trick."""
+    r"""Noise2Score (reference score.py:6): train the backbone to predict the
+    score via ``||eps + sigma S(y + sigma eps)||^2`` with annealed sigma;
+    reconstruction at evaluation uses Tweedie's formula (through
+    :meth:`adapt_model`).
 
-    def __init__(self, total_batches: int = 1000, delta=(0.001, 0.1)):
+    The JAX design recomputes the perturbation from the PRNG key instead of
+    the reference's stored ``get_error()`` state.
+    """
+
+    def __init__(self, noise_model=None, total_batches: int = 1000,
+                 delta=(0.001, 0.1)):
+        self.noise_model = noise_model
+        self.total_batches = total_batches
         self.delta = delta
 
-    def __call__(self, y=None, physics=None, model=None, x_net=None, key=None, **kwargs):
+    def adapt_model(self, model):
+        """Wrap the score backbone into the Tweedie reconstructor
+        (reference score.py:103)."""
+        if isinstance(model, ScoreModel):
+            return model
+        return ScoreModel(model, self.noise_model, self.delta,
+                          self.total_batches)
+
+    def __call__(self, y=None, physics=None, model=None, x_net=None, key=None,
+                 step=None, **kwargs):
         key = ensure_key(key, 10)
-        kd, kb = jax.random.split(key)
-        dmin, dmax = self.delta
-        delta = jax.random.uniform(kd, (y.shape[0],) + (1,) * (y.ndim - 1), minval=dmin, maxval=dmax)
-        b = jax.random.normal(kb, y.shape, y.dtype)
-        grad = model(y + delta * b, physics)
-        return _bmean((b + delta * grad) ** 2)
+        m = model if isinstance(model, ScoreModel) else self.adapt_model(model)
+        _, error = m(y, physics, key=key, train=True, step=step,
+                     return_error=True)
+        return error
 
 
 class TVLoss(Loss):

@@ -31,6 +31,10 @@ class BaseLossScheduler(Loss):
     def select(self, epoch: int = 0, step: int = 0) -> List[Loss]:
         return self.losses
 
+    def schedule(self, epoch: int = 0) -> List[Loss]:
+        """Reference-named alias of :meth:`select` (scheduler.py:22)."""
+        return self.select(epoch=epoch)
+
     def __call__(self, epoch: int = 0, step: int = 0, **kwargs):
         total = 0.0
         for l in self.select(epoch=epoch, step=step):
@@ -44,10 +48,21 @@ class BaseLossScheduler(Loss):
 
 
 class RandomLossScheduler(BaseLossScheduler):
-    """Pick one loss uniformly at random each step (scheduler.py)."""
+    """Pick one loss at random each step, optionally weighted — e.g.
+    ``weightings=[3, 1]`` picks the first loss 3x as often (reference
+    scheduler.py:109-125)."""
+
+    def __init__(self, *losses: Loss, seed: int = 0, weightings=None):
+        super().__init__(*losses, seed=seed)
+        self.weightings = weightings
+        if weightings is not None:
+            if len(self.losses) != len(weightings):
+                raise ValueError("losses and weightings must be same length")
 
     def select(self, epoch=0, step=0):
-        return [self.rng.choice(self.losses)]
+        if self.weightings is None:
+            return [self.rng.choice(self.losses)]
+        return [self.rng.choices(self.losses, weights=self.weightings, k=1)[0]]
 
 
 class InterleavedLossScheduler(BaseLossScheduler):
@@ -65,11 +80,12 @@ class InterleavedEpochLossScheduler(BaseLossScheduler):
 
 
 class StepLossScheduler(BaseLossScheduler):
-    """Activate losses only after ``epoch_thresh`` (scheduler.py)."""
+    """Activate losses strictly after ``epoch_thresh`` (reference
+    scheduler.py:209: ``epoch > epoch_thresh``)."""
 
     def __init__(self, *losses: Loss, epoch_thresh: int = 0):
         super().__init__(*losses)
         self.epoch_thresh = epoch_thresh
 
     def select(self, epoch=0, step=0):
-        return self.losses if epoch >= self.epoch_thresh else []
+        return list(self.losses) if epoch > self.epoch_thresh else []

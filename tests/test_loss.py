@@ -491,3 +491,63 @@ def test_robust_splitting_noises_input(key):
     # eval uses the full clean measurement; train input differs by the noise
     assert np.allclose(np.asarray(y1_eval), np.asarray(y))
     assert not np.allclose(np.asarray(y1_train), np.asarray(y1_eval))
+
+
+def test_gr2r_gaussian_corruption_stats(key):
+    """GR2R Gaussian corruption (reference r2r.py:160): y1 = y +
+    sqrt(a/(1-a)) * sigma * w, and y2 = (y - (1-a) y1)/a has variance
+    sigma^2 (1-a)/a about y."""
+    from deepinv_tpu.loss import R2RLoss, R2RModel
+    from deepinv_tpu.physics import GaussianNoise
+
+    sigma, alpha = 0.2, 0.25
+    loss = R2RLoss(noise_model=GaussianNoise(sigma), alpha=alpha)
+    m = loss.adapt_model(lambda yv, p, **kw: yv)
+    assert isinstance(m, R2RModel)
+    y = jnp.zeros((1, 1, 64, 64))
+    _, y1 = m(y, None, key=key, train=True, return_corruption=True)
+    var1 = float(jnp.var(y1))
+    want1 = sigma**2 * alpha / (1 - alpha)
+    assert abs(var1 - want1) / want1 < 0.2
+    y2 = (y - y1 * (1 - alpha)) / alpha
+    var2 = float(jnp.var(y2))
+    want2 = sigma**2 * (1 - alpha) / alpha
+    assert abs(var2 - want2) / want2 < 0.2
+
+
+def test_gr2r_poisson_thinning(key):
+    """Binomial thinning keeps E[y1] = E[y]/(1-a)*(1-a) = x (unbiased)."""
+    from deepinv_tpu.loss import R2RLoss
+    from deepinv_tpu.physics import PoissonNoise
+
+    gain, alpha = 0.1, 0.3
+    x = jnp.full((1, 1, 64, 64), 2.0)
+    yp = gain * jax.random.poisson(key, x / gain)
+    loss = R2RLoss(noise_model=PoissonNoise(gain=gain), alpha=alpha)
+    m = loss.adapt_model(lambda yv, p, **kw: yv)
+    _, y1 = m(yp, None, key=jax.random.fold_in(key, 1), train=True,
+              return_corruption=True)
+    # thinned-and-rescaled mean should match the measurement mean
+    assert abs(float(jnp.mean(y1)) - float(jnp.mean(yp))) < 0.05
+
+
+def test_score_model_tweedie(key):
+    """ScoreModel eval reconstruction uses Tweedie's formula
+    (reference score.py:160-171): Gaussian -> y + sigma^2 S(y)."""
+    from deepinv_tpu.loss import ScoreLoss, ScoreModel
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+
+    sigma = 0.3
+    physics = Denoising(noise_model=GaussianNoise(sigma))
+    score = lambda yv, p, **kw: -2.0 * yv  # score of N(0, 0.5 I)-ish
+    loss = ScoreLoss(total_batches=10, delta=(1e-6, 1e-6))
+    m = loss.adapt_model(score)
+    assert isinstance(m, ScoreModel)
+    y = jax.random.normal(key, (2, 1, 8, 8))
+    out = m(y, physics, key=key, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(y + sigma**2 * (-2.0) * y),
+                               atol=1e-3)
+    # training error with tiny delta -> E[(eps)^2] ~ 1
+    l = loss(y=y, physics=physics, model=m, key=key)
+    assert l.shape == (2,)
+    assert abs(float(jnp.mean(l)) - 1.0) < 0.2
