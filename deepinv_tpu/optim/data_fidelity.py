@@ -206,6 +206,25 @@ class L1(DataFidelity):
     def __init__(self):
         super().__init__(d=L1Distance())
 
+    def prox(self, x, y, physics, *args, gamma=1.0, stepsize=None,
+             max_iter: int = 100, **kwargs):
+        """Dual forward-backward solver for ``prox`` of ``gamma ||A.-y||_1``
+        (reference data_fidelity.py:712-756); fixed iterations under jit."""
+        if stepsize is None:
+            stepsize = 1.0 / physics.compute_sqnorm(x)
+        u0 = physics.A(x)
+
+        def body(_, carry):
+            u, _t = carry
+            t = x - physics.A_adjoint(u)
+            u_ = u + stepsize * physics.A(t)
+            u = u_ - stepsize * self.d.prox(u_ / stepsize, y,
+                                            gamma=gamma / stepsize)
+            return (u, t)
+
+        _, t = jax.lax.fori_loop(0, max_iter, body, (u0, x))
+        return t
+
 
 class AmplitudeLoss(DataFidelity):
     r"""Amplitude loss for phase retrieval (data_fidelity.py:757)."""

@@ -84,10 +84,13 @@ class PoissonLikelihoodDistance(Distance):
         self.denormalize = denormalize
 
     def fn(self, u, y, *args, **kwargs):
+        # reference distance.py:222-233 (with the constant ``- y`` term; the
+        # reference sums the log term over the whole batch — a batch-mixing
+        # quirk — here both terms are consistently per-batch-element)
         if self.denormalize:
             y = y / self.gain
         return _batch_sum(-y * jnp.log(u / self.gain + self.bkg)) + _batch_sum(
-            u / self.gain + self.bkg
+            u / self.gain + self.bkg - y
         )
 
     def grad(self, u, y, *args, **kwargs):

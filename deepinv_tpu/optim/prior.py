@@ -133,18 +133,20 @@ class L1Prior(Prior):
 
 
 class L12Prior(Prior):
-    r"""Group l1-l2 norm over ``l2_axis`` (prior.py:963)."""
+    r"""Group l1-l2 norm over ``l2_axis`` (prior.py:963; reference default
+    axis is the last one)."""
 
-    def __init__(self, l2_axis: int = 1):
+    def __init__(self, l2_axis: int = -1):
         self.l2_axis = l2_axis
 
     def fn(self, x, *args, **kwargs):
         n = jnp.sqrt(jnp.sum(x**2, axis=self.l2_axis))
-        return _batch_sum(n[:, None] if n.ndim == x.ndim - 1 else n)
+        return jnp.sum(jnp.abs(n).reshape(n.shape[0], -1), axis=-1)
 
     def prox(self, x, *args, gamma=1.0, **kwargs):
         n = jnp.sqrt(jnp.sum(x**2, axis=self.l2_axis, keepdims=True))
-        scale = jnp.maximum(1 - gamma / jnp.maximum(n, 1e-12), 0.0)
+        # reference prior.py:1031: relu(z - gamma) / (z + 1e-12)
+        scale = jnp.maximum(n - gamma, 0.0) / (n + 1e-12)
         return x * scale
 
 

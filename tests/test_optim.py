@@ -422,3 +422,53 @@ def test_spectral_method_iterator():
             jax.random.key(23), (1, 1, 8, 8)).astype(jnp.complex64),
     )
     assert float(cosine_similarity(m(y, phys), x)) > 0.7
+
+
+def test_l12_prior_reference_semantics():
+    """L12Prior: l2 over the LAST axis by default, l1 across the rest
+    (reference prior.py:963); prox = relu(z-gamma)/z * x."""
+    from deepinv_tpu.optim import L12Prior
+
+    x = jax.random.normal(jax.random.key(5), (2, 1, 4, 5))
+    p = L12Prior()
+    n = np.linalg.norm(np.asarray(x), axis=-1)
+    want_fn = np.abs(n).reshape(2, -1).sum(1)
+    np.testing.assert_allclose(np.asarray(p.fn(x)), want_fn, rtol=1e-5)
+    g = 0.3
+    z = np.linalg.norm(np.asarray(x), axis=-1, keepdims=True)
+    want = np.maximum(z - g, 0) / (z + 1e-12) * np.asarray(x)
+    np.testing.assert_allclose(np.asarray(p.prox(x, gamma=g)), want, rtol=1e-5)
+
+
+def test_l1_fidelity_prox_closed_form():
+    """L1 fidelity prox via dual forward-backward matches the closed form
+    y + soft(x - y, gamma) when A = Id. The reference's solver mistakenly
+    drops its gamma (data_fidelity.py:745 passes gamma positionally into
+    *args) — this guards OUR correct behavior."""
+    from deepinv_tpu.optim import L1
+    from deepinv_tpu.physics import Denoising
+
+    key = jax.random.key(6)
+    x = jax.random.normal(key, (2, 1, 8, 8))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (2, 1, 8, 8)) * 0.5
+    g = 0.3
+    got = L1().prox(x, y, Denoising(), gamma=g)
+    xn, yn = np.asarray(x), np.asarray(y)
+    soft = lambda v, t: np.sign(v) * np.maximum(np.abs(v) - t, 0)
+    np.testing.assert_allclose(np.asarray(got), yn + soft(xn - yn, g), atol=1e-5)
+
+
+def test_poisson_likelihood_fn_value():
+    """PoissonLikelihood.fn includes the reference's constant terms
+    (distance.py:222): sum(-y log(u/g + b)) + sum(u/g + b - y)."""
+    from deepinv_tpu.optim import PoissonLikelihood
+    from deepinv_tpu.physics import Denoising
+
+    u = jnp.abs(jax.random.normal(jax.random.key(7), (1, 1, 4, 4))) + 0.2
+    y = jnp.abs(jax.random.normal(jax.random.key(8), (1, 1, 4, 4))) + 0.1
+    gain, bkg = 0.2, 0.1
+    f = PoissonLikelihood(gain=gain, bkg=bkg)
+    got = float(f.fn(u, y, Denoising())[0])
+    un, yn = np.asarray(u), np.asarray(y) / gain  # fidelity denormalizes y
+    want = float((-yn * np.log(un / gain + bkg)).sum() + (un / gain + bkg - yn).sum())
+    assert abs(got - want) / abs(want) < 1e-5
