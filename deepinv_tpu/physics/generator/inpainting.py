@@ -380,14 +380,22 @@ class Artifact2ArtifactSplittingMaskGenerator(Phase2PhaseSplittingMaskGenerator)
             if persist_prev:
                 split_size = self.prev_split_size
             else:
+                # the chunk *length* shapes the output: must stay concrete
                 pick = int(jax.random.randint(k1, (), 0, len(self.split_size)))
                 self.prev_split_size = split_size = self.split_size[pick]
 
-        idxs = list(range(input_mask.shape[1] // split_size))
-        if persist_prev:
-            idxs.remove(self.prev_idx)
-        self.prev_idx = idx = idxs[int(jax.random.randint(k2, (), 0, len(idxs)))]
+        T = input_mask.shape[1]
+        n_chunks = T // split_size
+        if persist_prev and self.prev_idx is not None:
+            # a chunk different from the previous draw; works with a traced
+            # prev_idx too (both draws live in the same trace)
+            idx = (
+                self.prev_idx + 1 + jax.random.randint(k2, (), 0, n_chunks - 1)
+            ) % n_chunks
+        else:
+            idx = jax.random.randint(k2, (), 0, n_chunks)
+        self.prev_idx = idx
 
-        mask_out = jnp.zeros_like(input_mask)
-        sl = slice(split_size * idx, split_size * (idx + 1))
-        return mask_out.at[:, sl].set(input_mask[:, sl])
+        # jit-safe chunk selection: one-hot over the frame axis
+        sel = (jnp.arange(T) // split_size == idx).astype(input_mask.dtype)
+        return input_mask * sel[None, :, None, None]
