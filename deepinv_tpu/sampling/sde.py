@@ -122,21 +122,29 @@ class DiffusionSDE(BaseSDE):
     r"""Reverse-time diffusion with a score from a denoiser via Tweedie
     (reference diffusion_sde.py:~200)."""
 
-    def __init__(self, denoiser, sigma_t: Callable, sigma_deriv: Callable):
+    def __init__(self, denoiser, sigma_t: Callable, sigma_deriv: Callable,
+                 alpha=1.0):
         self.denoiser = denoiser
         self.sigma_t = sigma_t
         self.sigma_deriv = sigma_deriv
+        self.alpha = alpha if callable(alpha) else (lambda t, a=alpha: a)
 
+        # alpha-family reverse SDE (reference diffusion_sde.py:178-186):
+        # per |dt| (timesteps decrease) the update must be
+        # +(1+alpha)/2 g^2 score with sqrt(alpha) g noise, g^2 = 2 s s' —
+        # drift and diffusion must share the SAME alpha or the marginals
+        # are wrong (alpha=0 is the probability-flow ODE)
         def drift(x, t):
             s = self.sigma_t(t)
             ds = self.sigma_deriv(t)
-            score = self.score(x, t)
-            return -s * ds * score  # probability-flow-free reverse drift term
+            a = self.alpha(t)
+            return -(1 + a) * s * ds * self.score(x, t)
 
         def diffusion(t):
             s = self.sigma_t(t)
             ds = self.sigma_deriv(t)
-            return jnp.sqrt(2 * s * ds)
+            a = self.alpha(t)
+            return jnp.sqrt(jnp.clip(2 * a * s * ds, 0, None))
 
         super().__init__(drift, diffusion)
 
@@ -155,13 +163,15 @@ class VarianceExplodingDiffusion(DiffusionSDE):
     r"""VE-SDE: sigma(t) = sigma_min (sigma_max/sigma_min)^t
     (reference diffusion_sde.py VE)."""
 
-    def __init__(self, denoiser, sigma_min: float = 0.02, sigma_max: float = 10.0):
+    def __init__(self, denoiser, sigma_min: float = 0.02, sigma_max: float = 10.0,
+                 alpha=0.25):
         self.sigma_min = sigma_min
         self.sigma_max = sigma_max
         ratio = sigma_max / sigma_min
         sigma_t = lambda t: sigma_min * ratio**t
         sigma_deriv = lambda t: sigma_min * (ratio**t) * jnp.log(ratio)
-        super().__init__(denoiser, sigma_t, sigma_deriv)
+        # alpha=0.25 is the reference's VE default (diffusion_sde.py:702)
+        super().__init__(denoiser, sigma_t, sigma_deriv, alpha=alpha)
 
     def prior_sample(self, shape, key):
         return jax.random.normal(key, shape) * self.sigma_max

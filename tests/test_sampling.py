@@ -166,3 +166,22 @@ def test_sampling_builder(key):
     )
     mean = sampler(y, physics, key=key)
     assert mean.shape == y.shape
+
+
+def test_ve_sde_marginals(key):
+    """The VE reverse SDE must reproduce the data marginals for every noise
+    weight alpha (drift and diffusion share alpha — regression for a
+    mismatch that inflated the variance ~5x)."""
+    from deepinv_tpu.sampling import VarianceExplodingDiffusion, EulerSolver
+
+    v = 0.5  # data ~ N(0, v); exact MMSE denoiser
+    den = lambda x, s: x * v / (v + jnp.asarray(s) ** 2)
+    for a in (0.0, 1.0):
+        sde = VarianceExplodingDiffusion(den, sigma_min=0.005, sigma_max=5.0,
+                                         alpha=a)
+        solver = EulerSolver(timesteps=jnp.linspace(1.0, 0.0, 200))
+        x0 = sde.prior_sample((1000, 1, 1, 1), key)
+        out = solver.sample(sde, x0, key=jax.random.fold_in(key, 1))
+        x = out.sample if hasattr(out, "sample") else out
+        var = float(jnp.var(x))
+        assert abs(var - v) < 0.12, f"alpha={a}: var {var} != {v}"
