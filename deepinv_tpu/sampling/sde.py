@@ -218,32 +218,6 @@ class VariancePreservingDiffusion(DiffusionSDE):
         return jax.random.normal(key, shape)
 
 
-class FlowMatching(Module):
-    r"""Rectified-flow/flow-matching ODE sampler built on a denoiser
-    (reference diffusion_sde.py FlowMatching)."""
-
-    def __init__(self, denoiser, timesteps=None):
-        self.denoiser = denoiser
-        self.timesteps = jnp.asarray(
-            timesteps if timesteps is not None else np.linspace(1.0, 0.0, 50),
-            jnp.float32,
-        )
-
-    def sample(self, x_init, key=None, seed: int = 0):
-        ts = self.timesteps
-        dts = ts[1:] - ts[:-1]
-
-        def body(x, inp):
-            t, dt = inp
-            sigma = jnp.clip(t / jnp.clip(1 - t, 1e-3, None), 1e-4, 100.0)
-            x0 = self.denoiser(x, sigma)
-            v = (x0 - x) / jnp.clip(t, 1e-3, None)  # straight-path velocity
-            return x + v * (-dt), None
-
-        x, _ = jax.lax.scan(body, x_init, (ts[:-1], dts))
-        return x
-
-
 class EDMDiffusionSDE(DiffusionSDE):
     r"""Karras-style generative SDE with scale/noise schedules
     (reference diffusion_sde.py:248):
@@ -344,6 +318,39 @@ class SongDiffusionSDE(EDMDiffusionSDE):
         super().__init__(
             sigma_t=sigma_t, scale_t=scale_t, alpha=alpha, T=T, denoiser=denoiser
         )
+
+
+class FlowMatching(EDMDiffusionSDE):
+    r"""Flow matching as an EDM-parametrized SDE (reference
+    diffusion_sde.py:602): linear interpolation ``x_t = a(t) x_0 + b(t) z``
+    maps to scale ``s = a`` and noise ``sigma = b / a``; ``alpha = 0`` (the
+    default) is the straight-path ODE. The denoiser sees the de-scaled state
+    ``x / a(t)`` (through :meth:`EDMDiffusionSDE.score`).
+    """
+
+    def __init__(self, denoiser=None, timesteps=None,
+                 a_t: Callable = None, a_prime_t: Callable = None,
+                 b_t: Callable = None, b_prime_t: Callable = None,
+                 alpha=0.0, T: float = 0.99):
+        a = a_t if a_t is not None else (lambda t: 1 - t)
+        ap = a_prime_t if a_prime_t is not None else (lambda t: -jnp.ones(()))
+        b = b_t if b_t is not None else (lambda t: t)
+        bp = b_prime_t if b_prime_t is not None else (lambda t: jnp.ones(()))
+        sigma_t = lambda t: b(t) / a(t)
+        sigma_prime_t = lambda t: (bp(t) * a(t) - b(t) * ap(t)) / a(t) ** 2
+        super().__init__(sigma_t=sigma_t, scale_t=a,
+                         sigma_prime_t=sigma_prime_t, scale_prime_t=ap,
+                         alpha=alpha, T=T, denoiser=denoiser)
+        ts = jnp.asarray(
+            timesteps if timesteps is not None else np.linspace(T, 0.0, 50),
+            jnp.float32,
+        )
+        # t = 1 has a(1) = 0 (infinite sigma): clamp to the start time T
+        self.timesteps = jnp.clip(ts, 0.0, T)
+
+    def sample(self, x_init, key=None, seed: int = 0):
+        return EulerSolver(self.timesteps).sample(self, x_init, key=key,
+                                                  seed=seed)
 
 
 class NoisyDataFidelity(Module):

@@ -185,3 +185,19 @@ def test_ve_sde_marginals(key):
         x = out.sample if hasattr(out, "sample") else out
         var = float(jnp.var(x))
         assert abs(var - v) < 0.12, f"alpha={a}: var {var} != {v}"
+
+
+def test_flow_matching_marginals(key):
+    """FlowMatching must de-scale the denoiser input by a(t) (reference
+    diffusion_sde.py:602 FlowMatching-as-EDM) — regression for a missing
+    rescale that biased samples toward zero."""
+    from deepinv_tpu.sampling import FlowMatching
+
+    mu, tau = 0.5, 0.2
+    den = lambda x, s: (mu * jnp.asarray(s) ** 2 + x * tau**2) / (
+        tau**2 + jnp.asarray(s) ** 2)
+    fm = FlowMatching(den, timesteps=np.linspace(1.0, 0.0, 50))
+    x = fm.sample(jax.random.normal(key, (1000, 1, 1, 1)),
+                  key=jax.random.fold_in(key, 1))
+    assert abs(float(jnp.mean(x)) - mu) < 0.05
+    assert abs(float(jnp.var(x)) - tau**2) < 0.02
