@@ -13,6 +13,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import Module
 from ..core.rng import ensure_key
@@ -179,10 +180,30 @@ class SureGaussianLoss(Loss):
         (1,)
     """
 
-    def __init__(self, sigma: float, tau: float = 1e-2, unsure: bool = False):
+    def __init__(self, sigma: float, tau: float = 1e-2, unsure: bool = False,
+                 step_size: float = 1e-4, momentum: float = 0.9):
         self.sigma2 = sigma**2
         self.tau = tau
         self.unsure = unsure
+        self.step_size = step_size
+        self.momentum = momentum
+        self.grad_sigma = 0.0
+        self.init_flag = True
+
+    def _unsure_step(self, attr, grad_attr, flag_attr, grad, step, momentum):
+        """UNSURE gradient-ascent update of a noise-level estimate
+        (reference sure.py:95 unsure_gradient_step). Host-side state: runs
+        on concrete (eager) calls; traced calls leave the estimate fixed."""
+        if isinstance(grad, jax.core.Tracer):
+            return
+        g = float(grad)
+        if getattr(self, flag_attr):
+            setattr(self, flag_attr, False)
+            setattr(self, grad_attr, g)
+        else:
+            setattr(self, grad_attr,
+                    momentum * getattr(self, grad_attr) + (1 - momentum) * g)
+        setattr(self, attr, float(getattr(self, attr) + step * g))
 
     def __call__(self, y=None, physics=None, model=None, x_net=None, key=None, **kwargs):
         key = ensure_key(key, 6)
@@ -194,7 +215,13 @@ class SureGaussianLoss(Loss):
         y1, jvp_b = jax.jvp(f, (y,), (b,))
         div = 2 * self.sigma2 * _bmean(b * jvp_b)
         mse = _bmean((y1 - y) ** 2)
-        return mse + div - self.sigma2
+        loss = mse + div - self.sigma2
+        if self.unsure:
+            # d(div)/d(sigma2) = mean(div) / sigma2 (reference sure.py:230)
+            self._unsure_step("sigma2", "grad_sigma", "init_flag",
+                              jnp.mean(div) / self.sigma2,
+                              self.step_size, self.momentum)
+        return loss
 
 
 class SurePoissonLoss(Loss):
@@ -221,29 +248,62 @@ class SurePoissonLoss(Loss):
         return loss
 
 
-class SurePGLoss(Loss):
-    r"""SURE for Poisson-Gaussian noise (reference sure.py:~380)."""
+class SurePGLoss(SureGaussianLoss):
+    r"""SURE for Poisson-Gaussian noise (reference sure.py:380): first-order
+    Monte-Carlo divergence plus an optional second-derivative correction
+    (``second_derivative=True``, reference :462-474); ``unsure=True`` learns
+    ``sigma^2`` and ``gain`` by gradient ascent on the divergence."""
 
-    def __init__(self, sigma: float, gain: float, tau: float = 1e-3):
+    def __init__(self, sigma: float, gain: float, tau1: float = 1e-3,
+                 tau2: float = 1e-2, second_derivative: bool = False,
+                 unsure: bool = False, step_size=(1e-4, 1e-4),
+                 momentum=(0.9, 0.9), tau: Optional[float] = None):
         self.sigma2 = sigma**2
         self.gain = gain
-        self.tau = tau
+        self.tau1 = tau1 if tau is None else tau  # tau kept for back-compat
+        self.tau2 = tau2
+        self.second_derivative = second_derivative
+        self.unsure = unsure
+        self.step_size = step_size
+        self.momentum = momentum
+        self.grad_sigma = 0.0
+        self.grad_gain = 0.0
+        self.init_flag = True
+        self.init_flag_gain = True
 
     def __call__(self, y=None, physics=None, model=None, x_net=None, key=None, **kwargs):
         key = ensure_key(key, 8)
-        b = (jax.random.bernoulli(key, 0.5, y.shape).astype(y.dtype) * 2 - 1)
+        k1, k2 = jax.random.split(key)
+        b1 = (jax.random.bernoulli(k1, 0.5, y.shape).astype(y.dtype) * 2 - 1)
 
         def f(u):
             return physics.A(model(u, physics))
 
         y1 = f(y)
-        y2 = f(y + self.tau * b)
-        loss = (
-            _bmean((y1 - y) ** 2)
-            - self.gain * _bmean(y)
-            - self.sigma2
-            + (2.0 / self.tau) * _bmean((self.gain * y + self.sigma2) * b * (y2 - y1))
+        y2 = f(y + self.tau1 * b1)
+        div1 = (2.0 / self.tau1) * _bmean(
+            (self.gain * y + self.sigma2) * b1 * (y2 - y1)
         )
+        loss = _bmean((y1 - y) ** 2) - self.gain * _bmean(y) - self.sigma2 + div1
+        if self.second_derivative:
+            # sqrt(5)-weighted Rademacher probe (reference sure.py:429-432)
+            p = 0.7236
+            u = jax.random.uniform(k2, y.shape)
+            b2 = jnp.where(u < p, -np.sqrt((1 - p) / p), np.sqrt(p / (1 - p))
+                           ).astype(y.dtype)
+            y2p = f(y + self.tau2 * b2)
+            y2n = f(y - self.tau2 * b2)
+            loss = loss - (2 * self.sigma2 * self.gain / self.tau2**2) * _bmean(
+                b2 * (y2p + y2n - 2 * y1)
+            )
+        if self.unsure:
+            # d(div1)/d(sigma2) and d(div1)/d(gain) in closed form
+            g_sigma = (2.0 / self.tau1) * jnp.mean(b1 * (y2 - y1))
+            g_gain = (2.0 / self.tau1) * jnp.mean(y * b1 * (y2 - y1))
+            self._unsure_step("sigma2", "grad_sigma", "init_flag",
+                              g_sigma, self.step_size[0], self.momentum[0])
+            self._unsure_step("gain", "grad_gain", "init_flag_gain",
+                              g_gain, self.step_size[1], self.momentum[1])
         return loss
 
 

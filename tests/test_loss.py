@@ -551,3 +551,37 @@ def test_score_model_tweedie(key):
     l = loss(y=y, physics=physics, model=m, key=key)
     assert l.shape == (2,)
     assert abs(float(jnp.mean(l)) - 1.0) < 0.2
+
+
+def test_unsure_updates_noise_estimate(key):
+    """UNSURE (reference sure.py:95): eager calls perform gradient ascent on
+    the divergence w.r.t. the noise level; jit leaves it frozen."""
+    from deepinv_tpu.loss import SureGaussianLoss, SurePGLoss
+    from deepinv_tpu.physics import Denoising
+
+    physics = Denoising()
+    model = lambda u, p, **kw: 0.9 * u
+    y = jax.random.normal(key, (2, 1, 16, 16))
+
+    L = SureGaussianLoss(sigma=0.05, unsure=True, step_size=1e-3)
+    s0 = L.sigma2
+    for i in range(5):
+        l = L(y=y, physics=physics, model=model, key=jax.random.fold_in(key, i))
+    assert L.sigma2 != s0 and np.isfinite(L.sigma2)
+    assert bool(jnp.all(jnp.isfinite(l)))
+
+    # under jit the estimate must stay fixed (no tracer leaks)
+    Lj = SureGaussianLoss(sigma=0.05, unsure=True)
+    f = jax.jit(lambda yy: jnp.mean(Lj(y=yy, physics=physics, model=model,
+                                       key=key)))
+    _ = float(f(y))
+    assert Lj.sigma2 == 0.05**2
+
+    Lpg = SurePGLoss(sigma=0.05, gain=0.02, unsure=True,
+                     second_derivative=True)
+    g0, s0 = Lpg.gain, Lpg.sigma2
+    for i in range(3):
+        l = Lpg(y=jnp.abs(y), physics=physics, model=model,
+                key=jax.random.fold_in(key, i))
+    assert Lpg.gain != g0 and Lpg.sigma2 != s0
+    assert bool(jnp.all(jnp.isfinite(l)))
