@@ -19,23 +19,34 @@ class AverageMeter:
     def reset(self):
         self.val = 0.0
         self.sum = 0.0
-        self.count = 0
+        self.sum2 = 0.0
+        self.count = 0.0
         self.avg = 0.0
+        self.std = 0.0
         self.vals = []
 
     def update(self, val, n: int = 1):
-        val = float(val)
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / max(self.count, 1)
-        self.vals.append(val)
-
-    @property
-    def std(self):
+        """Process scalar value(s); arrays count each element, matching the
+        reference's per-sample aggregation (logger.py:41-63)."""
         import numpy as np
 
-        return float(np.std(self.vals)) if self.vals else 0.0
+        arr = np.asarray(val)
+        if arr.ndim > 0:
+            self.vals += arr.tolist()
+            self.val = float(np.mean(arr))
+            self.sum += float(np.sum(arr) * n)
+            self.sum2 += float(np.sum(arr**2) * n)
+            self.count += float(n * arr.size)
+        else:
+            v = float(arr)
+            self.vals.append(v)
+            self.val = v
+            self.sum += v * n
+            self.sum2 += v**2 * n
+            self.count += float(n)
+        self.avg = self.sum / max(self.count, 1.0)
+        var = self.sum2 / max(self.count, 1.0) - self.avg**2
+        self.std = float(np.sqrt(var)) if var > 0 else 0.0
 
     def __str__(self):
         return f"{self.name} {self.val:.4g} (avg {self.avg:.4g})"
