@@ -117,9 +117,10 @@ class Metric(Module):
             return v
         mode = self.norm_inputs.lower()
         if mode == "l2":
-            n = jnp.sqrt(jnp.sum(_flatten_batch(jnp.abs(v) ** 2), axis=1))
-            return v / jnp.clip(n, 1e-12, None).reshape(
-                (-1,) + (1,) * (v.ndim - 1))
+            # reference functional.py:4: per-spatial-plane l2 norm
+            # (root-sum-squares over the last two dims, keepdim)
+            n = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=(-2, -1), keepdims=True))
+            return v / jnp.clip(n, 1e-12, None)
         if mode == "min_max":
             vmin = jnp.min(_flatten_batch(v), axis=1).reshape(
                 (-1,) + (1,) * (v.ndim - 1))

@@ -247,3 +247,17 @@ def test_ergas_ssim_match_torchmetrics_formula():
     ref_ssim = m[..., pad:-pad, pad:-pad].reshape(b, -1).mean(-1)
     np.testing.assert_allclose(np.asarray(SSIM()(jy, jx)), ref_ssim.numpy(),
                                atol=1e-5)
+
+
+def test_norm_inputs_l2_per_plane():
+    """norm_inputs='l2' normalizes each (batch, channel) spatial plane by
+    its root-sum-of-squares (reference metric/functional.py:4)."""
+    from deepinv_tpu.loss import MSE
+
+    x = jax.random.uniform(jax.random.key(0), (2, 2, 8, 8))
+    y = jax.random.uniform(jax.random.key(1), (2, 2, 8, 8))
+    xn = np.asarray(x); yn = np.asarray(y)
+    norm = lambda v: v / np.sqrt((v**2).sum(axis=(-2, -1), keepdims=True))
+    want = ((norm(xn) - norm(yn)) ** 2).reshape(2, -1).mean(1)
+    got = np.asarray(MSE(norm_inputs="l2")(x, y))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
