@@ -80,6 +80,11 @@ def power_method(op, x0, max_iter: int = 100, tol: float = 1e-6):
 
     Returns the spectral norm estimate ``lambda_max`` (scalar array).
     """
+    # one eager power step first: it promotes the seed to op's output dtype
+    # (e.g. A^T A of a complex-valued operator on a real seed) so the
+    # while_loop carry dtype is stable. eval_shape is NOT used — its extra
+    # trace poisons operators that lazily cache arrays on first call.
+    x0 = op(x0)
     x0 = jax.tree_util.tree_map(
         lambda v: v / jnp.maximum(tree_norm(x0), 1e-30), x0
     )

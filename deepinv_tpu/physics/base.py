@@ -306,7 +306,7 @@ class LinearPhysics(Physics):
             self.A_adjoint,
             y,
             solver=solver or self.solver,
-            gamma=None,
+            gamma=kwargs.pop("gamma", None),
             max_iter=max_iter or self.max_iter,
             tol=tol or self.tol,
             **kwargs,

@@ -196,8 +196,12 @@ class PtychographyLinearOperator(LinearPhysics):
 class Ptychography(PhaseRetrieval):
     r"""``y = |Ptycho(x)|^2`` (reference phase_retrieval.py:433)."""
 
-    def __init__(self, img_size, probe=None, shifts=None, **kwargs):
-        B = PtychographyLinearOperator(img_size, probe=probe, shifts=shifts)
+    def __init__(self, img_size, probe=None, shifts=None, n_img: int = 25,
+                 probe_radius: float = 0.3, **kwargs):
+        B = PtychographyLinearOperator(
+            img_size, probe=probe, shifts=shifts, n_img=n_img,
+            probe_radius=probe_radius,
+        )
         super().__init__(B, **kwargs)
         self.img_size = tuple(img_size)
 
@@ -229,10 +233,15 @@ def spectral_methods(y, physics, x=None, n_iter: int = 50, preprocessing=None, l
     for _ in range(n_iter):
         v = op(v)
         v = v / jnp.sqrt(jnp.sum(jnp.abs(v) ** 2))
-    # normalize per-sample to measurement energy
-    scale = jnp.sqrt(jnp.mean(y, axis=tuple(range(1, y.ndim)), keepdims=True))
-    vmean = jnp.sqrt(jnp.mean(jnp.abs(physics.B.A(v)) ** 2, axis=tuple(range(1, y.ndim)), keepdims=True))
-    return v * scale / jnp.clip(vmean, 1e-12, None)
+    # normalize per-sample to measurement energy; reduce over ALL non-batch
+    # y axes to a (B,) scale and re-broadcast at v's rank (y and v may have
+    # different ranks, e.g. ptychography's (B, n_img, C, H, W) measurements)
+    scale = jnp.sqrt(jnp.mean(y, axis=tuple(range(1, y.ndim))))
+    vmean = jnp.sqrt(jnp.mean(jnp.abs(physics.B.A(v)) ** 2, axis=tuple(range(1, y.ndim))))
+    ratio = (scale / jnp.clip(vmean, 1e-12, None)).reshape(
+        (v.shape[0],) + (1,) * (v.ndim - 1)
+    )
+    return v * ratio
 
 
 def correct_global_phase(x_hat, x):

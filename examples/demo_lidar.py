@@ -1,0 +1,53 @@
+"""Single-photon lidar: depth/reflectivity from photon-count histograms.
+
+Mirrors the reference gallery's ``physics/demo_lidar.py``
+(reference physics/lidar.py:7): the scene is parameterized by per-pixel
+(depth, reflectivity, background); the measurement is a temporal histogram
+``y[t] = r * g(t - d) + b`` with a Gaussian pulse, corrupted by Poisson
+counting noise. Reconstruction uses the matched-filter ``A_dagger``.
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepinv_tpu.datasets import random_circles
+from deepinv_tpu.physics import PoissonNoise, SinglePhotonLidar
+
+
+def main():
+    H = W = 32
+    T = 40  # histogram bins
+    key = jax.random.key(0)
+
+    # scene: depth map from a phantom, ~100-140 photons per pixel, small bg
+    depth = 10.0 + 20.0 * jnp.asarray(random_circles(H, seed=5)).reshape(1, 1, H, W)
+    refl = 100.0 + 40.0 * jnp.asarray(random_circles(H, seed=6)).reshape(1, 1, H, W)
+    bg = 1.0 * jnp.ones_like(depth)
+    x = jnp.concatenate([depth, refl, bg], axis=1)  # (1, 3, H, W)
+
+    physics = SinglePhotonLidar(sigma=1.5, bins=T,
+                                noise_model=PoissonNoise(gain=1.0))
+    y = physics(x, key=key)  # (1, T, H, W) photon counts
+    print(f"histograms: {tuple(y.shape)}, total photons "
+          f"{float(y.sum()):.0f}")
+
+    # matched-filter inversion (log-matched filter + moment matching)
+    x_hat = physics.A_dagger(y)
+    d_err = float(jnp.abs(x_hat[:, 0] - depth[:, 0]).mean())
+    r_rel = float(jnp.abs(x_hat[:, 1] - refl[:, 0]).mean() / refl.mean())
+    print(f"depth MAE: {d_err:.3f} bins (pulse sigma 1.5)")
+    print(f"reflectivity rel. error: {r_rel:.3f}")
+    assert d_err < 1.5, "depth estimate should be ~1 bin at this photon count"
+    assert r_rel < 0.3
+
+    print("lidar demo OK")
+
+
+if __name__ == "__main__":
+    main()
