@@ -421,56 +421,288 @@ class SharpnessIndex(Metric):
         return s.mean(axis=1)
 
 
-class NIQE(Metric):
-    r"""Natural image quality evaluator (perceptual.py:111).
+# AGGD shape-parameter lookup grid (Mittal et al. 2012): gamma in
+# [0.2, 10] step 1e-3 and the corresponding r(gamma) ratio. Static host
+# constants so the per-patch fit is a single argmin against the table.
+_NIQE_GAM = np.arange(0.2, 10.0 + 1e-9, 0.001)
+_NIQE_LGAMMA = np.vectorize(math.lgamma)
+_NIQE_RGAM = np.exp(
+    2 * _NIQE_LGAMMA(2.0 / _NIQE_GAM)
+    - _NIQE_LGAMMA(1.0 / _NIQE_GAM)
+    - _NIQE_LGAMMA(3.0 / _NIQE_GAM)
+)
 
-    Computes MSCN-domain features (local mean/variance normalized
-    coefficients and pairwise products) and the Mahalanobis distance to
-    pristine-image statistics. The pristine model parameters (mu, cov) must
-    be provided (the reference downloads them); without them this metric
-    raises.
+_NIQE_LUMA = (0.29893602, 0.58704307, 0.11402090)  # MATLAB rgb2gray weights
+
+
+def _gammaf(x):
+    return jnp.exp(jax.scipy.special.gammaln(x))
+
+
+class NIQE(Metric):
+    r"""Natural image quality evaluator (reference perceptual.py:111;
+    Mittal et al. 2012, "Making a 'completely blind' image quality
+    analyzer").
+
+    Full NSS pipeline matching the original MATLAB release: MSCN
+    coefficients, per-patch asymmetric-generalized-Gaussian (AGGD) fits of
+    the coefficients and their four pairwise products (18 features), two
+    scales (36 features), a per-image multivariate Gaussian fit over
+    patches, and the pooled-covariance Mahalanobis distance to a pristine
+    MVG model.
+
+    The pristine parameters are NOT downloaded (no egress): pass
+    ``weights_path`` to a local ``.npz``/``.pt`` file with ``mu``/``cov``
+    entries, pass ``params={'mu':..., 'cov':...}`` directly, or fit your
+    own on distortion-free images with :meth:`create_weights` (the
+    reference's ``create_weights``, perceptual.py:413).
+
+    :param weights_path: local path to saved pristine parameters
+        (``.npz`` via numpy or ``.pt`` via torch). ``None`` leaves the
+        model unfitted.
+    :param params: dict with ``mu`` (36,) and ``cov`` (36, 36) pristine
+        statistics (alternative to ``weights_path``).
+    :param denominator: stabilizer added to sigma in the MSCN normalization
+        (the original code uses 1 on [0, 255]-scaled data).
+    :param round_tensor: round inputs like the original MATLAB pipeline
+        (expects [0, 255] inputs).
+    :param patch_size: NSS patch size at scale 1 (96 in the original).
+    :param patch_overlap: pixels of overlap between adjacent patches.
     """
 
-    def __init__(self, params=None, patch_size: int = 96, **kwargs):
+    lower_better = True
+
+    def __init__(self, weights_path=None, params=None, denominator: float = 1.0,
+                 round_tensor: bool = False, patch_size: int = 96,
+                 patch_overlap: int = 0, **kwargs):
         super().__init__(**kwargs)
-        self.params = params
         self.patch_size = patch_size
+        self.patch_overlap = patch_overlap
+        self.denominator = denominator
+        self.round = round_tensor
+        self.n_scales = 2
+        if weights_path is not None:
+            params = self._load_weights(weights_path)
+        self.params = (
+            {"mu": jnp.asarray(params["mu"]).ravel(),
+             "cov": jnp.asarray(params["cov"])}
+            if params is not None else None
+        )
 
-    def _mscn(self, a):
-        from ..ops.conv import gaussian_blur, conv2d
+    @staticmethod
+    def _load_weights(path):
+        path = str(path)
+        if path == "download":
+            raise ValueError(
+                "no network access in this environment: pass a local "
+                "weights_path (.npz/.pt) or fit with create_weights()"
+            )
+        if path.endswith(".npz"):
+            d = np.load(path)
+            return {"mu": d["mu"], "cov": d["cov"]}
+        import torch
 
-        g = gaussian_blur(sigma=7 / 6, psf_size=(7, 7))
+        d = torch.load(path, map_location="cpu", weights_only=True)
+        return {"mu": np.asarray(d["mu"]), "cov": np.asarray(d["cov"])}
+
+    # -- NSS feature pipeline ----------------------------------------------
+    def _mscn_pair(self, a):
+        """Local mean/std normalization; returns (structdis, sigma)."""
+        from ..ops.conv import conv2d
+
+        ax = np.arange(-3, 4, dtype=np.float64)
+        g = np.exp(-(ax[:, None] ** 2 + ax[None] ** 2) / (2 * (7 / 6) ** 2))
+        g = jnp.asarray((g / g.sum()).astype(np.float32))
         mu = conv2d(a, g, padding="replicate")
         sigma = jnp.sqrt(
-            jnp.clip(conv2d(a**2, g, padding="replicate") - mu**2, 0.0, None)
+            jnp.abs(conv2d(a * a, g, padding="replicate") - mu * mu)
         )
-        return (a - mu) / (sigma + 1.0)
+        return (a - mu) / (sigma + self.denominator), sigma
 
-    def features(self, x):
-        a = _to_gray(x) * 255.0
-        m = self._mscn(a)
-        feats = [
-            jnp.mean(_flatten_batch(m**2), axis=1),
-            jnp.mean(_flatten_batch(jnp.abs(m)), axis=1) ** 2,
-        ]
+    @staticmethod
+    def _aggd(v, eps=1e-12):
+        """AGGD (alpha, beta_left, beta_right) fits for rows of ``v``.
+
+        ``v`` is (L, n); entries of exactly 0 belong to neither side, and a
+        side with no samples yields NaN (MATLAB ``mean([])`` semantics) so
+        the patch is later dropped by the nan-row filter.
+        """
+        neg = (v < 0).astype(v.dtype)
+        pos = (v > 0).astype(v.dtype)
+        cnt_neg = jnp.sum(neg, axis=1)
+        cnt_pos = jnp.sum(pos, axis=1)
+        left_ms = jnp.where(
+            cnt_neg > 0,
+            jnp.sum(v * v * neg, axis=1) / jnp.maximum(cnt_neg, 1.0),
+            jnp.nan,
+        )
+        right_ms = jnp.where(
+            cnt_pos > 0,
+            jnp.sum(v * v * pos, axis=1) / jnp.maximum(cnt_pos, 1.0),
+            jnp.nan,
+        )
+        leftstd = jnp.sqrt(left_ms)
+        rightstd = jnp.sqrt(right_ms)
+        gammahat = leftstd / jnp.maximum(rightstd, eps)
+        rhat = jnp.mean(jnp.abs(v), axis=1) ** 2 / jnp.maximum(
+            jnp.mean(v * v, axis=1), eps
+        )
+        rhatnorm = (rhat * (gammahat**3 + 1.0) * (gammahat + 1.0)) / jnp.maximum(
+            (gammahat**2 + 1.0) ** 2, eps
+        )
+        r_gam = jnp.asarray(_NIQE_RGAM, v.dtype)
+        idx = jnp.argmin(
+            (r_gam[None] - rhatnorm[:, None]) ** 2, axis=1
+        )
+        alpha = jnp.asarray(_NIQE_GAM, v.dtype)[idx]
+        beta_factor = jnp.sqrt(_gammaf(1.0 / alpha) / _gammaf(3.0 / alpha))
+        return alpha, leftstd * beta_factor, rightstd * beta_factor
+
+    @staticmethod
+    def _patches(img, k, stride):
+        """(B, 1, H, W) -> (B, L, k, k) valid patches."""
+        p = lax.conv_general_dilated_patches(
+            img, (k, k), (stride, stride), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )  # (B, k*k, Lh, Lw)
+        B = img.shape[0]
+        p = p.reshape(B, k * k, -1)
+        return jnp.transpose(p, (0, 2, 1)).reshape(B, -1, k, k)
+
+    def _patch_features(self, structdis, k, stride):
+        """(B, 1, H, W) -> (B, L, 18) per-patch AGGD feature vectors."""
+        patches = self._patches(structdis, k, stride)
+        B, L = patches.shape[:2]
+        flat = patches.reshape(B * L, k * k)
+        a0, bl0, br0 = self._aggd(flat)
+        cols = [a0, 0.5 * (bl0 + br0)]
         for sh in ((0, 1), (1, 0), (1, 1), (1, -1)):
-            p = m * jnp.roll(m, sh, axis=(-2, -1))
-            feats.append(jnp.mean(_flatten_batch(p), axis=1))
-            feats.append(jnp.mean(_flatten_batch(jnp.abs(p)), axis=1))
-        return jnp.stack(feats, axis=1)
+            pair = patches.reshape(B * L, k, k)
+            pair = pair * jnp.roll(pair, sh, axis=(1, 2))
+            a, bl, br = self._aggd(pair.reshape(B * L, k * k))
+            cols += [a, (br - bl) * (_gammaf(2.0 / a) / _gammaf(1.0 / a)), bl, br]
+        return jnp.stack(cols, axis=1).reshape(B, L, 18)
+
+    def _multiscale_features(self, img, with_sharpness=False):
+        """(B, 1, H, W) -> (B, L, 36) features (+ per-patch sharpness)."""
+        from ..ops import imresize_matlab
+
+        feats, sharp = [], None
+        for scale in (1, 2):
+            structdis, sigma = self._mscn_pair(img)
+            k = max(1, self.patch_size // scale)
+            stride = max(1, k - self.patch_overlap // scale)
+            feats.append(self._patch_features(structdis, k, stride))
+            if scale == 1 and with_sharpness:
+                sharp = jnp.mean(
+                    self._patches(sigma, k, stride), axis=(-2, -1)
+                )  # (B, L)
+            if scale < self.n_scales:
+                img = imresize_matlab(img, scale=0.5)
+        X = jnp.concatenate(feats, axis=2)
+        return (X, sharp) if with_sharpness else X
+
+    def _prepare(self, x):
+        """Gray conversion + crop to whole patches, like the reference."""
+        if x.shape[1] == 3:
+            w = jnp.asarray(_NIQE_LUMA, x.dtype)
+            x = jnp.sum(x * w[None, :, None, None], axis=1, keepdims=True)
+        if x.shape[1] != 1:
+            raise ValueError("NIQE operates on 1- or 3-channel images")
+        if self.round:
+            x = jnp.round(x)
+        H, W = x.shape[-2:]
+        k = self.patch_size
+        if H < k or W < k:
+            raise ValueError(
+                f"NIQE needs images of at least patch_size={k}, got {(H, W)}"
+            )
+        return x[..., : (H // k) * k, : (W // k) * k]
+
+    @staticmethod
+    def _nanstats(X):
+        """Per-item mean/cov over patch rows, dropping non-finite rows."""
+        valid = jnp.all(jnp.isfinite(X), axis=-1)  # (B, L)
+        Xz = jnp.where(valid[..., None], X, 0.0)
+        n = jnp.sum(valid, axis=1).astype(X.dtype)  # (B,)
+        mu = jnp.sum(Xz, axis=1) / jnp.maximum(n, 1.0)[:, None]
+        Xc = jnp.where(valid[..., None], X - mu[:, None], 0.0)
+        cov = jnp.einsum("blf,blg->bfg", Xc, Xc) / jnp.maximum(
+            n - 1.0, 1.0
+        )[:, None, None]
+        return mu, cov
 
     def metric(self, x_net, x=None, *args, **kwargs):
         if self.params is None:
-            raise ValueError(
-                "NIQE requires pristine statistics params={'mu':..., 'cov':...}"
-                " (the reference downloads these; no network access here)"
+            raise RuntimeError(
+                "NIQE weights not loaded: pass weights_path/params at init "
+                "or fit them with create_weights() (no download here)"
             )
-        f = self.features(x_net)
-        mu = jnp.asarray(self.params["mu"]).reshape(1, -1)
-        cov = jnp.asarray(self.params["cov"])
-        d = f - mu
-        sol = jnp.linalg.solve(cov + 1e-6 * jnp.eye(cov.shape[0]), d.T).T
-        return jnp.sqrt(jnp.clip(jnp.sum(d * sol, axis=1), 0.0, None))
+        img = self._prepare(x_net)
+        X = self._multiscale_features(img)
+        mu_d, cov_d = self._nanstats(X)
+        if isinstance(X, jax.core.Tracer):
+            # in-graph (jit) path: f32 pinv; the original computes this
+            # step in float64, so eager calls take the host path below
+            mu_p = self.params["mu"].astype(X.dtype)
+            cov_p = self.params["cov"].astype(X.dtype)
+            invcov = jnp.linalg.pinv(0.5 * (cov_d + cov_p[None]))
+            d = mu_p[None] - mu_d  # (B, 36)
+            return jnp.sqrt(
+                jnp.clip(jnp.einsum("bf,bfg,bg->b", d, invcov, d), 0.0, None)
+            )
+        mu_d = np.asarray(mu_d, np.float64)
+        cov_d = np.asarray(cov_d, np.float64)
+        mu_p = np.asarray(self.params["mu"], np.float64)
+        cov_p = np.asarray(self.params["cov"], np.float64)
+        invcov = np.linalg.pinv(0.5 * (cov_d + cov_p[None]))
+        d = mu_p[None] - mu_d
+        s = np.sqrt(np.clip(np.einsum("bf,bfg,bg->b", d, invcov, d), 0.0, None))
+        return jnp.asarray(s, jnp.float32)
+
+    def create_weights(self, dataset, sharpness_threshold: float = 0.75,
+                       save_path=None):
+        """Fit the pristine MVG (mu, cov) on distortion-free images
+        (reference perceptual.py:413): two-scale AGGD features from the
+        sharpest patches (per-image sigma >= threshold x peak), pooled over
+        the dataset.
+
+        ``dataset`` yields (C, H, W) arrays with C in {1, 3}. Returns the
+        params dict and stores it on ``self``; ``save_path`` (``.npz``)
+        persists it for ``weights_path=`` reloading.
+        """
+        rows = []
+        for item in dataset:
+            img = jnp.asarray(item)
+            if img.ndim == 2:
+                img = img[None]
+            if img.ndim != 3 or img.shape[0] not in (1, 3):
+                raise ValueError(
+                    f"expected (C, H, W) with C in {{1, 3}}, got {img.shape}"
+                )
+            if min(img.shape[-2:]) < self.patch_size:
+                continue  # too small to contribute patches
+            img = self._prepare(img[None])
+            X, sharp = self._multiscale_features(img, with_sharpness=True)
+            X, sharp = np.asarray(X[0]), np.asarray(sharp[0])
+            keep = sharp > sharpness_threshold * sharp.max()
+            keep &= np.isfinite(X).all(axis=1)
+            if keep.any():
+                rows.append(X[keep])
+        if not rows:
+            raise RuntimeError(
+                "no usable patches: lower sharpness_threshold or check "
+                "the dataset images are at least patch_size wide"
+            )
+        feats = np.concatenate(rows, axis=0).astype(np.float64)
+        mu = feats.mean(axis=0)
+        xc = feats - mu
+        cov = xc.T @ xc / max(1, feats.shape[0] - 1)
+        self.params = {"mu": jnp.asarray(mu, jnp.float32),
+                       "cov": jnp.asarray(cov, jnp.float32)}
+        if save_path is not None:
+            np.savez(save_path, mu=mu, cov=cov)
+        return self.params
 
 
 class LPIPS(Metric):

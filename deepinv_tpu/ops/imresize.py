@@ -36,9 +36,10 @@ def _weights(in_len, out_len, scale):
     else:
         w = _cubic(u[:, None] - idx)
     w = w / np.sum(w, axis=1, keepdims=True)
-    # mirror boundary indices (MATLAB convention)
+    # mirror boundary indices (MATLAB convention): idx is 1-based here, so
+    # the 0-based lookup is aux[(idx - 1) mod 2n]
     aux = np.concatenate([np.arange(in_len), np.arange(in_len)[::-1]])
-    idx = aux[np.mod(idx.astype(np.int64), 2 * in_len)]
+    idx = aux[np.mod(idx.astype(np.int64) - 1, 2 * in_len)]
     # build a dense (out_len, in_len) matrix (static, tiny)
     M = np.zeros((out_len, in_len))
     for r in range(out_len):

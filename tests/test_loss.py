@@ -362,14 +362,28 @@ def test_perceptual_metrics(key):
     assert float(jnp.mean(BlurStrength()(blurred))) > float(jnp.mean(BlurStrength()(x)))
     assert float(jnp.mean(SharpnessIndex()(x))) > float(jnp.mean(SharpnessIndex()(blurred)))
 
-    # NIQE: features computable; metric raises without pristine params
-    n = NIQE()
-    f = n.features(x)
-    assert f.shape == (2, 10)
+    # NIQE: fit pristine MVG on clean images, score noisy worse than clean
     import pytest as _pytest
 
-    with _pytest.raises(ValueError):
+    n = NIQE(patch_size=8, denominator=1 / 255.0)
+    with _pytest.raises(RuntimeError):
         n(x, x)
+    pristine = [np.asarray(random_circles(32, seed=10 + i, channels=1))
+                for i in range(4)]
+    params = n.create_weights(pristine, sharpness_threshold=0.5)
+    assert params["mu"].shape == (36,) and params["cov"].shape == (36, 36)
+    s_clean = n(x)
+    s_noisy = n(noisy)
+    assert s_clean.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(s_clean) & jnp.isfinite(s_noisy)))
+    assert float(jnp.mean(s_noisy)) > float(jnp.mean(s_clean))
+    # round-trip through .npz weights
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, "niqe.npz")
+        n.create_weights(pristine, sharpness_threshold=0.5, save_path=path)
+        n2 = NIQE(weights_path=path, patch_size=8, denominator=1 / 255.0)
+        assert float(jnp.max(jnp.abs(n2(x) - n(x)))) < 1e-4
 
 
 def test_moi_loss_jit_safe(key):

@@ -473,3 +473,53 @@ def test_noise_model_moment_parity(reference, torch):  # noqa: F811
         yj = np.asarray(nj(xj, key=jax.random.key(0)))
         assert abs(yt.mean() - yj.mean()) < 0.02, (name, yt.mean(), yj.mean())
         assert abs(yt.std() - yj.std()) < 0.02, (name, yt.std(), yj.std())
+
+
+def test_niqe_fit_and_score_parity(reference, torch):  # noqa: F811
+    """NIQE fitted on the same pristine images scores the same test batch
+    as the reference implementation (perceptual.py:111): identical AGGD
+    grids, patch pipeline, and pooled-covariance Mahalanobis distance."""
+    import deepinv as dinv
+    from deepinv_tpu.loss import NIQE
+
+    rng = np.random.default_rng(7)
+    H = 96  # 96px, patch 16, overlap 8 -> 121 patches/image (full-rank MVG)
+
+    def smooth(seed):
+        r = np.random.default_rng(seed)
+        f = r.normal(size=(H, H)).astype(np.float32)
+        # low-pass in Fourier domain -> natural-ish smooth pristine image
+        F = np.fft.fft2(f)
+        ky = np.fft.fftfreq(H)[:, None]
+        kx = np.fft.fftfreq(H)[None]
+        F *= np.exp(-((kx**2 + ky**2) / (2 * 0.05**2)))
+        img = np.real(np.fft.ifft2(F))
+        img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+        return img.astype(np.float32)[None]  # (1, H, W)
+
+    pristine = [smooth(100 + i) for i in range(6)]
+    test_imgs = np.stack(
+        [smooth(7), np.clip(smooth(8) + 0.15 * rng.normal(size=(1, H, H)), 0, 1)]
+    ).astype(np.float32)
+
+    n_ref = dinv.loss.metric.NIQE(
+        weights_path=None, denominator=1 / 255.0, patch_size=16, patch_overlap=8
+    )
+    mu_ref, cov_ref = n_ref.create_weights(
+        [torch.from_numpy(p) for p in pristine], sharpness_threshold=0.0
+    )
+    with torch.no_grad():
+        s_ref = n_ref(torch.from_numpy(test_imgs)).numpy()
+
+    n_jax = NIQE(denominator=1 / 255.0, patch_size=16, patch_overlap=8)
+    params = n_jax.create_weights(pristine, sharpness_threshold=0.0)
+    s_jax = np.asarray(n_jax(jnp.asarray(test_imgs)))
+
+    # pristine MVG fit agrees feature-for-feature -> whole NSS pipeline
+    # (MSCN, AGGD grid fits, two scales, patching) matches
+    assert np.allclose(mu_ref.numpy(), np.asarray(params["mu"]),
+                       rtol=2e-3, atol=2e-3)
+    assert np.allclose(cov_ref.numpy(), np.asarray(params["cov"]),
+                       rtol=0.02, atol=1e-3)
+    # final pooled-covariance Mahalanobis scores agree
+    assert np.allclose(s_ref, s_jax, rtol=0.01, atol=0.01), (s_ref, s_jax)
