@@ -121,10 +121,11 @@ class WaveletDenoiser(Denoiser):
         True
     """
 
-    def __init__(self, wv: str = "db4", level: int = 3, non_linearity: str = "soft"):
+    def __init__(self, wv: str = "db4", level: int = 3, non_linearity: str = "soft",
+                 wvdim: int = 2):
         from ..ops.wavelets import WaveletTransform
 
-        self.wt = WaveletTransform(wavelet=wv, level=level)
+        self.wt = WaveletTransform(wavelet=wv, level=level, ndim=wvdim)
         self.non_linearity = non_linearity
 
     def _threshold(self, c, ths):
@@ -146,8 +147,11 @@ class WaveletDenoiser(Denoiser):
 class WaveletDictDenoiser(Denoiser):
     """Average of per-wavelet denoisers (reference wavdict.py:610)."""
 
-    def __init__(self, list_wv=("db2", "db4", "db8"), level: int = 3, max_iter: int = 10):
-        self.denoisers = [WaveletDenoiser(wv=w, level=level) for w in list_wv]
+    def __init__(self, list_wv=("db2", "db4", "db8"), level: int = 3, max_iter: int = 10,
+                 wvdim: int = 2):
+        self.denoisers = [
+            WaveletDenoiser(wv=w, level=level, wvdim=wvdim) for w in list_wv
+        ]
 
     def __call__(self, x, sigma=0.1, **kwargs):
         outs = [d(x, sigma) for d in self.denoisers]

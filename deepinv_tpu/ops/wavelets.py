@@ -84,19 +84,24 @@ def _qmf(lo):
 
 
 class WaveletTransform:
-    """Multi-level separable 2D DWT on (B, C, H, W) arrays.
+    """Multi-level separable DWT on (B, C, H, W) / (B, C, D, H, W) arrays.
 
     ``dwt2`` returns ``[cA_L, (cH_L, cV_L, cD_L), ..., (cH_1, cV_1, cD_1)]``
-    (coarsest first, PyWavelets convention used by the reference).
+    (coarsest first, PyWavelets convention used by the reference). With
+    ``ndim=3`` each level has 7 detail bands over the trailing (D, H, W)
+    axes (the reference's ``wvdim=3``, models/wavdict.py:68).
     """
 
-    def __init__(self, wavelet: str = "db4", level: int = 3):
+    def __init__(self, wavelet: str = "db4", level: int = 3, ndim: int = 2):
         if wavelet not in WAVELET_FILTERS:
             raise ValueError(
                 f"unknown wavelet {wavelet!r}; available: {sorted(WAVELET_FILTERS)}"
             )
+        if ndim not in (2, 3):
+            raise ValueError("ndim must be 2 or 3")
         self.wavelet = wavelet
         self.level = level
+        self.ndim = ndim
         lo = WAVELET_FILTERS[wavelet]
         self.lo = jnp.asarray(lo, jnp.float32)
         self.hi = jnp.asarray(_qmf(lo), jnp.float32)
@@ -115,21 +120,28 @@ class WaveletTransform:
         return jnp.moveaxis(lo, -1, axis), jnp.moveaxis(hi, -1, axis)
 
     def _dwt2_level(self, x):
-        lo_r, hi_r = self._analysis_1d(x, -2)
-        ll, lh = self._analysis_1d(lo_r, -1)
-        hl, hh = self._analysis_1d(hi_r, -1)
-        return ll, (lh, hl, hh)
+        """One separable analysis level over the trailing ``ndim`` axes:
+        2^ndim subbands, all-lowpass first (2D order: ll, lh, hl, hh)."""
+        bands = [x]
+        for ax in range(-self.ndim, 0):
+            nxt = []
+            for b in bands:
+                lo, hi = self._analysis_1d(b, ax)
+                nxt += [lo, hi]
+            bands = nxt
+        return bands[0], tuple(bands[1:])
 
     def _pad(self, x):
         m = 2**self.level
-        H, W = x.shape[-2:]
-        ph = (-H) % m
-        pw = (-W) % m
-        if ph or pw:
+        sp = x.shape[-self.ndim:]
+        pads = [(-s) % m for s in sp]
+        if any(pads):
             x = jnp.pad(
-                x, [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)], mode="symmetric"
+                x,
+                [(0, 0)] * (x.ndim - self.ndim) + [(0, p) for p in pads],
+                mode="symmetric",
             )
-        return x, (H, W)
+        return x, tuple(sp)
 
     def dwt2(self, x):
         x, orig = self._pad(x)
@@ -146,16 +158,18 @@ class WaveletTransform:
         a = coeffs[0]
         for details in coeffs[1:]:
             a = self._idwt2_level(a, details)
-        return a[..., : orig[0], : orig[1]]
+        sl = (Ellipsis,) + tuple(slice(0, s) for s in orig)
+        return a[sl]
 
     def _idwt2_level(self, a, details):
         # synthesis = transpose of the orthonormal analysis
-        lh, hl, hh = details
-        shp = (a.shape[:-2] + (a.shape[-2] * 2, a.shape[-1] * 2))
+        shp = a.shape[: -self.ndim] + tuple(
+            s * 2 for s in a.shape[-self.ndim:]
+        )
         fwd = lambda x: self._dwt2_level(x)
         (xt,) = jax.linear_transpose(
             fwd, transpose_primal(a, shp)
-        )((a, (lh, hl, hh)))
+        )((a, tuple(details)))
         return xt
 
     # -- helpers used by priors/denoisers --------------------------------

@@ -218,10 +218,11 @@ class WaveletPrior(Prior):
     Prox = W^T soft_threshold(W x) (exact for orthonormal W).
     """
 
-    def __init__(self, wv: str = "db4", level: int = 3, p: int = 1):
+    def __init__(self, wv: str = "db4", level: int = 3, p: int = 1,
+                 wvdim: int = 2):
         from ..ops.wavelets import WaveletTransform
 
-        self.wt = WaveletTransform(wavelet=wv, level=level)
+        self.wt = WaveletTransform(wavelet=wv, level=level, ndim=wvdim)
         self.p = p
 
     def fn(self, x, *args, **kwargs):

@@ -191,3 +191,32 @@ def test_functional_namespace(key):
     im = jax.random.uniform(jax.random.fold_in(key, 4), (1, 1, 24, 24))
     rec = Ri(R(im))
     assert rec.shape == im.shape
+
+
+def test_wavelet_3d_transform(key):
+    """wvdim=3 (reference models/wavdict.py:68): perfect reconstruction on
+    odd volumes, 7 detail bands per level, Parseval energy (orthonormal),
+    and 3D soft-thresholding denoising beats the noisy input."""
+    import jax
+    import jax.numpy as jnp
+    from deepinv_tpu.ops.wavelets import WaveletTransform
+    from deepinv_tpu.models import WaveletDenoiser
+
+    wt3 = WaveletTransform("db2", level=2, ndim=3)
+    v = jax.random.normal(key, (1, 1, 9, 19, 13))
+    t = wt3.dwt2(v)
+    assert len(t["coeffs"][1]) == 7
+    assert float(jnp.max(jnp.abs(wt3.idwt2(t) - v))) < 1e-5
+
+    v2 = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 8, 16, 12))
+    t2 = wt3.dwt2(v2)
+    e = float(jnp.sum(t2["coeffs"][0] ** 2) + jnp.sum(wt3.flat_coeffs(t2) ** 2))
+    assert abs(e - float(jnp.sum(v2**2))) / float(jnp.sum(v2**2)) < 1e-5
+
+    den = WaveletDenoiser("db2", level=2, wvdim=3)
+    clean = jnp.zeros((1, 1, 8, 32, 32)).at[:, :, 2:6, 8:24, 8:24].set(1.0)
+    noisy = clean + 0.2 * jax.random.normal(jax.random.fold_in(key, 2), clean.shape)
+    out = den(noisy, 0.2)
+    assert float(jnp.mean((out - clean) ** 2)) < 0.5 * float(
+        jnp.mean((noisy - clean) ** 2)
+    )
