@@ -23,6 +23,8 @@ from ..ops.conv import (
     conv_transpose2d,
     conv2d_fft,
     conv_transpose2d_fft,
+    conv3d,
+    conv_transpose3d,
     filter_fft_2d,
     gaussian_blur,
     bilinear_filter,
@@ -67,10 +69,14 @@ class Blur(LinearPhysics):
 
     def A(self, x, filter=None, **params):
         f = self.filter if filter is None else jnp.asarray(filter)
+        if f.ndim == 5:  # (b, c, d, h, w) volumetric PSF (reference blur.py:443)
+            return conv3d(x, f, padding=self.padding)
         return conv2d(x, f, padding=self.padding)
 
     def A_adjoint(self, y, filter=None, **params):
         f = self.filter if filter is None else jnp.asarray(filter)
+        if f.ndim == 5:
+            return conv_transpose3d(y, f, padding=self.padding)
         return conv_transpose2d(y, f, padding=self.padding)
 
 

@@ -859,3 +859,23 @@ def test_nufft_odd_size_accuracy():
         out = np.asarray(nufft2(jnp.asarray(x), jnp.asarray(om, jnp.float32)))[0]
         rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
         assert rel < 2e-3, (N, rel)
+
+
+def test_blur_3d_volumetric():
+    """Blur dispatches (b,c,d,h,w) PSFs to conv3d (reference blur.py:443
+    supports 2D and 3D kernels); adjointness is exact."""
+    import jax
+    import jax.numpy as jnp
+    from deepinv_tpu.physics import Blur
+
+    f = jax.random.uniform(jax.random.key(0), (1, 1, 3, 5, 5))
+    f = f / f.sum()
+    for padding in ("circular", "replicate", "valid"):
+        p = Blur(filter=f, padding=padding)
+        x = jax.random.normal(jax.random.key(1), (2, 1, 6, 17, 13))
+        y = p.A(x)
+        u = jax.random.normal(jax.random.key(2), x.shape)
+        v = jax.random.normal(jax.random.key(3), y.shape)
+        lhs = jnp.vdot(p.A(u), v)
+        rhs = jnp.vdot(u, p.A_adjoint(v))
+        assert abs(float(lhs - rhs)) < 1e-3, padding
