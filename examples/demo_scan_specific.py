@@ -1,0 +1,112 @@
+"""Scan-specific self-supervised MRI with weighted SSDU
+(counterpart of reference examples/self-supervised-learning/
+demo_scan_specific.py).
+
+Learn from ONE undersampled k-space acquisition protocol — no
+fully-sampled data. Plain measurement splitting (SSDU) is *biased* under
+non-uniform sampling: reconstructing from 60% of the lines teaches the
+model to over-amplify. The K-weighted loss (Millard & Chiew; reference
+loss/mri/measplit.py:19) reweights the split residual by ``(1-K)^{-1/2}``
+and removes that bias. We demonstrate the bias directly with a one-
+parameter model, then run the network pipeline with self-supervised early
+stopping (the reference fine-tunes a pretrained RAM the same way).
+"""
+
+# make the repo root importable when run as `python examples/<demo>.py`
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepinv_tpu.core import Module
+from deepinv_tpu.physics import MRI, GaussianNoise
+from deepinv_tpu.physics.generator import (
+    GaussianMaskGenerator, BernoulliSplittingMaskGenerator,
+)
+from deepinv_tpu.models import DnCNN, MoDL
+from deepinv_tpu.loss import WeightedSplittingLoss, SplittingLoss, PSNR
+from deepinv_tpu.datasets import random_circles
+
+
+class ScaledZeroFill(Module):
+    """One-parameter reconstructor a * A^T y — the cleanest bias probe."""
+
+    def __init__(self):
+        self.a = jnp.asarray(1.0)
+
+    def __call__(self, y, physics, **kw):
+        return self.a * physics.A_adjoint(y)
+
+
+def train(loss, model, y, physics, steps=300, lr=5e-2, seed=3):
+    opt = optax.adam(lr)
+    st = opt.init(model)
+
+    @jax.jit
+    def stepf(m, st, k):
+        f = lambda mm: jnp.mean(loss(y=y, physics=physics, model=mm, key=k))
+        v, g = jax.value_and_grad(f)(m)
+        up, st = opt.update(g, st, m)
+        return optax.apply_updates(m, up), st, v
+
+    key = jax.random.key(seed)
+    for _ in range(steps):
+        key, k = jax.random.split(key)
+        model, st, v = stepf(model, st, k)
+    return model, float(v)
+
+
+def main():
+    H = W = 64
+    x = jnp.concatenate(
+        [jnp.asarray(np.stack([random_circles(W, seed=i) for i in range(4)])),
+         jnp.zeros((4, 1, H, W))], axis=1)  # (B, 2, H, W) real/imag
+
+    # the scan protocol: Gaussian-density 4x column undersampling
+    physics_generator = GaussianMaskGenerator((2, H, W), acceleration=4)
+    mask = physics_generator.step(1, key=jax.random.key(0))["mask"][0]
+    physics = MRI(mask=mask, img_size=(H, W))
+    y = physics(x)
+    psnr = PSNR(complex_abs=True)
+    zf = float(psnr(physics.A_adjoint(y), x).mean())
+
+    split_gen = BernoulliSplittingMaskGenerator((2, H, W), split_ratio=0.6)
+    wloss = WeightedSplittingLoss(mask_generator=split_gen,
+                                  physics_generator=physics_generator)
+    print(f"K-weight range: [{float(wloss.weight.min()):.2f}, "
+          f"{float(wloss.weight.max()):.2f}]  (1 = unweighted)")
+
+    # ------------------------------------------------------------------
+    # the bias, isolated: train a single scale a on each objective
+    # ------------------------------------------------------------------
+    for name, loss in [("plain SSDU ", SplittingLoss(split_ratio=0.6,
+                                                     eval_split_input=False)),
+                       ("K-weighted ", wloss)]:
+        m = loss.adapt_model(ScaledZeroFill())
+        m, _ = train(loss, m, y, physics)
+        a = float(m.model.a)
+        print(f"{name}: learned scale a = {a:.3f} "
+              f"(unbiased = 1; plain overshoots by ~1/split_ratio)")
+
+    # ------------------------------------------------------------------
+    # network pipeline: adapt_model wraps any reconstructor so it trains
+    # on masked inputs and evaluates on the full measurement. Real gains
+    # need a pretrained starting point — the reference fine-tunes RAM at
+    # lr=1e-6 (and skips training entirely on CPU); from random init the
+    # objective is optimized but true PSNR does not beat zero-filling.
+    # ------------------------------------------------------------------
+    model = wloss.adapt_model(MoDL(DnCNN(2, 2, depth=5, nf=16), num_iter=3))
+    model, first = train(wloss, model, y, physics, steps=1, lr=1e-4, seed=2)
+    model, last = train(wloss, model, y, physics, steps=60, lr=1e-4, seed=4)
+    print(f"weighted-SSDU MoDL fine-tune: loss {first:.5f} -> {last:.5f} "
+          f"over 60 steps (zero-filled baseline {zf:.2f} dB; start from "
+          f"RAM(pretrained=...) to improve on it)")
+
+
+if __name__ == "__main__":
+    main()
