@@ -523,3 +523,20 @@ def test_niqe_fit_and_score_parity(reference, torch):  # noqa: F811
                        rtol=0.02, atol=1e-3)
     # final pooled-covariance Mahalanobis scores agree
     assert np.allclose(s_ref, s_jax, rtol=0.01, atol=0.01), (s_ref, s_jax)
+
+
+def test_imresize_matlab_parity(reference, torch):  # noqa: F811
+    """imresize_matlab matches the reference's MATLAB-bicubic resampler at
+    down/up/fractional scales to float32 epsilon, boundaries included
+    (physics/functional/imresize.py; regression for the one-pixel mirror
+    off-by-one fixed in r2)."""
+    from deepinv.physics.functional import imresize_matlab as ref_resize
+    from deepinv_tpu.ops import imresize_matlab as jx_resize
+
+    x = np.random.default_rng(0).random((2, 3, 37, 51)).astype(np.float32)
+    for s in (0.5, 2.0, 0.3, 1.7):
+        a = ref_resize(torch.from_numpy(x), scale=s, kernel="cubic",
+                       antialiasing=True, padding_type="reflect").numpy()
+        b = np.asarray(jx_resize(jnp.asarray(x), scale=s))
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 5e-6, (s, np.abs(a - b).max())
