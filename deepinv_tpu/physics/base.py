@@ -136,6 +136,55 @@ class Physics(Module):
         x, _, _ = jax.lax.while_loop(cond, body, (x_init, jnp.asarray(jnp.inf), 0))
         return x
 
+    # -- Jacobian products (reference forward.py:222,270,338) --------------
+    def A_vjp(self, x, v):
+        """Vector-Jacobian product ``(dA/dx)|_x^T v`` via autodiff
+        (reference forward.py:222)."""
+        _, vjp_fn = jax.vjp(lambda u: self.A(u), x)
+        return vjp_fn(v)[0]
+
+    def A_jvp(self, x, v):
+        """Jacobian-vector product ``(dA/dx)|_x v`` via autodiff
+        (reference forward.py ``A_jvp``)."""
+        return jax.jvp(lambda u: self.A(u), (x,), (v,))[1]
+
+    def compute_norm(self, x0, max_iter: int = 100, tol: float = 1e-6):
+        """Squared spectral norm of the Jacobian at ``x0``: power iteration
+        on ``v -> J^T J v`` (reference forward.py:338)."""
+        return power_method(
+            lambda v: self.A_vjp(x0, self.A_jvp(x0, v)), x0,
+            max_iter=max_iter, tol=tol,
+        )
+
+    # -- functional setters (the reference mutates; these return a copy) ---
+    def update_parameters(self, **params) -> "Physics":
+        """Reference-named alias of :meth:`update` (forward.py
+        ``update_parameters``); returns a NEW physics (pytrees are
+        immutable)."""
+        return self.update(**params)
+
+    def set_noise_model(self, noise_model) -> "Physics":
+        """Return a copy with a different noise model (reference
+        ``set_noise_model``)."""
+        return self.replace(noise_model=noise_model)
+
+    def set_ls_solver(self, solver: str, max_iter: int = None,
+                      tol: float = None) -> "Physics":
+        """Return a copy with different least-squares solver defaults
+        (reference ``set_ls_solver``)."""
+        new = self.replace(solver=solver)
+        if max_iter is not None:
+            new = new.replace(max_iter=max_iter)
+        if tol is not None:
+            new = new.replace(tol=tol)
+        return new
+
+    def clone(self) -> "Physics":
+        """Deep copy (reference ``clone``). Array leaves are immutable in
+        JAX, so copying the tree structure suffices."""
+        leaves, treedef = jax.tree_util.tree_flatten(self)
+        return jax.tree_util.tree_unflatten(treedef, list(leaves))
+
     # -- algebra ----------------------------------------------------------
     def __mul__(self, other: "Physics") -> "Physics":
         """``(p1 * p2).A(x) == p1.A(p2.A(x))`` (reference forward.py:73)."""

@@ -879,3 +879,34 @@ def test_blur_3d_volumetric():
         lhs = jnp.vdot(p.A(u), v)
         rhs = jnp.vdot(u, p.A_adjoint(v))
         assert abs(float(lhs - rhs)) < 1e-3, padding
+
+
+def test_physics_base_jacobian_api():
+    """Base-Physics autodiff surface (reference forward.py:222,270,338):
+    A_vjp/A_jvp agree with the analytic Jacobian of A(x) = x^2, the
+    Jacobian power method returns ||J||^2, and the functional setters
+    (update_parameters/set_noise_model/set_ls_solver/clone) return new
+    physics without mutating the original."""
+    import jax
+    import jax.numpy as jnp
+    from deepinv_tpu.physics import Physics, GaussianNoise
+
+    p = Physics(A=lambda x: x**2)
+    x = jnp.asarray([[1.0, 2.0], [3.0, 0.5]])[None, None]
+    v = jnp.full_like(x, 0.25)
+    # J = diag(2x): vjp == jvp == 2 x v
+    assert float(jnp.max(jnp.abs(p.A_vjp(x, v) - 2 * x * v))) < 1e-6
+    assert float(jnp.max(jnp.abs(p.A_jvp(x, v) - 2 * x * v))) < 1e-6
+    # ||J||^2 = max (2x)^2 = 36
+    n = p.compute_norm(x)
+    assert abs(float(n) - 36.0) < 0.5
+
+    p2 = p.set_noise_model(GaussianNoise(0.1))
+    assert p.noise_model is None and p2.noise_model is not None
+    p3 = p.set_ls_solver("CG", max_iter=7, tol=1e-5)
+    assert (p3.solver, p3.max_iter, p3.tol) == ("CG", 7, 1e-5)
+    assert p.solver != "CG"
+    p4 = p.update_parameters(solver="BiCGStab")
+    assert p4.solver == "BiCGStab" and p.solver != "BiCGStab"
+    c = p2.clone()
+    assert c is not p2 and c.noise_model is not None
