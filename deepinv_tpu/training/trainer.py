@@ -209,34 +209,47 @@ class Trainer:
             ]
         return float(np.asarray(self._metric_fns[i](x_net, x)))
 
+    # -- overridable hooks (reference trainer.py:788,823) -------------------
+    def model_inference(self, y, physics, model=None, train: bool = False,
+                        key=None):
+        """Reconstruct ``x_net = model(y, physics)`` (reference
+        trainer.py:788). In train mode, loss-adapted models (e.g.
+        ``SplittingModel``) draw their split from ``key``. Jax-traceable —
+        safe to override with any functional computation."""
+        model = self.model if model is None else model
+        if train and getattr(model, "train_aware", False):
+            return model(y, physics, train=True, key=key)
+        return model(y, physics)
+
+    def compute_loss(self, model, x, y, physics, key=None):
+        """Total training loss + reconstruction ``(loss, x_net)``
+        (reference trainer.py:823). The jitted train step differentiates
+        THIS method with ``jax.value_and_grad``, so subclass overrides take
+        effect — backward/step happen outside, in the optimizer update (the
+        reference's ``loss.backward()`` has no functional analogue).
+        Must stay jax-traceable (no Python side effects on traced values).
+        """
+        x_net = self.model_inference(
+            y, physics, model=model, train=True,
+            key=jax.random.fold_in(key, 0x7FFFFFFF) if key is not None else None,
+        )
+        total = 0.0
+        for i, l in enumerate(self.losses):
+            li = l(
+                x_net=x_net, x=x, y=y, physics=physics, model=model,
+                key=jax.random.fold_in(key, i) if key is not None else None,
+            )
+            total = total + jnp.mean(li)
+        return total, x_net
+
     # -- jitted step ------------------------------------------------------
     def _build_train_step(self):
         optimizer = self.optimizer
-        losses = self.losses
-
-        def loss_fn(model, x, y, physics, key):
-            if getattr(model, "train_aware", False):
-                # adapted models (e.g. SplittingModel) draw their split from
-                # the step key and run in train mode for the logged x_net
-                x_net = model(
-                    y, physics, train=True,
-                    key=jax.random.fold_in(key, 0x7FFFFFFF) if key is not None else None,
-                )
-            else:
-                x_net = model(y, physics)
-            total = 0.0
-            for i, l in enumerate(losses):
-                li = l(
-                    x_net=x_net, x=x, y=y, physics=physics, model=model,
-                    key=jax.random.fold_in(key, i) if key is not None else None,
-                )
-                total = total + jnp.mean(li)
-            return total, x_net
 
         def train_step(model, opt_state, x, y, physics, key):
-            (loss, x_net), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                model, x, y, physics, key
-            )
+            (loss, x_net), grads = jax.value_and_grad(
+                self.compute_loss, has_aux=True
+            )(model, x, y, physics, key)
             updates, opt_state = optimizer.update(grads, opt_state, model)
             model = jax.tree_util.tree_map(
                 lambda m, u: m + u, model, updates
@@ -246,28 +259,37 @@ class Trainer:
         return jax.jit(train_step)
 
     # -- sample handling --------------------------------------------------
+    def get_samples_online(self, batch, physics, key):
+        """Draw fresh measurements ``y = physics(x)`` each step, resampling
+        generator parameters (reference trainer.py:656)."""
+        x = jnp.asarray(batch[0] if isinstance(batch, (tuple, list)) else batch)
+        kg, kn = jax.random.split(key)
+        if self.physics_generator is not None:
+            params = self.physics_generator.step(x.shape[0], key=kg)
+            physics = physics.update(**params)
+        y = self._measure(physics, x, kn)
+        return x, y, physics
+
+    def get_samples_offline(self, batch, physics):
+        """Read stored ``(x, y[, params])`` pairs, e.g. from
+        :class:`HDF5Dataset` (reference trainer.py:703)."""
+        if not isinstance(batch, (tuple, list)) or len(batch) < 2:
+            raise ValueError(
+                "offline training requires (x, y) or (x, y, params) batches"
+            )
+        x = jnp.asarray(batch[0])
+        y = jnp.asarray(batch[1])
+        if len(batch) > 2 and isinstance(batch[2], dict):
+            physics = physics.update(
+                **{k: jnp.asarray(v) for k, v in batch[2].items()}
+            )
+        return x, y, physics
+
     def get_samples(self, batch, physics, key):
         """Normalize a batch to (x, y, physics) (reference trainer.py:766)."""
         if self.online_measurements:
-            x = jnp.asarray(batch[0] if isinstance(batch, (tuple, list)) else batch)
-            kg, kn = jax.random.split(key)
-            if self.physics_generator is not None:
-                params = self.physics_generator.step(x.shape[0], key=kg)
-                physics = physics.update(**params)
-            y = self._measure(physics, x, kn)
-            return x, y, physics
-        else:
-            if not isinstance(batch, (tuple, list)) or len(batch) < 2:
-                raise ValueError(
-                    "offline training requires (x, y) or (x, y, params) batches"
-                )
-            x = jnp.asarray(batch[0])
-            y = jnp.asarray(batch[1])
-            if len(batch) > 2 and isinstance(batch[2], dict):
-                physics = physics.update(
-                    **{k: jnp.asarray(v) for k, v in batch[2].items()}
-                )
-            return x, y, physics
+            return self.get_samples_online(batch, physics, key)
+        return self.get_samples_offline(batch, physics)
 
     # -- training loop ----------------------------------------------------
     def train(self):
@@ -472,6 +494,31 @@ class Trainer:
         self.loss_history = payload["loss_history"]
         self.eval_metrics_history = payload.get("eval_metrics_history", {})
         return self
+
+    def save_best_model(self):
+        """Write the best-so-far model to ``save_path/ckp_best.pkl``
+        (reference trainer.py:1233; called automatically during train)."""
+        if not self.save_path:
+            raise ValueError("save_best_model requires save_path")
+        if self.best_model is not None:
+            model, self.model = self.model, self.best_model
+            try:
+                self.save_model(os.path.join(self.save_path, "ckp_best.pkl"))
+            finally:
+                self.model = model
+
+    def load_best_model(self):
+        """Restore the best model tracked during training — in memory if
+        available, else from ``save_path/ckp_best.pkl`` (reference
+        trainer.py:1269)."""
+        if self.best_model is not None:
+            self.model = self.best_model
+            return self
+        if self.save_path:
+            path = os.path.join(self.save_path, "ckp_best.pkl")
+            if os.path.exists(path):
+                return self.load_model(path)
+        raise ValueError("no best model tracked (train with eval_dataloader)")
 
 
 def test(model, test_dataloader, physics, metrics=None, online_measurements=False, physics_generator=None, **kwargs):
