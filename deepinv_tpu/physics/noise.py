@@ -71,6 +71,25 @@ class NoiseModel(Module):
         """Functional analogue of the reference's rng reseeding."""
         return self.replace(seed=seed) if "seed" in self.__dict__ else self
 
+    def reset_rng(self) -> "NoiseModel":
+        """Reference ``reset_rng`` (noise.py:101): restore the initial rng
+        state. Key-based draws are already stateless, so this is the
+        identity — the same ``(seed, key)`` always reproduces the draw."""
+        return self
+
+    def rand_like(self, y, key=None):
+        """Uniform [0, 1) sample shaped like ``y`` (reference noise.py:122),
+        keyed by the model's seed when no key is given."""
+        return jax.random.uniform(ensure_key(key, self.seed), jnp.shape(y))
+
+    def randn_like(self, y, key=None):
+        """Standard normal sample shaped like ``y`` (reference noise.py:130)."""
+        return jax.random.normal(ensure_key(key, self.seed), jnp.shape(y))
+
+    def update_parameters(self, **params) -> "NoiseModel":
+        """Reference-named alias of the functional :meth:`update`."""
+        return self.update(**params)
+
 
 class _ChainedNoise(NoiseModel):
     def __init__(self, outer: NoiseModel, inner: NoiseModel):

@@ -117,6 +117,26 @@ class Transform(Module):
     def identity(self, x):
         return x
 
+    def iterate_params(self, params: dict) -> list:
+        """Expand drawn parameters into all singleton combinations
+        (reference base.py:252) — e.g. full-group averaging in
+        ``EquivariantDenoiser`` enumerates every element once instead of
+        Monte-Carlo sampling. Host-side (trace-time) enumeration."""
+        from itertools import product
+        import numpy as np
+
+        keys = list(params.keys())
+        negs = [getattr(params[k], "_neg", None) for k in keys]
+        lists = [np.asarray(params[k]).ravel().tolist() for k in keys]
+        out = []
+        for comb in product(*lists):
+            d = {}
+            for i, k in enumerate(keys):
+                v = jnp.asarray([comb[i]])
+                d[k] = v if negs[i] is None else TransformParam(v, neg=negs[i])
+            out.append(d)
+        return out
+
     def symmetrize(self, f, average: bool = True):
         """Return the symmetrized function x -> mean_t t^{-1}(f(t(x)))
         (reference base.py:259)."""
