@@ -262,14 +262,27 @@ class DynamicMRI(MRI):
     def V(self, y):
         return self.kspace_to_im(y, three_d=False)
 
+    def to_static(self, mask=None) -> "MRI":
+        """Static MRI with the time-collapsed mask (reference mri.py:612):
+        the union (clipped sum) of the per-frame masks, or ``mask``."""
+        if mask is None:
+            m = self.mask
+            mask = jnp.clip(jnp.sum(m, axis=-3), 0.0, 1.0) if m is not None else None
+        img_size = tuple(mask.shape[-2:]) if mask is not None else (320, 320)
+        return MRI(mask=mask, img_size=img_size,
+                   noise_model=self.noise_model)
+
 
 class SequentialMRI(DynamicMRI):
     r"""Sequential sampling MRI: time-varying masks whose union gives a single
     static image (reference mri.py:627)."""
 
     def average(self, y, mask=None):
-        """Average the time dim weighted by the mask (TimeMixin.average)."""
+        """Average the time dim weighted by the mask (TimeMixin.average).
+
+        Time is axis -3 in both the (B, C, T, H, W) measurements and the
+        (possibly batchless) stored mask."""
         m = self.mask if mask is None else mask
-        num = jnp.sum(y, axis=2)
-        den = jnp.clip(jnp.sum(m, axis=2), 1e-6, None)
+        num = jnp.sum(y, axis=-3)
+        den = jnp.clip(jnp.sum(m, axis=-3), 1e-6, None)
         return num / den
