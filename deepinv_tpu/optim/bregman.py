@@ -24,6 +24,11 @@ class Bregman(Potential):
             - jnp.vdot(self.grad(y), x - y).real
         )
 
+    def MD_step(self, x, grad, *args, gamma: float = 1.0, **kwargs):
+        """One mirror-descent step ``grad_conj(grad(x) - gamma * grad)``
+        (reference bregman.py:36)."""
+        return self.grad_conj(self.grad(x, *args, **kwargs) - gamma * grad)
+
 
 class BregmanL2(Bregman):
     """h(x) = 0.5||x||^2; mirror descent reduces to GD (bregman.py:50)."""

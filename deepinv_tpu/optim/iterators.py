@@ -67,6 +67,9 @@ class OptimIterator(Module):
     def relaxation(self, u, v, beta):
         return beta * u + (1 - beta) * v
 
+    # reference-named alias (optim_iterator.py relaxation_step)
+    relaxation_step = relaxation
+
     def __call__(self, X, data_fidelity, prior, params, y, physics):
         raise NotImplementedError
 

@@ -48,6 +48,14 @@ class Potential(Module):
     def conjugate(self, x, *args, **kwargs):
         raise NotImplementedError
 
+    def grad_conj(self, x, *args, **kwargs):
+        """Gradient of the convex conjugate (reference potential.py:74);
+        autodiff of :meth:`conjugate` by default (for convex differentiable
+        potentials this is the inverse of :meth:`grad`)."""
+        return jax.grad(
+            lambda u: jnp.sum(self.conjugate(u, *args, **kwargs))
+        )(x)
+
     def prox_conjugate(self, x, *args, gamma=1.0, lamb=1.0, **kwargs):
         r"""Moreau decomposition: prox_{gamma (lamb f)^*}(x) =
         x - gamma prox_{lamb f / gamma}(x / gamma) (potential.py:139)."""

@@ -13,7 +13,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core import Module
+from ..core import Module, tree_norm
 from ..core.rng import ensure_key
 from ..optim.data_fidelity import L2
 from .iterators import SamplingIterator, ULAIterator, SKRockIterator
@@ -41,6 +41,7 @@ class BaseSampling(Module):
         burnin_ratio: float = 0.2,
         thinning: int = 1,
         thresh_conv: float = 1e-3,
+        history_size: int = 5,
         verbose: bool = False,
     ):
         self.iterator = iterator
@@ -50,7 +51,12 @@ class BaseSampling(Module):
         self.burnin_ratio = burnin_ratio
         self.thinning = thinning
         self.thresh_conv = thresh_conv
+        self.history_size = history_size
         self.verbose = verbose
+        # populated by sample() (reference sampling.py:102,109)
+        self.mean_convergence = False
+        self.var_convergence = False
+        self.history = []
 
     def sample(self, y, physics, x_init=None, key=None, seed: int = 0):
         """Run the chain; returns (mean, var) of included samples."""
@@ -61,13 +67,16 @@ class BaseSampling(Module):
         burnin = int(self.max_iter * self.burnin_ratio)
 
         zeros = jnp.zeros_like(x_init)
-        carry0 = (X0, zeros, zeros, jnp.asarray(0.0))
+        hsize = max(int(self.history_size or 0), 0)
+        ring0 = jnp.zeros((max(hsize, 1),) + x_init.shape, x_init.dtype)
+        carry0 = (X0, zeros, zeros, jnp.asarray(0.0), ring0,
+                  jnp.asarray(jnp.inf), jnp.asarray(jnp.inf))
 
         keys = jax.random.split(key, self.max_iter)
         its = jnp.arange(self.max_iter)
 
         def body(carry, inp):
-            X, mean, m2, count = carry
+            X, mean, m2, count, ring, dmean, dvar = carry
             k, it = inp
             X = self.iterator(
                 X, y, physics, self.data_fidelity, self.prior, it, k
@@ -80,11 +89,50 @@ class BaseSampling(Module):
             delta = x - mean
             mean_new = mean + include * delta / jnp.maximum(count_new, 1.0)
             m2_new = m2 + include * delta * (x - mean_new)
-            return (X, mean_new, m2_new, count_new), None
+            # last-samples ring buffer (the reference's deque history)
+            if hsize:
+                slot = (jnp.maximum(count_new - 1.0, 0.0) % hsize).astype(jnp.int32)
+                new_ring = jax.lax.dynamic_update_index_in_dim(ring, x, slot, 0)
+                ring = jnp.where(include > 0, new_ring, ring)
+            # relative change of the running statistics at included steps
+            # (drives mean/var_has_converged, reference sampling.py:269)
+            eps = 1e-12
+            dm = tree_norm(mean_new - mean) / (tree_norm(mean_new) + eps)
+            dv = tree_norm(m2_new - m2) / (tree_norm(m2_new) + eps)
+            dmean = jnp.where(include > 0, dm, dmean)
+            dvar = jnp.where(include > 0, dv, dvar)
+            return (X, mean_new, m2_new, count_new, ring, dmean, dvar), None
 
-        (Xf, mean, m2, count), _ = jax.lax.scan(body, carry0, (keys, its))
+        (Xf, mean, m2, count, ring, dmean, dvar), _ = jax.lax.scan(
+            body, carry0, (keys, its)
+        )
         var = m2 / jnp.maximum(count - 1.0, 1.0)
+        # host-side bookkeeping (sample() is an eager entry point)
+        if not isinstance(mean, jax.core.Tracer):
+            n_kept = int(count)
+            if hsize and n_kept:
+                k_avail = min(hsize, n_kept)
+                start = n_kept % hsize
+                order = [(start - k_avail + i) % hsize for i in range(k_avail)]
+                self.history = [ring[i] for i in order]
+            self.mean_convergence = bool(dmean < self.thresh_conv)
+            self.var_convergence = bool(dvar < self.thresh_conv)
         return mean, var
+
+    # -- reference chain/diagnostics API (sampling.py:300-348) -------------
+    def get_chain(self):
+        """Last ``history_size`` included samples, oldest first."""
+        return list(self.history)
+
+    def mean_has_converged(self) -> bool:
+        """Whether the running mean moved < ``thresh_conv`` (relative) at
+        the last included sample."""
+        return self.mean_convergence
+
+    def var_has_converged(self) -> bool:
+        """Whether the running variance moved < ``thresh_conv`` (relative)
+        at the last included sample."""
+        return self.var_convergence
 
     def __call__(self, y, physics, x_init=None, key=None, seed: int = 0):
         mean, _ = self.sample(y, physics, x_init=x_init, key=key, seed=seed)
