@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .base import DecomposablePhysics, LinearPhysics
 
@@ -244,6 +245,94 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
         if self.noise_model is None:
             return y
         return self.noise_model(y, key=key) * self.mask[:, :, None]
+
+    # -- coil-map utilities (reference mri.py:399,419 — via sigpy there;
+    # implemented natively here, no external dependency) -------------------
+    def simulate_birdcage_csm(self, n_coils: int):
+        """Analytic birdcage coil sensitivity maps (N, H, W) complex64:
+        each coil is an inverse-distance field from a point on a circle of
+        radius 1.5 FOV around the image, with a rotating phase — the
+        standard birdcage phantom model (reference mri.py:399)."""
+        return birdcage_maps(n_coils, self.img_size)
+
+    @staticmethod
+    def estimate_coil_maps(y, calib_size: int = 24, kernel_size: int = 6,
+                           thresh: float = 0.02, espirit_crop: float = 0.95):
+        """ESPIRiT coil-map estimation (Uecker et al. 2014; reference
+        mri.py:419 wraps sigpy — this is a native batched JAX
+        implementation). Calibration-matrix nullspace kernels are
+        eigen-decomposed per pixel; the top eigenvector (phase-aligned to
+        coil 0) is the sensitivity, cropped where the eigenvalue falls
+        below ``espirit_crop``.
+
+        :param y: multicoil k-space, complex (B, N, H, W) or real-pair
+            (B, 2, N, H, W).
+        :return: complex coil maps (B, N, H, W).
+        """
+        y = jnp.asarray(y)
+        if not jnp.iscomplexobj(y):
+            y = y[:, 0] + 1j * y[:, 1]
+        B, N, H, W = y.shape
+        k = kernel_size
+        cs = min(calib_size, H, W)
+
+        def cfft2(a):  # centered forward FFT over the trailing two axes
+            return jnp.fft.fftshift(
+                jnp.fft.fft2(jnp.fft.ifftshift(a, axes=(-2, -1))),
+                axes=(-2, -1),
+            )
+
+        def one(yk):
+            # central auto-calibration block of the centered k-space
+            calib = yk[:, (H - cs) // 2:(H + cs) // 2,
+                       (W - cs) // 2:(W + cs) // 2]
+            # block-Hankel calibration matrix: sliding k x k windows
+            p = jax.lax.conv_general_dilated_patches(
+                calib[None], (k, k), (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )[0]  # (N*k*k, L)
+            A = p.reshape(N * k * k, -1).T  # (L, N*k*k)
+            _, s, vh = jnp.linalg.svd(A, full_matrices=False)
+            keep = (s > thresh * s[0]).astype(yk.real.dtype)  # (R,)
+            # signal-space kernels -> image domain: flip, center-place in
+            # the full grid, centered forward DFT, sqrt(HW)/k scaling so
+            # the per-pixel top eigenvalue is ~1 inside the support
+            kernels = vh.reshape(-1, N, k, k)[..., ::-1, ::-1]
+            pad = jnp.zeros(kernels.shape[:2] + (H, W), kernels.dtype)
+            r0, c0 = (H - k) // 2, (W - k) // 2
+            pad = pad.at[..., r0:r0 + k, c0:c0 + k].set(kernels)
+            M = cfft2(pad) * (jnp.sqrt(H * W) / k)  # (R, N, H, W)
+            M = M * keep[:, None, None, None]
+            # per-pixel N x N Gram M M^H and its leading eigenpair
+            Mp = jnp.transpose(M, (2, 3, 1, 0)).reshape(H * W, N, -1)
+            gram = jnp.einsum("pnr,pmr->pnm", Mp, jnp.conj(Mp))
+            evals, evecs = jnp.linalg.eigh(gram)
+            lam = evals[:, -1]
+            v = evecs[:, :, -1]  # (HW, N)
+            phase = jnp.exp(-1j * jnp.angle(v[:, :1]))
+            v = v * phase
+            v = v * (lam[:, None] > espirit_crop)
+            return v.T.reshape(N, H, W)
+
+        return jnp.stack([one(y[b]) for b in range(B)])
+
+
+def birdcage_maps(n_coils: int, shape, r: float = 1.5):
+    """(N, H, W) complex64 birdcage coil sensitivities (the sigpy model
+    the reference depends on, computed analytically)."""
+    H, W = shape[-2:]
+    c = np.arange(n_coils)
+    yy, xx = np.mgrid[0:H, 0:W]
+    x_co = (xx - W / 2.0) / W * 2
+    y_co = (yy - H / 2.0) / H * 2
+    coilx = r * np.cos(c * 2 * np.pi / n_coils)[:, None, None]
+    coily = r * np.sin(c * 2 * np.pi / n_coils)[:, None, None]
+    coil_phs = (-c * 2 * np.pi / n_coils)[:, None, None]
+    rr = np.sqrt((x_co[None] - coilx) ** 2 + (y_co[None] - coily) ** 2)
+    phi = np.arctan2(x_co[None] - coilx, -(y_co[None] - coily)) + coil_phs
+    out = (1.0 / rr) * np.exp(1j * phi)
+    rss = np.sqrt(np.sum(np.abs(out) ** 2, axis=0))
+    return jnp.asarray((out / rss).astype(np.complex64))
 
 
 class DynamicMRI(MRI):

@@ -49,8 +49,18 @@ class PhaseRetrieval(Physics):
     def B_adjoint(self, y, **params):
         return self.B.A_adjoint(y, **params)
 
+    def A_adjoint(self, y, **params):
+        """Adjoint of the underlying linear ``B`` (reference
+        phase_retrieval.py:63 — used as a cheap linear backprojection)."""
+        return self.B_adjoint(y, **params)
+
     def B_dagger(self, y, **params):
         return self.B.A_dagger(y, **params)
+
+    def release_memory(self):
+        """Reference API (phase_retrieval.py:101 frees the CUDA matrix);
+        no-op here — XLA buffers are freed when the pytree is dropped."""
+        return self
 
     def A_dagger(self, y, key=None, **params):
         """Spectral-method initialization (reference :52)."""
@@ -101,6 +111,12 @@ class RandomPhaseRetrieval(PhaseRetrieval):
         super().__init__(_DenseB(mat), **kwargs)
         self.m = m
         self.img_size = img_size
+
+    def get_A_squared_mean(self):
+        """E[|B_ij|^2] of the sensing matrix (reference
+        phase_retrieval.py:179 — spectral-method normalization)."""
+        a = self.B.mat
+        return jnp.var(a) + jnp.abs(jnp.mean(a)) ** 2
 
 
 class StructuredRandomPhaseRetrieval(PhaseRetrieval):

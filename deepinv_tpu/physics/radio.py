@@ -89,6 +89,11 @@ class RadioInterferometry(LinearPhysics):
             return out
         return self.A_adjoint(self.A(x, **params), **params)
 
+    def setWeight(self, w) -> "RadioInterferometry":
+        """Return a copy with new per-visibility weights (reference
+        radio.py:98; functional — pytrees are immutable)."""
+        return self.replace(dataWeight=jnp.asarray(w))
+
     def A(self, x, **params):
         if x.ndim == 4:  # (B, C, H, W) -> treat channels as batch
             y = nufft2(x, self.samples_loc, J=self.J, osf=self.osf)

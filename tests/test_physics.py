@@ -910,3 +910,43 @@ def test_physics_base_jacobian_api():
     assert p4.solver == "BiCGStab" and p.solver != "BiCGStab"
     c = p2.clone()
     assert c is not p2 and c.noise_model is not None
+
+
+def test_multicoil_coil_map_estimation():
+    """Native birdcage simulation + ESPIRiT estimation (reference
+    mri.py:399,419 delegate to sigpy): estimated maps span the true coil
+    signal direction (projection residual < 1%) and magnitudes match the
+    simulated sensitivities inside the object support."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deepinv_tpu.physics import MultiCoilMRI
+    from deepinv_tpu.datasets import shepp_logan
+
+    H = W = 64
+    p = MultiCoilMRI(mask=jnp.ones((H, W)), img_size=(H, W), coil_maps=4)
+    maps = p.simulate_birdcage_csm(8)
+    assert maps.shape == (8, H, W) and maps.dtype == jnp.complex64
+    rss = jnp.sqrt(jnp.sum(jnp.abs(maps) ** 2, axis=0))
+    assert float(jnp.max(jnp.abs(rss - 1.0))) < 1e-5
+
+    x = jnp.asarray(shepp_logan(W), jnp.complex64)
+    coils = maps * x[None]
+    yk = jnp.fft.fftshift(
+        jnp.fft.fft2(jnp.fft.ifftshift(coils, axes=(-2, -1)), norm="ortho"),
+        axes=(-2, -1),
+    )[None]
+    est = MultiCoilMRI.estimate_coil_maps(yk, calib_size=24)
+    assert est.shape == (1, 8, H, W)
+
+    sup = np.abs(np.asarray(x)) > 0.1
+    v = np.asarray(est[0])
+    lam_nonzero = np.abs(v).sum(0) > 0  # cropped where eigenvalue < 0.95
+    good = lam_nonzero & sup
+    assert good.sum() > 0.9 * sup.sum()  # support almost fully calibrated
+    c = np.asarray(coils)
+    xh = (np.conj(v) * c).sum(0)
+    res = np.linalg.norm((c - v * xh)[:, good]) / np.linalg.norm(c[:, good])
+    assert res < 0.01, res
+    magerr = np.abs(np.abs(v)[:, good] - np.abs(np.asarray(maps))[:, good])
+    assert magerr.mean() < 0.01
