@@ -133,12 +133,52 @@ class WaveletDenoiser(Denoiser):
             return jnp.sign(c) * jnp.maximum(jnp.abs(c) - ths, 0.0)
         elif self.non_linearity == "hard":
             return jnp.where(jnp.abs(c) > ths, c, 0.0)
+        elif self.non_linearity == "topk":
+            return self.hard_threshold_topk(c, ths)
         raise ValueError(self.non_linearity)
+
+    @staticmethod
+    def hard_threshold_topk(c, ths):
+        """Keep each band's top-k coefficients (reference wavdict.py:266):
+        ``ths`` < 1 is a fraction of the band size, >= 1 an absolute count.
+        Static k — jit-compatible."""
+        B = c.shape[0]
+        flat = jnp.abs(c.reshape(B, -1))
+        n = flat.shape[1]
+        frac = float(ths) if not hasattr(ths, "ndim") else float(jnp.ravel(ths)[0])
+        k = int(frac) if frac >= 1 else max(1, int(frac * n))
+        k = min(k, n)
+        kth = -jnp.sort(-flat, axis=1)[:, k - 1]
+        kth = kth.reshape((B,) + (1,) * (c.ndim - 1))
+        return jnp.where(jnp.abs(c) >= kth, c, 0.0)
+
+    def prox_l1(self, x, ths=0.1):
+        """Soft-threshold all detail coefficients (reference wavdict.py:228)."""
+        t = self.wt.dwt2(x)
+        t = self.wt.map_detail(
+            t, lambda c: jnp.sign(c) * jnp.maximum(jnp.abs(c) - ths, 0.0))
+        return self.wt.idwt2(t)
+
+    def prox_l0(self, x, ths=0.1):
+        """Hard-threshold all detail coefficients (reference wavdict.py:253)."""
+        t = self.wt.dwt2(x)
+        t = self.wt.map_detail(t, lambda c: jnp.where(jnp.abs(c) > ths, c, 0.0))
+        return self.wt.idwt2(t)
+
+    def psi(self, x):
+        """Flattened wavelet coefficients (approximation + details), the
+        analysis operator used by ``WaveletPrior`` (reference wavdict.py
+        ``psi``)."""
+        t = self.wt.dwt2(x)
+        a = t["coeffs"][0].reshape(x.shape[0], -1)
+        return jnp.concatenate([a, self.wt.flat_coeffs(t)], axis=1)
 
     def __call__(self, x, sigma=0.1, **kwargs):
         ths = jnp.asarray(sigma)
         if ths.ndim > 0:  # per-batch thresholds broadcast over coefficients
             ths = ths.reshape((-1,) + (1,) * (x.ndim - 1))
+        if self.non_linearity == "topk":
+            ths = sigma  # fraction/count, consumed statically
         t = self.wt.dwt2(x)
         t = self.wt.map_detail(t, lambda c: self._threshold(c, ths))
         return self.wt.idwt2(t)

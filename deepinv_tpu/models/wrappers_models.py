@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from ..core import Module
 from ..core.rng import ensure_key
 from .base import Denoiser, Reconstructor
+from ..utils.mixins import TimeMixin
 
 __all__ = [
     "GSDRUNet",
@@ -93,7 +94,7 @@ class EquivariantDenoiser(Denoiser):
         return f(x, key=key)
 
 
-class TimeAgnosticNet(Reconstructor):
+class TimeAgnosticNet(Reconstructor, TimeMixin):
     r"""Apply a 2D network frame-by-frame to (B, C, T, H, W) data
     (reference dynamic.py:101 TimeAgnosticNet): flatten time into batch."""
 
@@ -107,7 +108,7 @@ class TimeAgnosticNet(Reconstructor):
         return jnp.moveaxis(out.reshape(B, T, C, H, W), 1, 2)
 
 
-class TimeAveragingNet(Reconstructor):
+class TimeAveragingNet(Reconstructor, TimeMixin):
     r"""Average the time dimension then apply a 2D network
     (reference dynamic.py TimeAveragingNet)."""
 

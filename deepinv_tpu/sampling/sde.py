@@ -61,66 +61,71 @@ class BaseSDE(Module):
         g = self.diffusion(t)
         return f, g
 
+    def sample(self, x_init, solver: "BaseSDESolver", key=None, seed: int = 0):
+        """Integrate the SDE from ``x_init`` with ``solver`` (reference
+        BaseSDE.sample, diffusion_sde.py)."""
+        return solver.sample(self, x_init, key=key, seed=seed)
+
 
 class BaseSDESolver(Module):
     """Base class for SDE solvers (reference sde_solver.py BaseSDESolver):
-    holds the (static) time grid and the ``sample`` protocol."""
+    holds the (static) time grid, the single ``step``, and the ``sample``
+    scan over the grid."""
 
     def __init__(self, timesteps, rng_seed: int = 0):
         self.timesteps = jnp.asarray(timesteps, jnp.float32)
 
-    def sample(self, sde, x_init, key=None, seed: int = 0):
+    def step(self, sde, x, t, dt, key):
+        """One stochastic step ``t -> t + dt`` (reference sde_solver.py
+        ``step``)."""
         raise NotImplementedError
+
+    def sample(self, sde, x_init, key=None, seed: int = 0):
+        """Scan :meth:`step` over the time grid — one XLA program."""
+        key = ensure_key(key, seed)
+        ts = self.timesteps
+        dts = ts[1:] - ts[:-1]
+        keys = jax.random.split(key, dts.shape[0])
+
+        def body(x, inp):
+            k, t, dt = inp
+            return self.step(sde, x, t, dt, k), None
+
+        x, _ = jax.lax.scan(body, x_init, (keys, ts[:-1], dts))
+        return x
 
 
 class EulerSolver(BaseSDESolver):
     """Euler-Maruyama (reference sde_solver.py:202)."""
 
-    def sample(self, sde: BaseSDE, x_init, key=None, seed: int = 0):
-        key = ensure_key(key, seed)
-        ts = self.timesteps
-        dts = ts[1:] - ts[:-1]
-        keys = jax.random.split(key, dts.shape[0])
-
-        def body(x, inp):
-            k, t, dt = inp
-            f = sde.drift(x, t)
-            g = sde.diffusion(t)
-            z = jax.random.normal(k, x.shape, x.dtype)
-            x = x + f * dt + g * jnp.sqrt(jnp.abs(dt)) * z
-            return x, None
-
-        x, _ = jax.lax.scan(body, x_init, (keys, ts[:-1], dts))
-        return x
+    def step(self, sde: BaseSDE, x, t, dt, key):
+        f = sde.drift(x, t)
+        g = sde.diffusion(t)
+        z = jax.random.normal(key, x.shape, x.dtype)
+        return x + f * dt + g * jnp.sqrt(jnp.abs(dt)) * z
 
 
 class HeunSolver(BaseSDESolver):
     """Heun 2nd-order stochastic solver (reference sde_solver.py:231)."""
 
-    def sample(self, sde: BaseSDE, x_init, key=None, seed: int = 0):
-        key = ensure_key(key, seed)
-        ts = self.timesteps
-        dts = ts[1:] - ts[:-1]
-        keys = jax.random.split(key, dts.shape[0])
-
-        def body(x, inp):
-            k, t, dt = inp
-            z = jax.random.normal(k, x.shape, x.dtype)
-            g = sde.diffusion(t)
-            noise = g * jnp.sqrt(jnp.abs(dt)) * z
-            f1 = sde.drift(x, t)
-            x_pred = x + f1 * dt + noise
-            f2 = sde.drift(x_pred, t + dt)
-            x = x + 0.5 * (f1 + f2) * dt + noise
-            return x, None
-
-        x, _ = jax.lax.scan(body, x_init, (keys, ts[:-1], dts))
-        return x
+    def step(self, sde: BaseSDE, x, t, dt, key):
+        z = jax.random.normal(key, x.shape, x.dtype)
+        g = sde.diffusion(t)
+        noise = g * jnp.sqrt(jnp.abs(dt)) * z
+        f1 = sde.drift(x, t)
+        x_pred = x + f1 * dt + noise
+        f2 = sde.drift(x_pred, t + dt)
+        return x + 0.5 * (f1 + f2) * dt + noise
 
 
 class DiffusionSDE(BaseSDE):
     r"""Reverse-time diffusion with a score from a denoiser via Tweedie
     (reference diffusion_sde.py:~200)."""
+
+    def sample_init(self, shape, key):
+        """Draw from the prior at the initial (largest-noise) time
+        (reference ``sample_init``; alias of :meth:`prior_sample`)."""
+        return self.prior_sample(shape, key)
 
     def __init__(self, denoiser, sigma_t: Callable, sigma_deriv: Callable,
                  alpha=1.0):

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import Module
+from ..utils.mixins import TimeMixin
 from ..core.rng import ensure_key
 
 __all__ = ["Transform", "Identity", "TransformParam"]
@@ -69,7 +70,7 @@ class TransformParam:
         return f"TransformParam({self.p!r})"
 
 
-class Transform(Module):
+class Transform(Module, TimeMixin):
     """Base class for random group-action transforms.
 
     :param n_trans: number of transformed versions generated per call.
