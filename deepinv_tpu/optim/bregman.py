@@ -11,7 +11,12 @@ __all__ = ["Bregman", "BregmanL2", "BurgEntropy", "NegEntropy", "Bregman_ICNN"]
 
 
 class Bregman(Potential):
-    """Base Bregman potential h (bregman.py:7): needs grad and grad_conj."""
+    """Base Bregman potential h (bregman.py:7): needs grad and grad_conj.
+    ``Bregman(phi=callable)`` wraps a plain potential; its gradient comes
+    from autodiff and ``grad_conj`` must then be supplied or overridden."""
+
+    def __init__(self, phi=None):
+        super().__init__(fn=phi)
 
     def grad_conj(self, xi, *args, **kwargs):
         raise NotImplementedError

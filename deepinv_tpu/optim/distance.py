@@ -26,9 +26,16 @@ def _batch_sum(v):
 
 
 class Distance(Potential):
-    """Base distance (reference distance.py:8)."""
+    """Base distance (reference distance.py:8); ``Distance(d=callable)``
+    wraps a plain ``d(u, y)`` without subclassing."""
+
+    def __init__(self, d=None):
+        super().__init__(fn=d)
 
     def fn(self, u, y, *args, **kwargs):
+        f = getattr(self, "_custom_fn", None)
+        if f is not None:
+            return f(u, y, *args, **kwargs)
         raise NotImplementedError
 
     def __call__(self, u, y, *args, **kwargs):

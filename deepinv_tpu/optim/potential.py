@@ -17,10 +17,17 @@ __all__ = ["Potential"]
 
 
 class Potential(Module):
-    def __init__(self):
-        pass
+    """Base potential; pass ``fn`` to wrap a plain callable without
+    subclassing (reference potential.py:13 ``Potential(fn=...)``)."""
+
+    def __init__(self, fn=None):
+        if fn is not None:
+            self._custom_fn = fn
 
     def fn(self, x, *args, **kwargs):
+        f = getattr(self, "_custom_fn", None)
+        if f is not None:
+            return f(x, *args, **kwargs)
         raise NotImplementedError
 
     def __call__(self, x, *args, **kwargs):

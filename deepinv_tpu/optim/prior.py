@@ -34,11 +34,18 @@ def _batch_sum(v):
 
 class Prior(Potential):
     r"""Base prior (prior.py:18). ``explicit_prior`` marks priors with an
-    accessible cost function."""
+    accessible cost function. ``Prior(g=callable)`` wraps a plain cost
+    function without subclassing (the reference's custom-prior idiom)."""
 
     explicit_prior = True
 
+    def __init__(self, g=None):
+        super().__init__(fn=g)
+
     def fn(self, x, *args, **kwargs):
+        f = getattr(self, "_custom_fn", None)
+        if f is not None:
+            return f(x, *args, **kwargs)
         raise NotImplementedError
 
     def grad(self, x, sigma_denoiser=None, *args, **kwargs):
