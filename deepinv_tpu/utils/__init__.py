@@ -1,6 +1,9 @@
 from .logger import AverageMeter, ProgressMeter, CSVLogger
 from .plotting import plot, plot_curves, plot_parameters, plot_inset, scatter_plot, rescale_img
-from .mixins import TimeMixin, TiledMixin2d, tiled_apply
+from .mixins import (
+    TimeMixin, TiledMixin2d, tiled_apply, image_to_patches, patches_to_image,
+    patchify,
+)
 from .io import DownloadError, load_np, load_mat, load_tiff, load_url, load_example, get_cache_home, get_data_home
 from .profiling import trace, compiled_cost, timeit
 from .decorators import (
@@ -10,8 +13,7 @@ from .decorators import (
 from .functional import (
     complex_abs, dirac, dirac_like, dirac_comb, dirac_comb_like,
     ones_like, zeros_like, rand_like, randn_like, get_timestamp, get_device,
-    devices_equal, normalize_signal, image_to_patches, patches_to_image,
-    patchify, resize_pad_square_tensor,
+    devices_equal, normalize_signal, resize_pad_square_tensor,
 )
 # cross-namespace conveniences matching reference deepinv.utils
 from ..core.tensorlist import TensorList

@@ -30,9 +30,6 @@ __all__ = [
     "get_device",
     "devices_equal",
     "normalize_signal",
-    "image_to_patches",
-    "patches_to_image",
-    "patchify",
     "resize_pad_square_tensor",
 ]
 
@@ -134,42 +131,6 @@ def normalize_signal(x, mode: str = "min_max"):
     return (x - lo) / jnp.clip(hi - lo, 1e-12, None)
 
 
-def image_to_patches(image, patch_size: int, stride: int | None = None):
-    """Split (B, C, H, W) into patches (B, n, C, p, p); H, W must be
-    divisible when stride == patch_size (reference patch_extractor.py:78)."""
-    stride = stride if stride is not None else patch_size
-    B, C, H, W = image.shape
-    p = patch_size
-    patches = jax.lax.conv_general_dilated_patches(
-        image, (p, p), (stride, stride), "VALID"
-    )  # (B, C*p*p, nH, nW)
-    n = patches.shape[-2] * patches.shape[-1]
-    patches = patches.reshape(B, C, p, p, n)
-    return jnp.moveaxis(patches, -1, 1)
-
-
-def patches_to_image(patches, img_size, stride: int | None = None):
-    """Inverse of :func:`image_to_patches` with overlap averaging."""
-    B, n, C, p, _ = patches.shape
-    H, W = img_size[-2:]
-    stride = stride if stride is not None else p
-    nH = (H - p) // stride + 1
-    nW = (W - p) // stride + 1
-    assert n == nH * nW
-    out = jnp.zeros((B, C, H, W), patches.dtype)
-    wgt = jnp.zeros((1, 1, H, W), patches.dtype)
-    idx = 0
-    for i in range(nH):
-        for j in range(nW):
-            sl = (slice(None), slice(None),
-                  slice(i * stride, i * stride + p), slice(j * stride, j * stride + p))
-            out = out.at[sl].add(patches[:, idx])
-            wgt = wgt.at[(slice(None), slice(None)) + sl[2:]].add(1.0)
-            idx += 1
-    return out / jnp.clip(wgt, 1.0, None)
-
-
-patchify = image_to_patches  # reference alias
 
 
 def resize_pad_square_tensor(x, size: int):

@@ -1,6 +1,6 @@
 """Mixins: temporal flattening and 2D tiled processing
 (reference deepinv/utils/mixins.py:19 TimeMixin, :290 TiledMixin2d;
-tiling core at utils/_tiling.py).
+tiling core at utils/_tiling.py, patch ops at utils/patch_extractor.py).
 """
 
 from __future__ import annotations
@@ -9,7 +9,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["TimeMixin", "TiledMixin2d", "tiled_apply"]
+__all__ = [
+    "TimeMixin",
+    "TiledMixin2d",
+    "tiled_apply",
+    "image_to_patches",
+    "patches_to_image",
+    "patchify",
+]
 
 
 class TimeMixin:
@@ -34,16 +41,153 @@ class TimeMixin:
         return x.reshape(B, C * T, H, W)
 
     @staticmethod
+    def wrap_flatten_C(f):
+        """Flatten time into channels, apply ``f``, unflatten back
+        (utils/mixins.py:63)."""
+
+        def wrapped(x, *args, **kwargs):
+            B, C, T, H, W = x.shape
+            out = f(TimeMixin.flatten_C(x), *args, **kwargs)
+            return out.reshape(-1, C, T, H, W)
+
+        return wrapped
+
+    @staticmethod
     def average(x, mask=None, axis: int = 2):
+        """Collapse the time axis by averaging over acquired (non-zero)
+        frames (utils/mixins.py:84): sum over time divided by the per-pixel
+        count of frames where ``mask`` (default: ``x != 0``) is non-zero;
+        zero where no frame contributes."""
         if mask is None:
-            return jnp.mean(x, axis=axis)
-        num = jnp.sum(x * mask, axis=axis)
-        den = jnp.clip(jnp.sum(mask, axis=axis), 1e-6, None)
-        return num / den
+            num = jnp.sum(x, axis=axis)
+            cnt = jnp.sum((x != 0).astype(x.dtype), axis=axis)
+        else:
+            num = jnp.sum(x * mask, axis=axis)
+            cnt = jnp.sum((mask != 0).astype(x.dtype), axis=axis)
+        return jnp.where(cnt != 0, num / jnp.where(cnt != 0, cnt, 1.0), 0.0)
 
     @staticmethod
     def repeat(x, target, axis: int = 2):
         return jnp.repeat(jnp.expand_dims(x, axis), target.shape[axis], axis=axis)
+
+    def to_static(self):
+        """Return a time-collapsed (static) version of this object.
+
+        Template method (utils/mixins.py:114) — concrete temporal physics
+        and time-aware nets override it.
+        """
+        raise NotImplementedError()
+
+
+def _as_pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (int(v), int(v))
+
+
+def _resolve_tiling_params(patch_size, stride=None):
+    """Normalize (patch_size, stride) pairs (utils/_tiling.py:10)."""
+    p = _as_pair(patch_size)
+    s = _as_pair(stride) if stride is not None else tuple(q // 2 for q in p)
+    if s[0] > p[0] or s[1] > p[1]:
+        raise ValueError(f"Stride {s} must be smaller or equal than patch_size {p}.")
+    return p, s
+
+
+def _compute_needed_pad(img_size, patch_size, stride):
+    n_h = abs(img_size[0] - patch_size[0]) // stride[0] + 1
+    n_w = abs(img_size[1] - patch_size[1]) // stride[1] + 1
+    pad_h = (patch_size[0] + n_h * stride[0] - img_size[0]) % stride[0]
+    pad_w = (patch_size[1] + n_w * stride[1] - img_size[1]) % stride[1]
+    return pad_h, pad_w
+
+
+def _compute_compatible_img_size(img_size, patch_size, stride):
+    ph, pw = _compute_needed_pad(img_size, patch_size, stride)
+    return img_size[0] + ph, img_size[1] + pw
+
+
+def _compute_num_patches(img_size, patch_size, stride, pad_if_needed):
+    size = (
+        _compute_compatible_img_size(img_size, patch_size, stride)
+        if pad_if_needed
+        else img_size
+    )
+    n_h = (size[0] - patch_size[0]) // stride[0] + 1
+    n_w = (size[1] - patch_size[1]) // stride[1] + 1
+    return n_h, n_w
+
+
+def image_to_patches(image, patch_size, stride=None, pad_if_needed=True,
+                     pad=(0, 0, 0, 0)):
+    """Split ``(B, C, H, W)`` into overlapping patches
+    ``(B, C, n_h, n_w, ph, pw)`` (utils/patch_extractor.py via _tiling.py:66).
+
+    ``pad`` = (left, right, top, bottom) extra context padding: enlarges the
+    effective patch size by the padding amounts, like the reference.
+    """
+    patch_size, stride = _resolve_tiling_params(patch_size, stride)
+    if image.ndim != 4:
+        raise ValueError(
+            f"Input image must have shape (B, C, H, W), got {tuple(image.shape)}."
+        )
+    extra = (pad,) * 4 if isinstance(pad, int) else tuple(pad)
+    if pad_if_needed:
+        pad_h, pad_w = _compute_needed_pad(image.shape[-2:], patch_size, stride)
+        full = (extra[0], extra[1] + pad_w, extra[2], extra[3] + pad_h)
+    else:
+        full = extra
+    if any(p > 0 for p in full):
+        image = jnp.pad(
+            image,
+            ((0, 0), (0, 0), (full[2], full[3]), (full[0], full[1])),
+        )
+    ph = patch_size[0] + extra[2] + extra[3]
+    pw = patch_size[1] + extra[0] + extra[1]
+    H, W = image.shape[-2:]
+    n_h = (H - ph) // stride[0] + 1
+    n_w = (W - pw) // stride[1] + 1
+    rows = []
+    for i in range(n_h):
+        cols = []
+        for j in range(n_w):
+            cols.append(
+                image[:, :, i * stride[0]: i * stride[0] + ph,
+                      j * stride[1]: j * stride[1] + pw]
+            )
+        rows.append(jnp.stack(cols, axis=2))
+    return jnp.stack(rows, axis=2)  # (B, C, n_h, n_w, ph, pw)
+
+
+def patches_to_image(patches, stride, img_size=None, reduce_overlap="sum"):
+    """Reassemble patches ``(B, C, n_h, n_w, ph, pw)`` into an image,
+    summing or averaging overlaps (utils/_tiling.py:101)."""
+    if reduce_overlap not in ("sum", "mean"):
+        raise ValueError(
+            f"Invalid reduce_overlap option: {reduce_overlap}. Must be 'sum' or 'mean'."
+        )
+    stride = _as_pair(stride)
+    B, C, n_h, n_w, ph, pw = patches.shape
+    H = ph + (n_h - 1) * stride[0]
+    W = pw + (n_w - 1) * stride[1]
+    out = jnp.zeros((B, C, H, W), patches.dtype)
+    cnt = jnp.zeros((1, 1, H, W), patches.dtype)
+    one = jnp.ones((1, 1, ph, pw), patches.dtype)
+    for i in range(n_h):
+        for j in range(n_w):
+            sl = (slice(None), slice(None),
+                  slice(i * stride[0], i * stride[0] + ph),
+                  slice(j * stride[1], j * stride[1] + pw))
+            out = out.at[sl].add(patches[:, :, i, j])
+            cnt = cnt.at[sl].add(one)
+    if reduce_overlap == "mean":
+        out = out / jnp.clip(cnt, 1.0, None)
+    if img_size is not None:
+        out = out[:, :, : img_size[0], : img_size[1]]
+    return out
+
+
+def patchify(image, patch_size, stride=None, pad_if_needed=True):
+    """Alias of :func:`image_to_patches` (patch_extractor.py:177)."""
+    return image_to_patches(image, patch_size, stride, pad_if_needed=pad_if_needed)
 
 
 def tiled_apply(fn, x, patch_size: int = 256, overlap: int = 64):
@@ -87,10 +231,49 @@ def tiled_apply(fn, x, patch_size: int = 256, overlap: int = 64):
 
 
 class TiledMixin2d:
-    """Patch-tiled inference helpers (utils/mixins.py:290)."""
+    """Overlapping-patch extraction / reconstruction helpers
+    (utils/mixins.py:290): ``image_to_patches`` → ``(B,C,n_h,n_w,ph,pw)``,
+    ``patches_to_image`` with sum/mean overlap reduction, plus the padding
+    geometry queries. ``apply_tiled`` adds cross-faded whole-image inference
+    on top (not in the reference, used by TiledSpaceVaryingBlur)."""
 
-    patch_size: int = 256
+    patch_size = (256, 256)
+    stride = (128, 128)
     overlap: int = 64
+    pad_if_needed: bool = True
+
+    def __init__(self, patch_size=None, stride=None, pad_if_needed=True,
+                 *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if patch_size is not None:
+            self.patch_size, self.stride = _resolve_tiling_params(
+                patch_size, stride
+            )
+        self.pad_if_needed = pad_if_needed
+
+    def image_to_patches(self, image, pad=(0, 0, 0, 0)):
+        return image_to_patches(
+            image, self.patch_size, self.stride,
+            pad_if_needed=self.pad_if_needed, pad=pad,
+        )
+
+    def patches_to_image(self, patches, img_size=None, reduce_overlap="sum"):
+        return patches_to_image(
+            patches, self.stride, img_size=img_size,
+            reduce_overlap=reduce_overlap,
+        )
+
+    def get_needed_pad(self, img_size):
+        return _compute_needed_pad(img_size, self.patch_size, self.stride)
+
+    def get_compatible_img_size(self, img_size):
+        return _compute_compatible_img_size(img_size, self.patch_size, self.stride)
+
+    def get_num_patches(self, img_size):
+        return _compute_num_patches(
+            img_size, self.patch_size, self.stride, self.pad_if_needed
+        )
 
     def apply_tiled(self, fn, x):
-        return tiled_apply(fn, x, patch_size=self.patch_size, overlap=self.overlap)
+        p = self.patch_size if isinstance(self.patch_size, int) else self.patch_size[0]
+        return tiled_apply(fn, x, patch_size=p, overlap=self.overlap)

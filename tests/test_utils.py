@@ -29,6 +29,7 @@ from deepinv_tpu.utils import (
     image_to_patches,
     patches_to_image,
     patchify,
+    TiledMixin2d,
     resize_pad_square_tensor,
     tiled_apply,
     plot,
@@ -68,22 +69,43 @@ def test_normalize_signal():
 
 @pytest.mark.parametrize("stride", [8, 4])
 def test_patchify_roundtrip(stride):
-    """Non-overlapping reconstruction is exact; overlapping averages to the
-    original when patches agree (reference test_utils.py:1232-1248)."""
+    """Reference 6-D convention (B, C, n_h, n_w, ph, pw): mean-reduced
+    reconstruction is exact (reference utils/_tiling.py, mixins.py:290)."""
     x = jnp.asarray(np.random.default_rng(2).random((2, 3, 16, 16)), jnp.float32)
     p = image_to_patches(x, 8, stride=stride)
     nH = (16 - 8) // stride + 1
-    assert p.shape == (2, nH * nH, 3, 8, 8)
-    back = patches_to_image(p, (16, 16), stride=stride)
+    assert p.shape == (2, 3, nH, nH, 8, 8)
+    back = patches_to_image(p, stride, img_size=(16, 16), reduce_overlap="mean")
     assert np.allclose(back, x, atol=1e-6)
-    assert patchify is image_to_patches
+    assert np.allclose(patchify(x, 8, stride=stride), p)
 
 
 def test_patch_content():
     x = jnp.arange(16.0).reshape(1, 1, 4, 4)
-    p = image_to_patches(x, 2)
-    assert np.allclose(p[0, 0, 0], x[0, 0, :2, :2])
-    assert np.allclose(p[0, 1, 0], x[0, 0, :2, 2:])
+    p = image_to_patches(x, 2, stride=2)
+    assert np.allclose(p[0, 0, 0, 0], x[0, 0, :2, :2])
+    assert np.allclose(p[0, 0, 0, 1], x[0, 0, :2, 2:])
+
+
+def test_tiled_mixin_reference_semantics():
+    """TiledMixin2d matches the reference doctest (utils/mixins.py:306):
+    3x3 patches, stride 2 on a 5x5 ramp; sum doubles overlaps, mean
+    reconstructs exactly; geometry queries agree."""
+    m = TiledMixin2d(patch_size=(3, 3), stride=(2, 2))
+    x = jnp.arange(25.0).reshape(1, 1, 5, 5)
+    p = m.image_to_patches(x)
+    assert p.shape == (1, 1, 2, 2, 3, 3)
+    assert np.allclose(p[0, 0, 0, 0], x[0, 0, :3, :3])
+    rec = m.patches_to_image(p, img_size=(5, 5))
+    assert float(rec[0, 0, 2, 2]) == 48.0  # 4-patch overlap summed
+    rec_mean = m.patches_to_image(p, img_size=(5, 5), reduce_overlap="mean")
+    assert np.allclose(rec_mean, x)
+    assert m.get_num_patches((5, 5)) == (2, 2)
+    assert m.get_needed_pad((5, 5)) == (0, 0)
+    assert m.get_compatible_img_size((6, 6)) == (7, 7)
+    # extra context padding enlarges the effective patch
+    pc = m.image_to_patches(x, pad=1)
+    assert pc.shape[-2:] == (5, 5)
 
 
 def test_tiled_apply_identity_and_linearity():
