@@ -58,12 +58,9 @@ class TimeMixin:
         frames (utils/mixins.py:84): sum over time divided by the per-pixel
         count of frames where ``mask`` (default: ``x != 0``) is non-zero;
         zero where no frame contributes."""
-        if mask is None:
-            num = jnp.sum(x, axis=axis)
-            cnt = jnp.sum((x != 0).astype(x.dtype), axis=axis)
-        else:
-            num = jnp.sum(x * mask, axis=axis)
-            cnt = jnp.sum((mask != 0).astype(x.dtype), axis=axis)
+        num = jnp.sum(x, axis=axis)
+        m = mask if mask is not None else (x != 0)
+        cnt = jnp.sum(m.astype(x.dtype), axis=axis)
         return jnp.where(cnt != 0, num / jnp.where(cnt != 0, cnt, 1.0), 0.0)
 
     @staticmethod
@@ -130,6 +127,10 @@ def image_to_patches(image, patch_size, stride=None, pad_if_needed=True,
             f"Input image must have shape (B, C, H, W), got {tuple(image.shape)}."
         )
     extra = (pad,) * 4 if isinstance(pad, int) else tuple(pad)
+    if len(extra) != 4:
+        raise ValueError(
+            "Pad must be an int or a tuple of 4 ints (left, right, top, bottom)."
+        )
     if pad_if_needed:
         pad_h, pad_w = _compute_needed_pad(image.shape[-2:], patch_size, stride)
         full = (extra[0], extra[1] + pad_w, extra[2], extra[3] + pad_h)
@@ -142,24 +143,28 @@ def image_to_patches(image, patch_size, stride=None, pad_if_needed=True,
         )
     ph = patch_size[0] + extra[2] + extra[3]
     pw = patch_size[1] + extra[0] + extra[1]
+    B, C = image.shape[:2]
     H, W = image.shape[-2:]
     n_h = (H - ph) // stride[0] + 1
     n_w = (W - pw) // stride[1] + 1
-    rows = []
-    for i in range(n_h):
-        cols = []
-        for j in range(n_w):
-            cols.append(
-                image[:, :, i * stride[0]: i * stride[0] + ph,
-                      j * stride[1]: j * stride[1] + pw]
-            )
-        rows.append(jnp.stack(cols, axis=2))
-    return jnp.stack(rows, axis=2)  # (B, C, n_h, n_w, ph, pw)
+    # One XLA op instead of an O(n_h*n_w) unrolled slice loop: returns
+    # (B, C*ph*pw, n_h, n_w) with the channel axis laid out as (C, ph, pw).
+    # precision=HIGHEST: the one-hot identity filter must gather exactly —
+    # the default matmul precision would round patch values to bf16.
+    patches = jax.lax.conv_general_dilated_patches(
+        image, filter_shape=(ph, pw), window_strides=stride, padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    patches = patches.reshape(B, C, ph, pw, n_h, n_w)
+    return jnp.transpose(patches, (0, 1, 4, 5, 2, 3))  # (B, C, n_h, n_w, ph, pw)
 
 
-def patches_to_image(patches, stride, img_size=None, reduce_overlap="sum"):
+def patches_to_image(patches, stride, img_size=None, reduce_overlap="mean"):
     """Reassemble patches ``(B, C, n_h, n_w, ph, pw)`` into an image,
-    summing or averaging overlaps (utils/_tiling.py:101)."""
+    summing or averaging overlaps (utils/_tiling.py:101). Default ``"mean"``,
+    matching the reference functional API (utils/patch_extractor.py:153);
+    :meth:`TiledMixin2d.patches_to_image` defaults to ``"sum"`` like the
+    reference mixin method."""
     if reduce_overlap not in ("sum", "mean"):
         raise ValueError(
             f"Invalid reduce_overlap option: {reduce_overlap}. Must be 'sum' or 'mean'."
@@ -168,17 +173,19 @@ def patches_to_image(patches, stride, img_size=None, reduce_overlap="sum"):
     B, C, n_h, n_w, ph, pw = patches.shape
     H = ph + (n_h - 1) * stride[0]
     W = pw + (n_w - 1) * stride[1]
-    out = jnp.zeros((B, C, H, W), patches.dtype)
-    cnt = jnp.zeros((1, 1, H, W), patches.dtype)
-    one = jnp.ones((1, 1, ph, pw), patches.dtype)
-    for i in range(n_h):
-        for j in range(n_w):
-            sl = (slice(None), slice(None),
-                  slice(i * stride[0], i * stride[0] + ph),
-                  slice(j * stride[1], j * stride[1] + pw))
-            out = out.at[sl].add(patches[:, :, i, j])
-            cnt = cnt.at[sl].add(one)
+    # Single vectorized scatter-add over all patches: index grids broadcast
+    # to (n_h, n_w, ph, pw), matching the patch layout.
+    rows = (jnp.arange(n_h)[:, None] * stride[0] + jnp.arange(ph)[None, :])
+    cols = (jnp.arange(n_w)[:, None] * stride[1] + jnp.arange(pw)[None, :])
+    r = rows[:, None, :, None]  # (n_h, 1, ph, 1)
+    c = cols[None, :, None, :]  # (1, n_w, 1, pw)
+    out = jnp.zeros((B, C, H, W), patches.dtype).at[:, :, r, c].add(patches)
     if reduce_overlap == "mean":
+        cnt = (
+            jnp.zeros((H, W), patches.dtype)
+            .at[r, c]
+            .add(jnp.ones((n_h, n_w, ph, pw), patches.dtype))
+        )
         out = out / jnp.clip(cnt, 1.0, None)
     if img_size is not None:
         out = out[:, :, : img_size[0], : img_size[1]]
@@ -190,42 +197,47 @@ def patchify(image, patch_size, stride=None, pad_if_needed=True):
     return image_to_patches(image, patch_size, stride, pad_if_needed=pad_if_needed)
 
 
-def tiled_apply(fn, x, patch_size: int = 256, overlap: int = 64):
+def tiled_apply(fn, x, patch_size=256, overlap: int = 64):
     """Apply ``fn`` patch-wise with overlap blending (utils/_tiling.py:148).
 
-    Patches are processed as ONE batched call (vmap-free stacking) and
-    reassembled with linear cross-fade weights in the overlap bands.
+    ``patch_size`` may be an int or an ``(ph, pw)`` pair. Patches are
+    processed as ONE batched call (vmap-free stacking) and reassembled with
+    linear cross-fade weights in the overlap bands.
     """
     B, C, H, W = x.shape
-    p, ov = patch_size, overlap
-    if H <= p and W <= p:
+    ph, pw = _as_pair(patch_size)
+    ov = overlap
+    if H <= ph and W <= pw:
         return fn(x)
-    stride = p - ov
-    ys = list(range(0, max(H - p, 0) + 1, stride))
-    xs = list(range(0, max(W - p, 0) + 1, stride))
-    if ys[-1] + p < H:
-        ys.append(H - p)
-    if xs[-1] + p < W:
-        xs.append(W - p)
+
+    def _starts(size, p):
+        s = list(range(0, max(size - p, 0) + 1, max(p - ov, 1)))
+        if s[-1] + p < size:
+            s.append(size - p)
+        return s
+
+    ys, xs = _starts(H, ph), _starts(W, pw)
 
     patches = jnp.stack(
-        [x[:, :, i : i + p, j : j + p] for i in ys for j in xs], axis=0
-    )  # (N, B, C, p, p)
+        [x[:, :, i : i + ph, j : j + pw] for i in ys for j in xs], axis=0
+    )  # (N, B, C, ph, pw)
     N = patches.shape[0]
-    outs = fn(patches.reshape(N * B, C, p, p)).reshape(N, B, C, p, p)
+    outs = fn(patches.reshape(N * B, C, ph, pw)).reshape(N, B, C, ph, pw)
 
     # cross-fade weight window
-    ramp = np.minimum(np.arange(1, p + 1), ov) / ov if ov > 0 else np.ones(p)
-    ramp = np.minimum(ramp, ramp[::-1])
-    w = jnp.asarray(np.outer(ramp, ramp), x.dtype)
+    def _ramp(p):
+        r = np.minimum(np.arange(1, p + 1), ov) / ov if ov > 0 else np.ones(p)
+        return np.minimum(r, r[::-1])
+
+    w = jnp.asarray(np.outer(_ramp(ph), _ramp(pw)), x.dtype)
 
     acc = jnp.zeros_like(x)
     cnt = jnp.zeros((1, 1, H, W), x.dtype)
     idx = 0
     for i in ys:
         for j in xs:
-            acc = acc.at[:, :, i : i + p, j : j + p].add(outs[idx] * w)
-            cnt = cnt.at[:, :, i : i + p, j : j + p].add(w)
+            acc = acc.at[:, :, i : i + ph, j : j + pw].add(outs[idx] * w)
+            cnt = cnt.at[:, :, i : i + ph, j : j + pw].add(w)
             idx += 1
     return acc / jnp.clip(cnt, 1e-8, None)
 
@@ -245,10 +257,11 @@ class TiledMixin2d:
     def __init__(self, patch_size=None, stride=None, pad_if_needed=True,
                  *args, **kwargs):
         super().__init__(*args, **kwargs)
-        if patch_size is not None:
-            self.patch_size, self.stride = _resolve_tiling_params(
-                patch_size, stride
-            )
+        self.patch_size, self.stride = _resolve_tiling_params(
+            patch_size if patch_size is not None else self.patch_size,
+            stride if stride is not None else
+            (self.stride if patch_size is None else None),
+        )
         self.pad_if_needed = pad_if_needed
 
     def image_to_patches(self, image, pad=(0, 0, 0, 0)):
@@ -275,5 +288,4 @@ class TiledMixin2d:
         )
 
     def apply_tiled(self, fn, x):
-        p = self.patch_size if isinstance(self.patch_size, int) else self.patch_size[0]
-        return tiled_apply(fn, x, patch_size=p, overlap=self.overlap)
+        return tiled_apply(fn, x, patch_size=self.patch_size, overlap=self.overlap)
