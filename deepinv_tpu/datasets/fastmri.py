@@ -138,7 +138,10 @@ class FastMRISliceDataset:
         return x, y
 
 
-class MRISliceTransform:
+from ..physics.mri import MRIMixin
+
+
+class MRISliceTransform(MRIMixin):
     """FastMRI raw-data preprocessing (reference fastmri.py
     MRISliceTransform).
 

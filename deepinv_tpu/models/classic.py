@@ -24,7 +24,53 @@ __all__ = [
 ]
 
 
-class TVDenoiser(Denoiser):
+
+
+def _fwd_diff_nd(x, first_axis: int = 2):
+    """Forward differences along each spatial axis, stacked on a new last
+    axis (zero at the trailing edge), matching reference tv.py:154."""
+    comps = []
+    for d in range(first_axis, x.ndim):
+        last = jax.lax.slice_in_dim(x, x.shape[d] - 1, x.shape[d], axis=d)
+        comps.append(jnp.diff(x, axis=d, append=last))
+    return jnp.stack(comps, axis=-1)
+
+
+class _TVOpsMixin:
+    """Reference-named finite-difference operators shared by the TV family
+    (reference tv.py:154-196, tgv.py:216-320)."""
+
+    @staticmethod
+    def nabla(x):
+        """Finite-difference gradient (B,C,H,W[,D]) -> (..., n_spatial)
+        (reference tv.py:154)."""
+        if x.ndim not in (4, 5):
+            raise ValueError(f"Input tensor must be 4D or 5D, got {x.ndim}D")
+        return _fwd_diff_nd(x)
+
+    @staticmethod
+    def nabla_adjoint(u):
+        """Adjoint of :meth:`nabla` (reference tv.py:184)."""
+        if u.ndim not in (5, 6):
+            raise ValueError(f"Input tensor must be 5D or 6D, got {u.ndim}D")
+        (xt,) = jax.linear_transpose(
+            _fwd_diff_nd, transpose_primal(u, u.shape[:-1], u.dtype)
+        )(u)
+        return xt
+
+    def prox_tau_fx(self, x, y):
+        """Prox of ``1/2 ||x - y||^2`` at stepsize ``tau``
+        (reference tv.py:72)."""
+        return (x + self.tau * y) / (1 + self.tau)
+
+    def prox_sigma_g_conj(self, u, lambda2):
+        """Projection of the dual variable onto the ``lambda2`` ball
+        (reference tv.py:78)."""
+        n = jnp.sqrt(jnp.sum(u**2, axis=-1, keepdims=True))
+        return u / jnp.maximum(1.0, n / lambda2)
+
+
+class TVDenoiser(_TVOpsMixin, Denoiser):
     """Isotropic TV denoiser (reference models/tv.py:239): the prox of
     ``ths * TV`` computed with Chambolle's dual algorithm.
 
@@ -40,24 +86,63 @@ class TVDenoiser(Denoiser):
         True
     """
 
-    def __init__(self, n_it_max: int = 200, use_pallas: bool | None = None):
+    def __init__(self, n_it_max: int = 200, use_pallas: bool | None = None,
+                 tau: float = 0.01):
         from ..optim.prior import TVPrior
 
+        self.tau = tau
         self.prior = TVPrior(n_it_max=n_it_max, use_pallas=use_pallas)
 
     def __call__(self, x, ths=0.1, **kwargs):
         return self.prior.prox(x, gamma=ths)
 
 
-class TGVDenoiser(Denoiser):
+class TGVDenoiser(_TVOpsMixin, Denoiser):
     """Second-order total generalized variation denoiser
     (reference models/tgv.py:312), primal-dual (Chambolle-Pock) iteration
     compiled to ``lax.fori_loop``."""
 
-    def __init__(self, n_it_max: int = 200, alpha1: float = 1.0, alpha2: float = 2.0):
+    def __init__(self, n_it_max: int = 200, alpha1: float = 1.0, alpha2: float = 2.0,
+                 tau: float = 0.1):
         self.n_it_max = n_it_max
         self.alpha1 = alpha1
         self.alpha2 = alpha2
+        self.tau = tau
+
+    @staticmethod
+    def epsilon(I):
+        """Jacobian of a vector field (..., n_spatial) -> (..., n_spatial^2)
+        (reference tgv.py:230): backward differences with a zero leading
+        edge, component-major ordering d(comp_i)/d(spatial_j)."""
+        if I.ndim not in (5, 6):
+            raise ValueError(f"Input tensor must be 5D or 6D, got {I.ndim}D")
+        n_sp = I.ndim - 3
+        comps = []
+        for i in range(n_sp):
+            v = I[..., i]
+            for d in range(2, 2 + n_sp):
+                first = jax.lax.slice_in_dim(v, 0, 1, axis=d)
+                comps.append(jnp.diff(v, axis=d, prepend=first))
+        return jnp.stack(comps, axis=-1)
+
+    @staticmethod
+    def epsilon_adjoint(G):
+        """Adjoint of :meth:`epsilon` (reference tgv.py:273)."""
+        if G.ndim not in (5, 6):
+            raise ValueError(f"Input tensor must be 5D or 6D, got {G.ndim}D")
+        import math as _math
+
+        n_sp = int(_math.isqrt(G.shape[-1]))
+        (xt,) = jax.linear_transpose(
+            TGVDenoiser.epsilon,
+            transpose_primal(G, G.shape[:-1] + (n_sp,), G.dtype),
+        )(G)
+        return xt
+
+    def prox_tau_fr(self, r, lambda1):
+        """Prox of the TGV middle term (reference tgv.py:76)."""
+        left = jnp.sqrt(jnp.sum(r**2, axis=-1)) / (self.tau * lambda1)
+        return r - r / jnp.maximum(left, 1.0)[..., None]
 
     def __call__(self, x, ths=0.1, **kwargs):
         lam = ths
@@ -267,12 +352,17 @@ class AnscombeDenoiser(Denoiser):
         return inv * g
 
 
-class TVL1Denoiser(Denoiser):
+class TVL1Denoiser(_TVOpsMixin, Denoiser):
     """TV-L1 denoiser (reference models/tv.py:221): primal-dual minimization
     of ``||x - y||_1 + ths * TV(x)`` — robust to outliers/salt-pepper."""
 
-    def __init__(self, n_it_max: int = 200):
+    def __init__(self, n_it_max: int = 200, tau: float = 0.25):
         self.n_it_max = n_it_max
+        self.tau = tau
+
+    def prox_sigma_g_conj(self, u, lambda2):
+        """Anisotropic dual clamp (reference tv.py:238)."""
+        return jnp.clip(u, -lambda2, lambda2)
 
     def __call__(self, y, ths=0.1, **kwargs):
         from ..optim.prior import _grad_op, _div_op

@@ -42,6 +42,17 @@ __all__ = [
 # the v5e bench, so nchw is the default.
 CONV_LAYOUT = "nchw"
 
+# Conv accumulation/output dtype policy. "f32": request f32 conv output then
+# round to the activation dtype (safest). "native": emit the conv directly in
+# the activation dtype — the MXU still accumulates partial products in f32
+# internally, but the result is rounded once per conv instead of being
+# materialized as an f32 tensor, halving HBM write traffic for bf16 nets.
+CONV_ACCUM = "native"
+
+
+def _conv_out_dtype(x):
+    return jnp.float32 if CONV_ACCUM == "f32" else x.dtype
+
 
 def he_init(key, shape, fan_in, dtype=jnp.float32):
     """Kaiming-normal initialization (fan-in)."""
@@ -85,7 +96,7 @@ class Conv2d(Module):
                 padding=[(self.padding, self.padding)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.groups,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_conv_out_dtype(x),
             ).astype(x.dtype)
             if self.bias is not None:
                 out = out + self.bias.astype(x.dtype)
@@ -97,7 +108,7 @@ class Conv2d(Module):
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_conv_out_dtype(x),
         ).astype(x.dtype)
         if self.bias is not None:
             out = out + self.bias.astype(x.dtype)[None, :, None, None]

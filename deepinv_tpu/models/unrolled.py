@@ -12,6 +12,7 @@ from ..optim.optimizers import BaseOptim
 from ..optim.data_fidelity import L2
 from ..optim.prior import PnP
 from .base import Denoiser, Reconstructor
+from ..physics.mri import MRIMixin
 from .dncnn import DnCNN
 from .layers import Conv2d
 from .unet import UNet
@@ -50,7 +51,7 @@ class VarNetBlock(Module):
         return x - self.dc_weight * dc - denoised
 
 
-class VarNet(Reconstructor):
+class VarNet(MRIMixin, Reconstructor):
     r"""(E2E-)VarNet MRI reconstructor (reference varnet.py:15)."""
 
     def __init__(self, denoiser=None, num_cascades: int = 8, mode: str = "varnet", key=None):
@@ -66,11 +67,16 @@ class VarNet(Reconstructor):
         self.blocks = blocks
         self.mode = mode
 
-    def __call__(self, y, physics, **kwargs):
-        x = physics.A_adjoint(y)
+    def backbone_inference(self, tensor_in, physics, y):
+        """Run the cascade stack on ``tensor_in`` with (physics, y) data
+        consistency (reference varnet.py:79)."""
+        x = tensor_in
         for b in self.blocks:
             x = b(x, y, physics)
         return x
+
+    def __call__(self, y, physics, **kwargs):
+        return self.backbone_inference(physics.A_adjoint(y), physics, y)
 
 
 class PDNet_PrimalBlock(Module):

@@ -107,6 +107,50 @@ class FixedPoint(Module):
     def _step(self, X, cur_params, data_fidelity, prior, y, physics):
         return self.iterator(X, data_fidelity, prior, cur_params, y, physics)
 
+    def single_iteration(self, X, cur_data_fidelity, cur_prior, cur_params,
+                         y, physics, **kwargs):
+        """One iteration of the underlying iterator (reference
+        fixed_point.py ``single_iteration``)."""
+        return self._step(X, cur_params, cur_data_fidelity, cur_prior, y,
+                          physics)
+
+    def init_anderson_acceleration(self, x0):
+        """Zeroed Anderson history buffers ``(X_hist, F_hist)`` of shape
+        ``(B, history_size, N)`` for iterate pytree ``x0`` (reference
+        fixed_point.py:117)."""
+        flat = jnp.concatenate(
+            [v.reshape(v.shape[0], -1)
+             for v in jax.tree_util.tree_leaves(x0)], axis=1)
+        B, N = flat.shape
+        m = self.history_size
+        return jnp.zeros((B, m, N)), jnp.zeros((B, m, N))
+
+    def anderson_acceleration_step(self, k, x_prev_flat, gx_flat, X_hist,
+                                   F_hist):
+        """One Anderson mixing update (reference fixed_point.py:169): insert
+        ``(x_k, T(x_k) - x_k)`` into the rolling history, solve the
+        regularized least-squares for the mixing weights, and return
+        ``(x_acc_flat, X_hist, F_hist)``."""
+        m = self.history_size
+        B = x_prev_flat.shape[0]
+        f = gx_flat - x_prev_flat
+        slot = jnp.mod(k, m)
+        X_hist = jax.lax.dynamic_update_index_in_dim(X_hist, x_prev_flat,
+                                                     slot, axis=1)
+        F_hist = jax.lax.dynamic_update_index_in_dim(F_hist, f, slot, axis=1)
+        n = jnp.minimum(k + 1, m)
+        valid = (jnp.arange(m) < n).astype(f.dtype)
+        Fv = F_hist * valid[None, :, None]
+        G = jnp.einsum("bmn,bkn->bmk", Fv, Fv) + self.eps_anderson_acc * jnp.eye(m)
+        sol = jnp.linalg.solve(G, jnp.broadcast_to(valid, (B, m))[..., None])[..., 0]
+        alpha = sol * valid / jnp.sum(sol * valid, axis=1, keepdims=True)
+        beta = self.beta_anderson_acc
+        x_acc = jnp.einsum(
+            "bm,bmn->bn", alpha,
+            beta * (X_hist + F_hist) + (1 - beta) * X_hist)
+        x_acc = jnp.where(k + 1 < 2, gx_flat, x_acc)
+        return x_acc, X_hist, F_hist
+
     def _run_scan(self, X0, data_fidelity, prior, params_iter, y, physics):
         from .iterators import objective_function
 
@@ -190,8 +234,7 @@ class FixedPoint(Module):
                 o += n
             return jax.tree_util.tree_unflatten(treedef, out)
 
-        X_hist0 = jnp.zeros((B, m, N))
-        F_hist0 = jnp.zeros((B, m, N))
+        X_hist0, F_hist0 = self.init_anderson_acceleration(x0)
 
         def body(carry, cur_params):
             X, X_hist, F_hist = carry
@@ -199,22 +242,8 @@ class FixedPoint(Module):
             x_prev = to_flat(X["est"][0])
             X_new = self._step(X, cur_params, data_fidelity, prior, y, physics)
             gx = to_flat(X_new["est"][0])  # T(x_k)
-            f = gx - x_prev
-            slot = jnp.mod(k, m)
-            X_hist = jax.lax.dynamic_update_index_in_dim(X_hist, x_prev, slot, axis=1)
-            F_hist = jax.lax.dynamic_update_index_in_dim(F_hist, f, slot, axis=1)
-            n = jnp.minimum(k + 1, m)
-            # solve least squares min ||F alpha|| s.t. sum alpha = 1 via
-            # normal equations with Tikhonov reg (reference fixed_point.py:169)
-            valid = (jnp.arange(m) < n).astype(f.dtype)
-            Fv = F_hist * valid[None, :, None]
-            G = jnp.einsum("bmn,bkn->bmk", Fv, Fv) + self.eps_anderson_acc * jnp.eye(m)
-            ones = valid
-            sol = jnp.linalg.solve(G, jnp.broadcast_to(ones, (B, m))[..., None])[..., 0]
-            alpha = sol * valid / jnp.sum(sol * valid, axis=1, keepdims=True)
-            beta = self.beta_anderson_acc
-            x_acc = jnp.einsum("bm,bmn->bn", alpha, beta * (X_hist + F_hist) + (1 - beta) * X_hist)
-            x_acc = jnp.where(k + 1 < 2, gx, x_acc)  # plain step until history fills
+            x_acc, X_hist, F_hist = self.anderson_acceleration_step(
+                k, x_prev, gx, X_hist, F_hist)
             est = list(X_new["est"])
             est[0] = from_flat(x_acc)
             X_new = {**X_new, "est": tuple(est)}

@@ -208,6 +208,110 @@ class BaseOptim(Module):
         cur = jax.tree_util.tree_map(lambda v: v[-1], self.params_algo)
         return objective_function(x, self.data_fidelity, self.prior, cur, y, physics)
 
+    # -- reference customization hooks (optimizers.py:457-760) -------------
+
+    def update_params_fn(self, it: int) -> dict:
+        """Parameter values for iteration ``it`` (reference
+        optimizers.py:457)."""
+        return jax.tree_util.tree_map(lambda v: v[it], self.params_algo)
+
+    def update_prior_fn(self, it: int):
+        """Prior for iteration ``it`` (reference optimizers.py:471)."""
+        p = self.prior
+        return p[it % len(p)] if isinstance(p, (list, tuple)) else p
+
+    def update_data_fidelity_fn(self, it: int):
+        """Data-fidelity for iteration ``it`` (reference
+        optimizers.py:482)."""
+        d = self.data_fidelity
+        return d[it % len(d)] if isinstance(d, (list, tuple)) else d
+
+    def init_iterate_fn(self, y, physics, x_init=None):
+        """Initial state dict ``X`` (reference optimizers.py:497)."""
+        return self.iterator.init_state(
+            self.init_iterate(y, physics, x_init), y, physics)
+
+    def init_metrics_fn(self, X_init, x_gt=None) -> dict:
+        """Per-batch metric lists (reference optimizers.py:582): psnr (if
+        ground truth given), residual, cost (if tracked)."""
+        import numpy as np
+
+        x0 = self.iterator.get_output(X_init)
+        self.batch_size = int(x0.shape[0])
+        init = {"residual": [[] for _ in range(self.batch_size)]}
+        if x_gt is not None:
+            init["psnr"] = [[float(_psnr_host(x0[i:i+1], x_gt[i:i+1]))]
+                            for i in range(self.batch_size)]
+        else:
+            init["psnr"] = [[] for _ in range(self.batch_size)]
+        if self.iterator.has_cost:
+            init["cost"] = [[] for _ in range(self.batch_size)]
+        return init
+
+    def update_metrics_fn(self, metrics, X_prev, X, x_gt=None) -> dict:
+        """Append this iteration's metrics (reference optimizers.py:616)."""
+        import numpy as np
+
+        if metrics is None:
+            return metrics
+        xp = np.asarray(jax.device_get(self.iterator.get_output(X_prev)))
+        x = np.asarray(jax.device_get(self.iterator.get_output(X)))
+        for i in range(x.shape[0]):
+            res = float(np.linalg.norm(xp[i] - x[i])
+                        / (np.linalg.norm(x[i]) + 1e-6))
+            metrics["residual"][i].append(res)
+            if x_gt is not None:
+                metrics["psnr"][i].append(float(_psnr_host(x[i:i+1],
+                                                           x_gt[i:i+1])))
+            if self.iterator.has_cost and "cost" in X:
+                metrics["cost"][i].append(
+                    float(np.asarray(jax.device_get(X["cost"]))[i]))
+        return metrics
+
+    def check_conv_fn(self, it: int, X_prev, X) -> bool:
+        """Host-side convergence check (reference optimizers.py:696)."""
+        import numpy as np
+
+        xp = np.asarray(jax.device_get(self.iterator.get_output(X_prev)))
+        x = np.asarray(jax.device_get(self.iterator.get_output(X)))
+        xp = xp.reshape(xp.shape[0], -1)
+        x = x.reshape(x.shape[0], -1)
+        crit = float(np.mean(np.linalg.norm(xp - x, axis=-1)
+                             / (np.linalg.norm(x, axis=-1) + 1e-6)))
+        converged = crit < self.fixed_point.thres_conv
+        if converged and self.verbose:
+            print(f"Iteration {it}, converge crit. = {crit:.2E}")
+        return converged
+
+    def backtracking_check_fn(self, X_prev, X, cur_params, y, physics,
+                              data_fidelity=None, prior=None):
+        """Armijo check: did the objective increase (reference
+        optimizers.py:661)? Returns a boolean array."""
+        df = data_fidelity if data_fidelity is not None else self.data_fidelity
+        pr = prior if prior is not None else self.prior
+        F_old = jnp.sum(objective_function(
+            self.iterator.get_output(X_prev), df, pr, cur_params, y, physics))
+        F_new = jnp.sum(objective_function(
+            self.iterator.get_output(X), df, pr, cur_params, y, physics))
+        return F_new > F_old
+
+    def DEQ_additional_step(self, X, y, physics, **kwargs):
+        """One extra iterator step at the equilibrium point (reference
+        optimizers.py:734) — used by DEQ backward passes."""
+        it = self.max_iter - 1
+        return self.fixed_point.single_iteration(
+            X, self.update_data_fidelity_fn(it), self.update_prior_fn(it),
+            self.update_params_fn(it), y, physics, **kwargs)
+
+
+def _psnr_host(a, b, max_pixel: float = 1.0):
+    import numpy as np
+
+    a = np.asarray(jax.device_get(a))
+    b = np.asarray(jax.device_get(b))
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(max_pixel**2 / max(mse, 1e-12))
+
 
 def optim_builder(
     iteration,

@@ -40,9 +40,32 @@ class PhysicsGenerator(Module):
 
     def __init__(self, seed: int = 0):
         self.seed = seed
+        self.initial_seed = seed
 
     def sample(self, batch_size: int, key, **kwargs) -> dict:
         raise NotImplementedError
+
+    def rng_manual_seed(self, seed=None):
+        """Set the generator's default seed (reference generator/base.py:110).
+
+        JAX analogue of ``torch.Generator.manual_seed``: subsequent
+        ``step(key=None)`` calls derive their key from this seed. String
+        seeds are hashed like the reference.
+        """
+        if seed is not None:
+            if isinstance(seed, str):
+                import hashlib
+
+                seed = int(hashlib.sha256(seed.encode()).hexdigest()[:8], 16)
+            self.seed = int(seed)
+        return self
+
+    def reset_rng(self):
+        """Reset the RNG to its initial state (reference generator/base.py:130):
+        restores the construction-time seed so ``step(key=None)`` reproduces
+        the first epoch's draws."""
+        self.seed = self.initial_seed
+        return self
 
     def step(self, batch_size: int = 1, key=None, seed=None, **kwargs) -> dict:
         key = ensure_key(key, seed if seed is not None else self.seed)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import mixins as _mixins
+TimeMixin = _mixins.TimeMixin
 from .base import DecomposablePhysics, LinearPhysics
 
 __all__ = ["MRI", "MultiCoilMRI", "DynamicMRI", "SequentialMRI", "MRIMixin"]
@@ -77,6 +79,53 @@ class MRIMixin:
         h, w = shape
         top, left = (H - h) // 2, (W - w) // 2
         return x[..., top : top + h, left : left + w]
+
+    # --- reference-named API (utils/mixins.py:118-289) ---
+
+    @staticmethod
+    def to_torch_complex(x):
+        """(B, 2, ..., H, W) real -> (B, ..., H, W) complex — the reference's
+        channel-dropping convention (utils/mixins.py:149)."""
+        return x[:, 0] + 1j * x[:, 1]
+
+    @staticmethod
+    def from_torch_complex(x):
+        """(B, ..., H, W) complex -> (B, 2, ..., H, W) real
+        (utils/mixins.py:154)."""
+        return jnp.stack([jnp.real(x), jnp.imag(x)], axis=1)
+
+    @staticmethod
+    def check_mask(mask=None, three_d: bool = False):
+        """Normalize an MRI mask to (B, 2, ..., H, W) with duplicated
+        real/imag channels (utils/mixins.py:127)."""
+        if mask is None:
+            return None
+        return _check_mask(mask, three_d=three_d)
+
+    def crop(self, x, crop: bool = True, shape=None, rescale: bool = False):
+        """Center-crop (or rescale) the trailing 2D dims to ``shape`` /
+        ``self.img_size``, with the reference's odd-height adjustment
+        (utils/mixins.py:208)."""
+        crop_size = tuple(shape[-2:]) if shape is not None else tuple(
+            self.img_size[-2:])
+        odd_h = crop_size[0] % 2 == 1
+        if odd_h:
+            crop_size = (crop_size[0] + 1, crop_size[1])
+        if rescale and crop:
+            raise ValueError("Only one of rescale or crop can be used.")
+        elif rescale:
+            lead = x.shape[:-2]
+            flat = x.reshape((-1,) + x.shape[-2:])
+            out = jax.image.resize(flat, (flat.shape[0],) + crop_size,
+                                   method="bilinear")
+            out = out.reshape(lead + crop_size)
+        elif crop:
+            out = MRIMixin.crop_center(x, crop_size)
+        else:
+            return x
+        if odd_h:
+            out = out[..., :-1, :]
+        return out
 
 
 def _check_mask(mask, img_size=None, three_d=False):
@@ -187,6 +236,17 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
     @property
     def fast_normal(self) -> bool:
         return self._normal_spec is not None
+
+    @staticmethod
+    def check_coil_maps(coil_maps, three_d: bool = False):
+        """Normalize coil maps to (B, N, H, W) (or (B, N, D, H, W)) complex
+        (reference mri.py:383)."""
+        coil_maps = jnp.asarray(coil_maps)
+        while coil_maps.ndim < (4 if not three_d else 5):
+            coil_maps = coil_maps[None]
+        if not jnp.iscomplexobj(coil_maps):
+            raise ValueError("coil_maps should be of complex dtype.")
+        return coil_maps
 
     def A_adjoint_A(self, x, **params):
         if self._normal_spec is not None:
@@ -335,7 +395,7 @@ def birdcage_maps(n_coils: int, shape, r: float = 1.5):
     return jnp.asarray((out / rss).astype(np.complex64))
 
 
-class DynamicMRI(MRI):
+class DynamicMRI(TimeMixin, MRI):
     r"""k-t dynamic MRI: per-frame masked FFT (reference mri.py:499).
 
     Data shape (B, C, T, H, W); the mask may vary over time (B, C, T, H, W).

@@ -137,13 +137,60 @@ class DiffPIR(Reconstructor):
 
         # host-side schedule tables (static at trace time, not pytree
         # leaves) — reference get_alpha_beta (diffusion.py:324)
-        T = 1000
-        betas = np.linspace(0.1 / 1000, 20 / 1000, T, dtype=np.float64)
-        acp = np.cumprod(1.0 - betas)
-        self._sqrt_acp = np.sqrt(acp).astype(np.float32)
-        self._sqrt_1m_acp = np.sqrt(1 - acp).astype(np.float32)
-        self._reduced = (self._sqrt_1m_acp / self._sqrt_acp).astype(np.float32)
+        self.beta_start, self.beta_end = 0.1 / 1000, 20 / 1000
+        self.num_train_timesteps = 1000
+        T = self.num_train_timesteps
+        (self._sqrt_1m_acp, self._reduced, self._sqrt_acp,
+         self._sqrt_recip_acp, self._sqrt_recipm1_acp,
+         self._betas) = self.get_alpha_beta()
         self._T = T
+
+    def get_alpha_beta(self):
+        """Alpha/beta sequences mapping noise levels to timesteps
+        (reference diffusion.py:323): returns ``(sqrt_1m_alphas_cumprod,
+        reduced_alpha_cumprod, sqrt_alphas_cumprod, sqrt_recip_alphas_cumprod,
+        sqrt_recipm1_alphas_cumprod, betas)``."""
+        betas = np.linspace(self.beta_start, self.beta_end,
+                            self.num_train_timesteps, dtype=np.float64)
+        acp = np.cumprod(1.0 - betas)
+        sqrt_acp = np.sqrt(acp).astype(np.float32)
+        sqrt_1m_acp = np.sqrt(1 - acp).astype(np.float32)
+        reduced = (sqrt_1m_acp / sqrt_acp).astype(np.float32)
+        sqrt_recip = np.sqrt(1.0 / acp).astype(np.float32)
+        sqrt_recipm1 = np.sqrt(1.0 / acp - 1.0).astype(np.float32)
+        return (sqrt_1m_acp, reduced, sqrt_acp, sqrt_recip, sqrt_recipm1,
+                betas.astype(np.float32))
+
+    def get_noise_schedule(self, sigma):
+        """``(rhos, sigmas, seq)`` for measurement noise ``sigma``
+        (reference diffusion.py:355): sigmas are the reversed reduced-alpha
+        noise levels, rhos = lambda sigma^2 / sigma_k^2, seq the quadratic
+        timestep subsampling."""
+        sigmas, rhos, seq = self._schedule(sigma)
+        return rhos, sigmas, seq
+
+    @staticmethod
+    def find_nearest(array, value):
+        """Argmin of |array - value| (reference diffusion.py:383)."""
+        return int(np.abs(np.asarray(array) - value).argmin())
+
+    @staticmethod
+    def compute_alpha(betas, t):
+        """``alpha_bar_t`` from the beta sequence (reference
+        diffusion.py:390)."""
+        acp = np.cumprod(1.0 - np.asarray(betas))
+        return acp[t]
+
+    def get_alpha_prod(self, beta_start=0.1 / 1000, beta_end=20 / 1000,
+                       num_train_timesteps=1000):
+        """``(sqrt_recip_alphas_cumprod, sqrt_recipm1_alphas_cumprod)`` used
+        to map noise levels to timesteps for pure denoising (reference
+        diffusion.py:399)."""
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps,
+                            dtype=np.float64)
+        acp = np.cumprod(1.0 - betas)
+        return (np.sqrt(1.0 / acp).astype(np.float32),
+                np.sqrt(1.0 / acp - 1.0).astype(np.float32))
 
     def _schedule(self, sigma_n):
         """Reference get_noise_schedule (diffusion.py:357): sigmas are the
@@ -293,3 +340,20 @@ class DPS(Reconstructor):
         return (x0_hist[-1] + 1) / 2
 
     forward = __call__
+
+    def score(self, y, physics, x, t, *args, **kwargs):
+        """Conditional score ``grad log p_t(x | y)`` (reference
+        diffusion_sde.py:188, inherited by DPS): Tweedie score of the
+        denoiser minus the guidance gradient ``grad ||y - A(D(x_t))||``."""
+        at = self._acp[jnp.asarray(t, jnp.int32)]
+        sigma = jnp.sqrt(jnp.clip(1 - at, 1e-8, None)) / jnp.sqrt(at)
+
+        def loss(xt):
+            x01 = (xt / jnp.sqrt(at) + 1) / 2
+            x0 = 2 * self.model(x01, sigma / 2) - 1
+            r = physics.A((x0 + 1) / 2) - y
+            return jnp.sqrt(jnp.sum(r**2)), x0
+
+        g, x0 = jax.grad(loss, has_aux=True)(x)
+        uncond = (jnp.sqrt(at) * x0 - x) / jnp.clip(1 - at, 1e-8, None)
+        return uncond - self.guidance_scale * g

@@ -24,6 +24,13 @@ class SamplingIterator(Module):
     def initialize(self, x_init):
         return {"x": x_init}
 
+    def initialize_latent_variables(self, x_init, y, physics,
+                                    cur_data_fidelity, cur_prior):
+        """Initial chain state dict (reference
+        sampling_iterators/sampling_iterator.py:30); override to add latent
+        variables beyond ``{"x": x}``."""
+        return {"x": x_init}
+
     def _clip(self, x):
         if self.clip is not None:
             x = jnp.clip(x, self.clip[0], self.clip[1])

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..core import Module
 from ..core.rng import ensure_key
 from ..models.base import Reconstructor
+from ..optim.data_fidelity import DataFidelity
 
 __all__ = [
     "BaseSDE",
@@ -56,6 +57,11 @@ class BaseSDE(Module):
         self.drift = drift
         self.diffusion = diffusion
 
+    def sample_init(self, shape, key):
+        """Sample from the end-time distribution of the forward diffusion
+        (reference diffusion_sde.py:95) — defined by concrete SDEs."""
+        raise NotImplementedError
+
     def discretize(self, x, t, dt, key):
         f = self.drift(x, t)
         g = self.diffusion(t)
@@ -74,6 +80,30 @@ class BaseSDESolver(Module):
 
     def __init__(self, timesteps, rng_seed: int = 0):
         self.timesteps = jnp.asarray(timesteps, jnp.float32)
+        self.rng_seed = rng_seed
+        self.initial_rng_seed = rng_seed
+
+    def randn_like(self, x, key=None):
+        """Standard normal shaped like ``x`` (reference sde_solver.py
+        ``randn_like``), keyed by the solver's seed when no key is given."""
+        return jax.random.normal(ensure_key(key, self.rng_seed), x.shape,
+                                 x.dtype)
+
+    def rng_manual_seed(self, seed=None):
+        """Set the solver's default seed (reference sde_solver.py
+        ``rng_manual_seed``); string seeds are hashed."""
+        if seed is not None:
+            if isinstance(seed, str):
+                import hashlib
+
+                seed = int(hashlib.sha256(seed.encode()).hexdigest()[:8], 16)
+            self.rng_seed = int(seed)
+        return self
+
+    def reset_rng(self):
+        """Restore the construction-time seed (reference ``reset_rng``)."""
+        self.rng_seed = self.initial_rng_seed
+        return self
 
     def step(self, sde, x, t, dt, key):
         """One stochastic step ``t -> t + dt`` (reference sde_solver.py
@@ -126,6 +156,14 @@ class DiffusionSDE(BaseSDE):
         """Draw from the prior at the initial (largest-noise) time
         (reference ``sample_init``; alias of :meth:`prior_sample`)."""
         return self.prior_sample(shape, key)
+
+    def sigma_t(self, t):
+        """Noise schedule sigma(t) (reference diffusion_sde.py sigma_t).
+
+        Replaced per-instance by the callable given to the constructor;
+        this class-level declaration documents the protocol.
+        """
+        raise NotImplementedError
 
     def __init__(self, denoiser, sigma_t: Callable, sigma_deriv: Callable,
                  alpha=1.0):
@@ -357,13 +395,22 @@ class FlowMatching(EDMDiffusionSDE):
         return EulerSolver(self.timesteps).sample(self, x_init, key=key,
                                                   seed=seed)
 
+    def velocity(self, x, t, *args, **kwargs):
+        """Velocity field of the flow-matching process — the drift of the
+        backward SDE (reference diffusion_sde.py:687)."""
+        return self.drift(x, t)
 
-class NoisyDataFidelity(Module):
+
+class NoisyDataFidelity(DataFidelity):
     r"""Base preconditioned data fidelity for diffusion posterior sampling
     (reference noisy_datafidelity.py:9): ``grad(x_t, y) = P(A(x_t') - y)``
-    with preconditioner ``P = A^T`` and ``x_t' = x_t`` by default."""
+    with preconditioner ``P = A^T`` and ``x_t' = x_t`` by default.
+
+    Inherits the full :class:`~deepinv_tpu.optim.DataFidelity` potential
+    surface (``fn``/``prox``/``conjugate``/...) like the reference."""
 
     def __init__(self, weight: float = 1.0):
+        super().__init__()
         self.weight = weight
 
     def precond(self, u, physics):
@@ -387,8 +434,8 @@ class DPSDataFidelity(NoisyDataFidelity):
     """
 
     def __init__(self, denoiser, weight: float = 1.0, clip=None):
+        super().__init__(weight=weight)
         self.denoiser = denoiser
-        self.weight = weight
         self.clip = tuple(sorted(clip)) if clip is not None else None
 
     def grad(self, x, y, physics, sigma):
@@ -443,5 +490,16 @@ class PosteriorDiffusion(Reconstructor):
         guided = BaseSDE(guided_drift, base_diff)
         # integrate backwards: timesteps decrease; dt negative handled by solver
         return self.solver.sample(guided, x_init, key=ks)
+
+    def score(self, y, physics, x, t, *args, **kwargs):
+        """Conditional score ``grad log p_t(x | y)`` (reference
+        diffusion_sde.py:188): unconditional SDE score minus the
+        data-fidelity guidance gradient evaluated on the de-scaled state."""
+        if self.data_fidelity is None:
+            return self.sde.score(x, t, *args, **kwargs)
+        sigma = self.sde.sigma_t(t)
+        scale = self.sde.scale_t(t) if hasattr(self.sde, "scale_t") else 1.0
+        return (self.sde.score(x, t, *args, **kwargs)
+                - self.data_fidelity.grad(x / scale, y, physics, sigma) / scale)
 
     forward = __call__

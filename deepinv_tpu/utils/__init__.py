@@ -15,14 +15,27 @@ from .functional import (
     ones_like, zeros_like, rand_like, randn_like, get_timestamp, get_device,
     devices_equal, normalize_signal, resize_pad_square_tensor,
 )
-# cross-namespace conveniences matching reference deepinv.utils
+# cross-namespace conveniences matching reference deepinv.utils — resolved
+# lazily via module __getattr__ so that physics/optim/datasets modules can
+# import deepinv_tpu.utils.* submodules without a package cycle
 from ..core.tensorlist import TensorList
-from ..datasets.phantoms import SheppLoganDataset
-from ..datasets.phantoms import SheppLoganDataset as RandomPhantomDataset
-from ..utils.mixins import TimeMixin
-from ..physics.mri import MRIMixin
-from ..optim.epll import patch_extractor
-from ..datasets.folder import load_image
+
+_LAZY = {
+    "SheppLoganDataset": ("..datasets.phantoms", "SheppLoganDataset"),
+    "RandomPhantomDataset": ("..datasets.phantoms", "SheppLoganDataset"),
+    "MRIMixin": ("..physics.mri", "MRIMixin"),
+    "patch_extractor": ("..optim.epll", "patch_extractor"),
+    "load_image": ("..datasets.folder", "load_image"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod, __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 # --- gated / thin counterparts of torch- or download-specific helpers ----

@@ -85,10 +85,9 @@ def _public_methods(cls, strip_torch=False):
     return out
 
 
-def main():
-    _load_reference()
-    sel = sys.argv[1:]
-    total_missing = 0
+def collect_missing(sel=()):
+    """Return {(ref_namespace, ClassName): [missing public methods]}."""
+    out = {}
     for ref_name, tpu_name in sorted(NAMESPACES.items()):
         if sel and ref_name not in sel:
             continue
@@ -96,7 +95,7 @@ def main():
             ref_mod = importlib.import_module(ref_name)
             tpu_mod = importlib.import_module(tpu_name)
         except Exception as e:
-            print(f"!! {ref_name}: import failed: {e}")
+            out[(ref_name, "__import__")] = [f"import failed: {e}"]
             continue
         for cname in sorted(n for n in dir(ref_mod) if not n.startswith("_")):
             ref_cls = getattr(ref_mod, cname)
@@ -109,9 +108,18 @@ def main():
             tpu_m = _public_methods(tpu_cls)
             missing = sorted(ref_m - tpu_m)
             if missing:
-                total_missing += len(missing)
-                print(f"{ref_name}.{cname}: missing {missing}")
-    print(f"\ntotal missing methods: {total_missing}")
+                out[(ref_name, cname)] = missing
+    return out
+
+
+def main():
+    _load_reference()
+    missing = collect_missing(sys.argv[1:])
+    total = 0
+    for (ns, cname), names in sorted(missing.items()):
+        total += len(names)
+        print(f"{ns}.{cname}: missing {names}")
+    print(f"\ntotal missing methods: {total}")
 
 
 if __name__ == "__main__":
