@@ -128,9 +128,33 @@ class ReducedResolutionLoss(Loss):
         physics (must be applicable to ``y``, e.g. blur/downsampling).
     """
 
+    class ReducedResolutionModel:
+        """Wald-protocol wrapper (reference sup.py:118): at train time feed
+        the re-degraded measurement through the model; at eval, identity."""
+
+        def __init__(self, model, physics=None):
+            self.model = model
+            self.physics = physics
+            self.training = True
+
+        def __call__(self, y, physics, **kwargs):
+            if self.training:
+                phys = self.physics if self.physics is not None else physics
+                return self.model(phys(y), phys)
+            return self.model(y, physics)
+
+        forward = __call__
+
     def __init__(self, metric=None, physics=None):
         self.metric = metric if metric is not None else MSE()
         self.physics = physics
+
+    def adapt_model(self, model):
+        """Wrap ``model`` into :class:`ReducedResolutionModel` (reference
+        sup.py:110)."""
+        if isinstance(model, ReducedResolutionLoss.ReducedResolutionModel):
+            return model
+        return self.ReducedResolutionModel(model, self.physics)
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
         p = self.physics if self.physics is not None else physics

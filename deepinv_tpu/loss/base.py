@@ -26,6 +26,18 @@ class Loss(Module):
 
     forward = __call__
 
+    @property
+    def name(self) -> str:
+        """Deprecated loss name (reference loss.py:26 — deprecated in favor
+        of the class name)."""
+        import warnings
+
+        warnings.warn(
+            "The attribute 'name' is deprecated in favor of the class name.",
+            DeprecationWarning, stacklevel=2,
+        )
+        return getattr(self, "_name", type(self).__name__)
+
     def adapt_model(self, model):
         """Optionally wrap the model (reference loss.py:60). Default: no-op."""
         return model

@@ -112,6 +112,19 @@ class MOILoss(Loss):
         self.apply_noise = apply_noise
         self.weight = weight
 
+    def next_physics(self, physics=None, key=None):
+        """Pick a random operator from the list (or regenerate parameters
+        with an attached generator) — reference moi.py:86. Host-side
+        convenience; the jit path in :meth:`__call__` uses ``lax.switch``."""
+        key = ensure_key(key, 4)
+        gen = getattr(self, "physics_generator", None)
+        if gen is not None:
+            base = (self.physics_list[0] if self.physics_list else physics)
+            return base.update(**gen.step(batch_size=1, key=key))
+        plist = self.physics_list if self.physics_list is not None else [physics]
+        j = int(jax.device_get(jax.random.randint(key, (), 0, len(plist))))
+        return plist[j]
+
     def __call__(self, x_net=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 4)
         kidx, knoise = jax.random.split(key)
@@ -139,6 +152,8 @@ class MOEILoss(EILoss):
     def __init__(self, transform, physics_list=None, **kwargs):
         super().__init__(transform, **kwargs)
         self.physics_list = physics_list
+
+    next_physics = MOILoss.next_physics
 
     def __call__(self, x_net=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 5)
@@ -496,6 +511,11 @@ class TVLoss(Loss):
     def __init__(self, weight: float = 1.0):
         self.weight = weight
 
+    @staticmethod
+    def tensor_size(t):
+        """C*H*W of a (B, C, H, W) tensor (reference tv.py:46)."""
+        return t.shape[1] * t.shape[2] * t.shape[3]
+
     def __call__(self, x_net=None, **kwargs):
         dh = jnp.diff(x_net, axis=-2)
         dw = jnp.diff(x_net, axis=-1)
@@ -596,3 +616,7 @@ class FNEJacobianSpectralNorm(JacobianSpectralNorm):
             return 2 * out - u
 
         return self.compute_norm(g, point, key=key)
+
+
+# reference exposes the Tweedie reconstructor as an inner class (score.py:109)
+ScoreLoss.ScoreModel = ScoreModel

@@ -250,6 +250,48 @@ class Neighbor2Neighbor(Loss):
         self.gamma = gamma
 
     @staticmethod
+    def space_to_depth(x, block_size: int):
+        """(B, C, H, W) -> (B, C*b^2, H/b, W/b) (reference measplit.py:432,
+        torch unfold ordering: channel-major over the b^2 offsets)."""
+        B, C, H, W = x.shape
+        b = block_size
+        v = x.reshape(B, C, H // b, b, W // b, b)
+        # unfold channel order: (C, bh, bw)
+        v = jnp.transpose(v, (0, 1, 3, 5, 2, 4))
+        return v.reshape(B, C * b * b, H // b, W // b)
+
+    @staticmethod
+    def generate_mask_pair(img, key=None):
+        """Random neighboring-pixel mask pair over 2x2 cells (reference
+        measplit.py:438): two flat boolean masks of length ``B*H/2*W/2*4``
+        selecting one pixel each from every cell."""
+        key = ensure_key(key, 21)
+        B, C, H, W = img.shape
+        ncell = B * (H // 2) * (W // 2)
+        idx_pair = jnp.asarray(
+            [[0, 1], [0, 2], [1, 3], [2, 3], [1, 0], [2, 0], [3, 1], [3, 2]],
+            jnp.int32)
+        rd = jax.random.randint(key, (ncell,), 0, 8)
+        pair = idx_pair[rd] + (jnp.arange(ncell, dtype=jnp.int32) * 4)[:, None]
+        mask1 = jnp.zeros((ncell * 4,), bool).at[pair[:, 0]].set(True)
+        mask2 = jnp.zeros((ncell * 4,), bool).at[pair[:, 1]].set(True)
+        return mask1, mask2
+
+    @classmethod
+    def generate_subimages(cls, img, mask):
+        """Extract the masked pixel of each 2x2 cell (reference
+        measplit.py:471): returns (B, C, H/2, W/2)."""
+        B, C, H, W = img.shape
+        outs = []
+        for i in range(C):
+            per = cls.space_to_depth(img[:, i : i + 1], 2)  # (B, 4, H/2, W/2)
+            per = jnp.transpose(per, (0, 2, 3, 1)).reshape(-1)
+            # mask selects exactly one of each cell's 4 entries
+            sel = per.reshape(-1, 4)[mask.reshape(-1, 4)]
+            outs.append(sel.reshape(B, H // 2, W // 2, 1).transpose(0, 3, 1, 2))
+        return jnp.concatenate(outs, axis=1)
+
+    @staticmethod
     def _subsample(y, choice, offset):
         """Pick one pixel of each 2x2 cell; ``choice`` in {0..3} per cell."""
         B, C, H, W = y.shape

@@ -422,28 +422,37 @@ class QNR(Metric):
             (va + vb) * (ma[:, 0] ** 2 + mb[:, 0] ** 2), 1e-12, None
         )
 
+    def D_lambda(self, hrms, lrms):
+        """Spectral distortion index: mean band-pair UQI difference between
+        the fused and low-res multispectral images (reference
+        distortion.py:487)."""
+        C = hrms.shape[1]
+        out, n_pairs = 0.0, 0
+        for i in range(C):
+            for j in range(i + 1, C):
+                u_f = self._uqi(hrms[:, i : i + 1], hrms[:, j : j + 1])
+                u_l = self._uqi(lrms[:, i : i + 1], lrms[:, j : j + 1])
+                out = out + jnp.abs(u_f - u_l)
+                n_pairs += 1
+        return out / max(n_pairs, 1)
+
+    def D_s(self, hrms, lrms, pan, pan_lr):
+        """Spatial distortion index: mean band-to-pan UQI difference at high
+        vs low resolution (reference distortion.py:502)."""
+        C = hrms.shape[1]
+        out = 0.0
+        for i in range(C):
+            u_h = self._uqi(hrms[:, i : i + 1], pan)
+            u_l = self._uqi(lrms[:, i : i + 1], pan_lr)
+            out = out + jnp.abs(u_h - u_l)
+        return out / C
+
     def __call__(self, x_net=None, x=None, y=None, physics=None, **kwargs):
         ms_lr, pan = y[0], y[1]
         fused = x_net
-        C = fused.shape[1]
-        # spectral distortion: band-pair UQI differences fused vs low-res MS
-        d_lambda = 0.0
-        n_pairs = 0
-        for i in range(C):
-            for j in range(i + 1, C):
-                u_f = self._uqi(fused[:, i : i + 1], fused[:, j : j + 1])
-                u_l = self._uqi(ms_lr[:, i : i + 1], ms_lr[:, j : j + 1])
-                d_lambda = d_lambda + jnp.abs(u_f - u_l)
-                n_pairs += 1
-        d_lambda = d_lambda / max(n_pairs, 1)
-        # spatial distortion: band-to-pan UQI at high res vs low res
+        d_lambda = self.D_lambda(fused, ms_lr)
         pan_lr = jax.image.resize(pan, ms_lr[:, :1].shape, "linear")
-        d_s = 0.0
-        for i in range(C):
-            u_h = self._uqi(fused[:, i : i + 1], pan)
-            u_l = self._uqi(ms_lr[:, i : i + 1], pan_lr)
-            d_s = d_s + jnp.abs(u_h - u_l)
-        d_s = d_s / C
+        d_s = self.D_s(fused, ms_lr, pan, pan_lr)
         return (1 - d_lambda) ** self.alpha * (1 - d_s) ** self.beta
 
 

@@ -632,6 +632,16 @@ class NIQE(Metric):
         )[:, None, None]
         return mu, cov
 
+    def estimate_aggd_param(self, vecs, eps: float = 1e-12):
+        """AGGD ``(alpha, beta_left, beta_right)`` fits for each row of
+        ``vecs`` (reference perceptual.py:199)."""
+        return self._aggd(vecs, eps=eps)
+
+    def niqe(self, x_net):
+        """Per-image NIQE score (reference perceptual.py:281) — the raw
+        pipeline on an already gray/prepared batch."""
+        return self.metric(x_net)
+
     def metric(self, x_net, x=None, *args, **kwargs):
         if self.params is None:
             raise RuntimeError(

@@ -213,14 +213,28 @@ class WaveletDenoiser(Denoiser):
         self.wt = WaveletTransform(wavelet=wv, level=level, ndim=wvdim)
         self.non_linearity = non_linearity
 
-    def _threshold(self, c, ths):
-        if self.non_linearity == "soft":
-            return jnp.sign(c) * jnp.maximum(jnp.abs(c) - ths, 0.0)
-        elif self.non_linearity == "hard":
-            return jnp.where(jnp.abs(c) > ths, c, 0.0)
-        elif self.non_linearity == "topk":
-            return self.hard_threshold_topk(c, ths)
-        raise ValueError(self.non_linearity)
+    # --- reference coefficient-space thresholding API (wavdict.py) -------
+
+    @staticmethod
+    def _expand_ths_as(ths, x):
+        """Broadcast a scalar / (B,)-shaped threshold over ``x``
+        (reference wavdict.py:241)."""
+        t = jnp.asarray(ths)
+        if t.ndim > 0:
+            t = t.reshape((-1,) + (1,) * (x.ndim - 1))
+        return t
+
+    def prox_l1(self, x, ths=0.1):
+        """Soft-threshold the given coefficient array (reference
+        wavdict.py:228 — operates on coefficients, not images)."""
+        t = jnp.abs(self._expand_ths_as(ths, x))
+        return jnp.maximum(0.0, x - t) + jnp.minimum(0.0, x + t)
+
+    def prox_l0(self, x, ths=0.1):
+        """Hard-threshold the given coefficient array (reference
+        wavdict.py:253)."""
+        t = self._expand_ths_as(ths, x)
+        return jnp.where(jnp.abs(x) < t, 0.0, x)
 
     @staticmethod
     def hard_threshold_topk(c, ths):
@@ -237,40 +251,118 @@ class WaveletDenoiser(Denoiser):
         kth = kth.reshape((B,) + (1,) * (c.ndim - 1))
         return jnp.where(jnp.abs(c) >= kth, c, 0.0)
 
-    def prox_l1(self, x, ths=0.1):
-        """Soft-threshold all detail coefficients (reference wavdict.py:228)."""
-        t = self.wt.dwt2(x)
-        t = self.wt.map_detail(
-            t, lambda c: jnp.sign(c) * jnp.maximum(jnp.abs(c) - ths, 0.0))
-        return self.wt.idwt2(t)
+    def threshold_func(self, x, ths):
+        """Dispatch on ``non_linearity`` (reference wavdict.py:314)."""
+        if self.non_linearity == "soft":
+            return self.prox_l1(x, ths)
+        elif self.non_linearity == "hard":
+            return self.prox_l0(x, ths)
+        elif self.non_linearity == "topk":
+            return self.hard_threshold_topk(x, ths)
+        raise ValueError(self.non_linearity)
 
-    def prox_l0(self, x, ths=0.1):
-        """Hard-threshold all detail coefficients (reference wavdict.py:253)."""
-        t = self.wt.dwt2(x)
-        t = self.wt.map_detail(t, lambda c: jnp.where(jnp.abs(c) > ths, c, 0.0))
-        return self.wt.idwt2(t)
+    # reference-preserved typo aliases (wavdict.py:311,329)
+    def thresold_func(self, x, ths):
+        return self.threshold_func(x, ths)
 
-    def psi(self, x):
-        """Flattened wavelet coefficients (approximation + details), the
-        analysis operator used by ``WaveletPrior`` (reference wavdict.py
-        ``psi``)."""
-        t = self.wt.dwt2(x)
-        a = t["coeffs"][0].reshape(x.shape[0], -1)
-        return jnp.concatenate([a, self.wt.flat_coeffs(t)], axis=1)
+    def reshape_ths(self, ths, level: int):
+        """Normalize ``ths`` to one value per detail band at ``level``
+        (reference wavdict.py:401): scalars repeat over the 3 (2D) or 7
+        (3D) bands; per-level sequences are indexed by ``level``."""
+        numel = 3 if self.wt.ndim == 2 else 7
+        if isinstance(ths, (int, float)):
+            return [ths] * numel
+        t = jnp.asarray(ths)
+        if t.ndim == 0:
+            return [ths] * numel
+        if t.ndim >= 2 and t.shape[-2] >= level:  # (n_levels, numel)
+            row = t[..., level - 1, :]
+            return [row[..., c] for c in range(numel)]
+        if t.shape[-1] == numel:
+            return [t[..., c] for c in range(numel)]
+        return [t] * numel
+
+    def threshold_2D(self, coeffs, ths):
+        """Threshold every 2D detail band (reference wavdict.py:332)."""
+        out = [coeffs["coeffs"][0]]
+        for level, details in enumerate(coeffs["coeffs"][1:], start=1):
+            ths_cur = self.reshape_ths(ths, level)
+            out.append(tuple(self.threshold_func(c, ths_cur[i])
+                             for i, c in enumerate(details)))
+        return {**coeffs, "coeffs": out}
+
+    def thresold_2D(self, coeffs, ths):
+        return self.threshold_2D(coeffs, ths)
+
+    def threshold_3D(self, coeffs, ths):
+        """Threshold every 3D detail band (reference wavdict.py:342)."""
+        return self.threshold_2D(coeffs, ths)
+
+    def threshold_ND(self, coeffs, ths):
+        """Dimension dispatch (reference wavdict.py:352)."""
+        if self.wt.ndim == 2:
+            return self.threshold_2D(coeffs, ths)
+        elif self.wt.ndim == 3:
+            return self.threshold_3D(coeffs, ths)
+        raise ValueError(f"unsupported wavelet dimension {self.wt.ndim}")
+
+    # --- transform plumbing (reference wavdict.py:98-205,365-399) --------
+
+    def dwt(self, x):
+        """Wavelet decomposition (reference wavdict.py:98)."""
+        return self.wt.dwt2(x)
+
+    def iwt(self, coeffs):
+        """Wavelet recomposition (reference wavdict.py:205)."""
+        return self.wt.idwt2(coeffs)
+
+    def flatten_coeffs(self, dec):
+        """All coefficients as one flat vector (reference wavdict.py:132)."""
+        parts = [dec["coeffs"][0].reshape(-1)]
+        for details in dec["coeffs"][1:]:
+            parts.extend(c.reshape(-1) for c in details)
+        return jnp.concatenate(parts)
+
+    def pad_input(self, x):
+        """Pad H (and W) to even sizes (reference wavdict.py:365); returns
+        ``(padded, padding)``."""
+        h, w = x.shape[-2:]
+        pb, pr = h % 2, w % 2
+        if pb or pr:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 2) + ((0, pb), (0, pr)))
+        return x, (pb, pr)
+
+    def crop_output(self, x, padding):
+        """Undo :meth:`pad_input` (reference wavdict.py:390)."""
+        pb, pr = padding
+        return x[..., : x.shape[-2] - pb, : x.shape[-1] - pr]
+
+    @staticmethod
+    def psi(x, wavelet: str = "db2", level: int = 2, dimension: int = 2,
+            mode: str = "zero"):
+        """Flattened list of wavelet coefficient arrays (reference
+        wavdict.py:157 — a static analysis helper)."""
+        from ..ops.wavelets import WaveletTransform
+
+        wt = WaveletTransform(wavelet=wavelet, level=level, ndim=dimension)
+        dec = wt.dwt2(x)
+        out = [dec["coeffs"][0]]
+        for details in dec["coeffs"][1:]:
+            out.extend(details)
+        return out
 
     def __call__(self, x, sigma=0.1, **kwargs):
-        ths = jnp.asarray(sigma)
-        if ths.ndim > 0:  # per-batch thresholds broadcast over coefficients
-            ths = ths.reshape((-1,) + (1,) * (x.ndim - 1))
-        if self.non_linearity == "topk":
-            ths = sigma  # fraction/count, consumed statically
-        t = self.wt.dwt2(x)
-        t = self.wt.map_detail(t, lambda c: self._threshold(c, ths))
-        return self.wt.idwt2(t)
+        ths = sigma if self.non_linearity == "topk" else jnp.asarray(sigma)
+        x_pad, padding = self.pad_input(x)
+        t = self.dwt(x_pad)
+        t = self.threshold_ND(t, ths)
+        return self.crop_output(self.iwt(t), padding)
 
 
 class WaveletDictDenoiser(Denoiser):
     """Average of per-wavelet denoisers (reference wavdict.py:610)."""
+
+    psi = staticmethod(WaveletDenoiser.psi)
 
     def __init__(self, list_wv=("db2", "db4", "db8"), level: int = 3, max_iter: int = 10,
                  wvdim: int = 2):

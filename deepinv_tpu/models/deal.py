@@ -323,6 +323,17 @@ class DEAL(Reconstructor):
         )
         return c_k
 
+    def mask(self, x, sigma=0.05):
+        """Current DEAL spatial mask at ``x`` (reference deal.py:154 — there
+        a stateful property holding the last run's mask; here computed
+        functionally for a given image and noise level)."""
+        sigma255 = jnp.broadcast_to(jnp.asarray(255.0 * sigma, x.dtype),
+                                    (x.shape[0],))
+        L = self.W1.spectral_norm()
+        scale_in = jnp.ones((x.shape[0], self.last_c, 1, 1)) * sigma255
+        scaling = jnp.exp(self.spline_scaling(scale_in)) / (sigma255 + 1e-5)
+        return self._cal_mask(x, L, scaling)
+
     def denoise(self, y, sigma):
         """Denoising mode (reference denoise :1020): H = identity,
         lambda = spline_lambda(255 sigma)."""

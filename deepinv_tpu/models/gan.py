@@ -127,21 +127,35 @@ class CSGMGenerator(Reconstructor):
         self.inf_lr = inf_lr
         self.inf_tol = inf_tol
 
+    def random_latent(self, key=None, batch_size: int = 1):
+        """Uniform[-1, 1] latent sample of shape (B, nz) (reference
+        gan.py:339)."""
+        from ..core.rng import ensure_key
+
+        key = ensure_key(key, 0)
+        return jax.random.uniform(key, (batch_size, self.G.nz)) * 2 - 1
+
+    def optimize_z(self, z, y, physics):
+        """Inference-time latent optimization: heavy-ball gradient descent
+        on ``||A(G(z)) - y||^2`` (reference gan.py:361, Adam loop)."""
+
+        def loss(zz):
+            r = physics.A(self.G(zz)) - y
+            return jnp.sum(jnp.abs(r) ** 2)
+
+        def body(_, state):
+            zz, m = state
+            g = jax.grad(loss)(zz)
+            m = 0.9 * m + g
+            return (zz - self.inf_lr * m, m)
+
+        z, _ = jax.lax.fori_loop(0, self.inf_max_iter, body,
+                                 (z, jnp.zeros_like(z)))
+        return z
+
     def __call__(self, y, physics, key=None, **kwargs):
         from ..core.rng import ensure_key
 
         key = ensure_key(key, 0)
         z0 = jax.random.normal(key, (y.shape[0], self.G.nz))
-
-        def loss(z):
-            r = physics.A(self.G(z)) - y
-            return jnp.sum(jnp.abs(r) ** 2)
-
-        def body(_, state):
-            z, m = state
-            g = jax.grad(loss)(z)
-            m = 0.9 * m + g
-            return (z - self.inf_lr * m, m)
-
-        z, _ = jax.lax.fori_loop(0, self.inf_max_iter, body, (z0, jnp.zeros_like(z0)))
-        return self.G(z)
+        return self.G(self.optimize_z(z0, y, physics))

@@ -75,6 +75,16 @@ class Client(Reconstructor):
         self.timeout = timeout
 
     @staticmethod
+    def serialize(tensor) -> str:
+        """Array -> base64 npy string (reference client.py:165)."""
+        return Client._encode(tensor)
+
+    @staticmethod
+    def deserialize(data: str):
+        """base64 npy string -> array (reference client.py:184)."""
+        return Client._decode(data)
+
+    @staticmethod
     def _encode(arr):
         buf = io.BytesIO()
         np.save(buf, np.asarray(arr))

@@ -137,10 +137,14 @@ class PanNet(Reconstructor):
     high-pass detail injection with a ResNet on concatenated upsampled
     multispectral + pan inputs."""
 
-    def __init__(self, hrms_shape=(3, 32, 32), nf: int = 32, n_blocks: int = 4, key=None):
+    def __init__(self, hrms_shape=(3, 32, 32), nf: int = 32, n_blocks: int = 4,
+                 scale_factor: int = 4, highpass_kernel_size: int = 5, key=None):
         key = key if key is not None else jax.random.key(0)
         C = hrms_shape[0]
         ks = iter(jax.random.split(key, n_blocks * 2 + 2))
+        self.hrms_shape = tuple(hrms_shape)
+        self.scale_factor = scale_factor
+        self.highpass_kernel_size = highpass_kernel_size
         self.head = Conv2d(C + 1, nf, 3, 1, 1, key=next(ks))
         self.blocks = [
             (Conv2d(nf, nf, 3, 1, 1, key=next(ks)), Conv2d(nf, nf, 3, 1, 1, key=next(ks)))
@@ -148,10 +152,35 @@ class PanNet(Reconstructor):
         ]
         self.tail = Conv2d(nf, C, 3, 1, 1, key=next(ks))
 
+    def highpass(self, x):
+        """High-pass with a box filter, per Yang et al. (reference
+        multispectral.py:149)."""
+        k = self.highpass_kernel_size
+        box = jnp.ones((k, k), x.dtype) / (k * k)
+        from ..ops.conv import conv2d
+
+        return x - conv2d(x, box, padding="replicate")
+
+    def create_sampler(self, direction: str, hr_shape, noise_gain: float = 0.0):
+        """Bicubic down/up sampler for Wald-protocol reduced-resolution
+        training (reference multispectral.py:127)."""
+        from ..physics import Downsampling, PoissonNoise
+
+        sampler = Downsampling(img_size=hr_shape, factor=self.scale_factor,
+                               filter="bicubic")
+        if noise_gain > 0:
+            sampler = sampler.replace(
+                noise_model=PoissonNoise(gain=noise_gain, clip_positive=True))
+        return sampler if direction == "down" else sampler.A_adjoint
+
     def __call__(self, y, physics, **kwargs):
         color_lr, pan = y[0], y[1]
         up = physics.downsampling.A_adjoint(color_lr) * (physics.factor**2)
-        h = jax.nn.relu(self.head(jnp.concatenate([up, pan], axis=1)))
+        # high-pass detail injection (reference multispectral.py:151-169)
+        lr_hp_up = physics.downsampling.A_adjoint(
+            self.highpass(color_lr)) * (physics.factor**2)
+        pan_hp = self.highpass(pan)
+        h = jax.nn.relu(self.head(jnp.concatenate([lr_hp_up, pan_hp], axis=1)))
         for c1, c2 in self.blocks:
             h = h + c2(jax.nn.relu(c1(h)))
         return up + self.tail(h)

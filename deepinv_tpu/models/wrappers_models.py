@@ -178,6 +178,30 @@ class ICNN(Module):
     def grad(self, x):
         return jax.grad(lambda u: jnp.sum(self.fn(u)))(x)
 
+    def initialize_weights(self, min_val=0.0, max_val=0.001, key=None):
+        """Re-draw the convex-path weights uniformly in [min, max]
+        (reference icnn.py:166); returns the updated module."""
+        from ..core.rng import ensure_key
+
+        key = ensure_key(key, 0)
+        ks = jax.random.split(key, len(self.w_z) + 1)
+        for i, wz in enumerate(self.w_z):
+            self.w_z[i] = wz.replace(weight=min_val + (max_val - min_val)
+                                     * jax.random.uniform(ks[i], wz.weight.shape))
+        self.final = self.final.replace(
+            weight=min_val + (max_val - min_val)
+            * jax.random.uniform(ks[-1], self.final.weight.shape))
+        return self
+
+    def zero_clip_weights(self):
+        """Clamp the convex-path weights to be non-negative (reference
+        icnn.py:177); returns the updated module."""
+        for i, wz in enumerate(self.w_z):
+            self.w_z[i] = wz.replace(weight=jnp.clip(wz.weight, 0.0, None))
+        self.final = self.final.replace(
+            weight=jnp.clip(self.final.weight, 0.0, None))
+        return self
+
 
 def _pos_conv(conv, z):
     from jax import lax
@@ -229,11 +253,16 @@ class WaveletNoiseEstimator(Module):
 
         self.wt = WaveletTransform(wavelet=wv, level=1)
 
-    def __call__(self, y, **kwargs):
-        t = self.wt.dwt2(y)
+    def estimate_noise(self, x):
+        """MAD sigma estimate from the diagonal detail band (reference
+        noise_level_estimation.py:58)."""
+        t = self.wt.dwt2(x)
         hh = t["coeffs"][1][2]  # diagonal details
-        mad = jnp.median(jnp.abs(hh.reshape(y.shape[0], -1)), axis=1)
+        mad = jnp.median(jnp.abs(hh.reshape(x.shape[0], -1)), axis=1)
         return mad / 0.6745
+
+    def __call__(self, y, **kwargs):
+        return self.estimate_noise(y)
 
 
 class PatchCovarianceNoiseEstimator(Module):
@@ -245,6 +274,11 @@ class PatchCovarianceNoiseEstimator(Module):
         self.stride = stride
 
     def __call__(self, y, **kwargs):
+        return self.estimate_noise(y)
+
+    def estimate_noise(self, y):
+        """Patch-covariance sigma estimate (reference
+        noise_level_estimation.py:121)."""
         p, s = self.patch_size, self.stride
         B, C, H, W = y.shape
         patches = []

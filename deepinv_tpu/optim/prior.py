@@ -189,6 +189,21 @@ class TVPrior(Prior):
         self.n_it_max = n_it_max
         self.use_pallas = use_pallas
 
+
+    @staticmethod
+    def nabla(x):
+        """Finite-difference gradient operator (reference prior.py nabla)."""
+        from ..models.classic import _TVOpsMixin
+
+        return _TVOpsMixin.nabla(x)
+
+    @staticmethod
+    def nabla_adjoint(u):
+        """Adjoint of :meth:`nabla` (reference prior.py nabla_adjoint)."""
+        from ..models.classic import _TVOpsMixin
+
+        return _TVOpsMixin.nabla_adjoint(u)
+
     def fn(self, x, *args, **kwargs):
         g = _grad_op(x)
         mag = jnp.sqrt(jnp.sum(g**2, axis=-1) + 1e-12)
@@ -243,6 +258,15 @@ class WaveletPrior(Prior):
         )
         return self.wt.idwt2(thresholded)
 
+    def psi(self, x, *args, **kwargs):
+        """Flattened list of wavelet coefficient arrays (reference
+        prior.py WaveletPrior.psi)."""
+        dec = self.wt.dwt2(x)
+        out = [dec["coeffs"][0]]
+        for details in dec["coeffs"][1:]:
+            out.extend(details)
+        return out
+
 
 class TVL1Prior(Prior):
     r"""Anisotropic TV-L1 style prior (reference prior.py:575): prox via the
@@ -250,6 +274,21 @@ class TVL1Prior(Prior):
 
     def __init__(self, n_it_max: int = 100):
         self.n_it_max = n_it_max
+
+
+    @staticmethod
+    def nabla(x):
+        """Finite-difference gradient operator (reference prior.py nabla)."""
+        from ..models.classic import _TVOpsMixin
+
+        return _TVOpsMixin.nabla(x)
+
+    @staticmethod
+    def nabla_adjoint(u):
+        """Adjoint of :meth:`nabla` (reference prior.py nabla_adjoint)."""
+        from ..models.classic import _TVOpsMixin
+
+        return _TVOpsMixin.nabla_adjoint(u)
 
     def fn(self, x, *args, **kwargs):
         g = _grad_op(x)

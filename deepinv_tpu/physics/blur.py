@@ -124,6 +124,17 @@ class BlurFFT(DecomposablePhysics):
             return new.update(**params) if params else new
         return super().update(**params)
 
+    def get_filter_parameters(self, img_size=None, filter=None, **kwargs) -> dict:
+        """``{"filter", "mask"}`` parameters for a given PSF (reference
+        blur.py:660; the mask here is the complex FFT of the embedded
+        PSF rather than the reference's (abs, angle) split)."""
+        if filter is None:
+            return {"filter": None, "mask": None}
+        f = _resolve_filter(filter)
+        size = tuple(img_size) if img_size is not None else self.img_size
+        mask = jax.jit(lambda ff: filter_fft_2d(ff, size, real_fft=False))(f)
+        return {"filter": f, "mask": mask}
+
     def V_adjoint(self, x):
         return jnp.fft.fft2(x, norm="ortho")
 
@@ -170,6 +181,36 @@ class Downsampling(LinearPhysics):
         self.imsize = tuple(img_size) if img_size is not None else None
         self.padding = padding
         self.filter = _resolve_filter(filter, self.factor)
+
+    @staticmethod
+    def check_factor(factor) -> int:
+        """Validate and cast a downsampling factor to int (reference
+        blur.py:366): 1D arrays must be constant."""
+        if isinstance(factor, (int, float)):
+            return int(factor)
+        arr = jnp.asarray(factor)
+        if arr.ndim > 1:
+            raise ValueError("Factor tensor must be 1D.")
+        flat = jnp.ravel(arr)
+        import numpy as _np
+
+        vals = _np.asarray(flat)
+        if vals.size == 0 or not (_np.all(vals == vals[0])):
+            raise ValueError(
+                "Downsampling only supports one factor per batch.")
+        return int(vals[0])
+
+    @staticmethod
+    def get_filter_parameters(img_size=None, filter=None, factor=None,
+                              **kwargs) -> dict:
+        """Build the ``{"filter", "factor"}`` parameter dict for a given
+        factor (reference blur.py:93)."""
+        f = Downsampling.check_factor(factor) if factor is not None else None
+        filt = _resolve_filter(filter, f if f is not None else 2)
+        out = {"filter": filt}
+        if f is not None:
+            out["factor"] = f
+        return out
 
     def A(self, x, filter=None, **params):
         f = self.filter if filter is None else _resolve_filter(filter, self.factor)

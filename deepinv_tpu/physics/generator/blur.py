@@ -650,6 +650,36 @@ class TiledBlurGenerator(PhysicsGenerator):
         self.psf_size = getattr(self.psf_generator, "psf_size", None)
         self.img_size = img_size
 
+    def get_needed_pad(self, img_size):
+        """Padding making ``img_size`` tile-compatible (reference
+        TiledMixin2d, utils/mixins.py:416)."""
+        from ...utils.mixins import _compute_needed_pad
+
+        return _compute_needed_pad(tuple(img_size)[-2:], self.patch_size,
+                                   self.stride)
+
+    def get_compatible_img_size(self, img_size):
+        """Smallest tile-compatible size >= ``img_size`` (reference
+        utils/mixins.py:425)."""
+        from ...utils.mixins import _compute_compatible_img_size
+
+        return _compute_compatible_img_size(tuple(img_size)[-2:],
+                                            self.patch_size, self.stride)
+
+    def image_to_patches(self, image, pad=(0, 0, 0, 0)):
+        """Split an image into this generator's tiles (reference
+        utils/mixins.py:366)."""
+        from ...utils.mixins import image_to_patches
+
+        return image_to_patches(image, self.patch_size, self.stride, pad=pad)
+
+    def patches_to_image(self, patches, img_size=None, reduce_overlap="sum"):
+        """Reassemble tiles (reference utils/mixins.py:391)."""
+        from ...utils.mixins import patches_to_image
+
+        return patches_to_image(patches, self.stride, img_size=img_size,
+                                reduce_overlap=reduce_overlap)
+
     def get_num_patches(self, img_size):
         """(n_h, n_w) tiles covering ``img_size`` (reference mixins
         get_num_patches with pad_if_needed)."""

@@ -103,6 +103,15 @@ class BernoulliSplittingMaskGenerator(PhysicsGenerator):
                                      img_size=img_size, **kwargs)
         return {"mask": mask}
 
+    def batch_step(self, input_mask=None, img_size=None, key=None) -> dict:
+        """One batch-free splitting mask (reference inpainting.py:181):
+        like ``step(batch_size=1)`` but without the batch dimension."""
+        im = input_mask[None] if input_mask is not None else None
+        out = self.step(batch_size=1, key=key, input_mask=im,
+                        img_size=img_size)
+        return {k: (v[0] if hasattr(v, "ndim") and v.ndim > 0 else v)
+                for k, v in out.items()}
+
     def check_pixelwise(self, input_mask=None) -> bool:
         """Reference inpainting.py:146 pixelwise feasibility checks."""
         pixelwise = self.pixelwise

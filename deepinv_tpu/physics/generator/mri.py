@@ -102,6 +102,11 @@ class BaseMaskGenerator(PhysicsGenerator):
         return slice(W // 2 - self.n_center // 2,
                      W // 2 + _ceildiv(self.n_center, 2))
 
+    def get_pdf(self, W: int):
+        """Unnormalized 1D sampling density across mask columns (reference
+        generator/mri.py:92) — defined by weighted-line strategies."""
+        raise NotImplementedError
+
     def sample_mask(self, key, B: int, T: int, H: int, W: int):
         """Sample line indicators of shape (B, T, W) (strategy-specific)."""
         raise NotImplementedError

@@ -74,6 +74,11 @@ class DownsamplingGenerator(PhysicsGenerator):
         self.factors = [factors] if isinstance(factors, int) else list(factors)
         self.psf_size = tuple(psf_size) if psf_size is not None else None
 
+    def get_kernel(self, filter_str: str = None, factor=None):
+        """Filter tensor for a given name/factor (reference
+        downsampling.py:96)."""
+        return self.str2filter(filter_str, factor)
+
     def str2filter(self, filter_name: str, factor: int):
         """Kernel for a named filter at the given factor, padded to
         ``psf_size`` (reference downsampling.py:59)."""

@@ -202,6 +202,40 @@ class CompressiveSpectralImaging(LinearPhysics):
                 mask = mask[None]
         self.mask = mask
 
+    @property
+    def C(self):
+        return self.img_size[0]
+
+    def pad(self, x):
+        """Zero-pad bottom (or right) by C-1 pixels (reference
+        cassi.py:104)."""
+        C = self.img_size[0]
+        if self.shear_dir == "h":
+            return jnp.pad(x, ((0, 0), (0, 0), (0, C - 1), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, C - 1)))
+
+    def crop(self, x):
+        """Undo :meth:`pad` (reference cassi.py:114)."""
+        C = self.img_size[0]
+        if self.shear_dir == "h":
+            return x[:, :, : x.shape[-2] - (C - 1), :]
+        return x[:, :, :, : x.shape[-1] - (C - 1)]
+
+    def shear(self, x, un: bool = False):
+        """Per-channel pixel shear (reference cassi.py:124); ``un`` shears
+        in the opposite direction."""
+        return self._shear(x, inverse=un)
+
+    def flatten(self, x):
+        """Average over the channel dimension (reference cassi.py:142)."""
+        return jnp.mean(x, axis=1, keepdims=True)
+
+    def unflatten(self, y):
+        """Spread a flat measurement back over C channels (reference
+        cassi.py:149)."""
+        C = self.img_size[0]
+        return jnp.repeat(y, C, axis=1) / C
+
     def _shear(self, x, inverse: bool = False):
         C = x.shape[1]
         ax = -2 if self.shear_dir == "h" else -1

@@ -563,3 +563,21 @@ def test_deep_image_prior_fits_measurements(key):
     fit = float(jnp.mean((physics.A(xhat) - y) ** 2))
     base = float(jnp.mean(y**2))
     assert fit < 0.2 * base, (fit, base)
+
+
+def test_drunet_folded_forward_matches_plain(key):
+    """The W-folded scale-0 forward (models/drunet_fold.py) is an exact
+    layout transform of DRUNet.forward_unet (same MACs, reassociated)."""
+    from deepinv_tpu.models.drunet import _ACTS
+    from deepinv_tpu.models.drunet_fold import forward_unet_folded
+
+    net = DRUNet(nc=(8, 16, 16, 16), nb=2)
+    x = jax.random.uniform(key, (2, 4, 32, 48))
+    ref = net.forward_unet(x)
+    fold = forward_unet_folded(net, x, _ACTS["R"])
+    assert jnp.abs(ref - fold).max() < 1e-4
+
+    # and under jit with a nontrivial act mode
+    net_l = DRUNet(nc=(8, 16, 16, 16), nb=1, act_mode="L")
+    f = jax.jit(lambda n, v: forward_unet_folded(n, v, _ACTS["L"]))
+    assert jnp.abs(f(net_l, x) - net_l.forward_unet(x)).max() < 1e-4
