@@ -139,6 +139,64 @@ class TensorList:
         """Sum of all elements of all members (scalar)."""
         return sum(jnp.sum(a) for a in self.x)
 
+    # -- reference conveniences (deepinv/utils/tensorlist.py:41-305) --------
+    def abs(self):
+        """Member-wise absolute value (reference tensorlist.py:59)."""
+        return TensorList([jnp.abs(a) for a in self.x])
+
+    def max(self):
+        """TensorList of each member's maximum (reference tensorlist.py:65)."""
+        return TensorList([jnp.max(a) for a in self.x])
+
+    def clone(self):
+        """Copy of the TensorList (reference tensorlist.py:41; arrays are
+        immutable in JAX, so members are shared)."""
+        return TensorList(list(self.x))
+
+    def detach(self):
+        """Gradient-stopped copy (reference tensorlist.py:47)."""
+        return TensorList([jax.lax.stop_gradient(a) for a in self.x])
+
+    def numpy(self):
+        """List of numpy arrays (reference tensorlist.py:71)."""
+        import numpy as np
+
+        return [np.asarray(a) for a in self.x]
+
+    def isnan(self):
+        """TensorList of NaN masks (reference tensorlist.py:294)."""
+        return TensorList([jnp.isnan(a) for a in self.x])
+
+    def numel(self):
+        """Total number of elements (reference tensorlist.py:300)."""
+        return sum(a.size for a in self.x)
+
+    def any(self):
+        """True if any member has a True element (reference tensorlist.py:234)."""
+        return any(bool(jnp.any(a)) for a in self.x)
+
+    def all(self):
+        """True if every element of every member is True (reference
+        tensorlist.py:250)."""
+        return all(bool(jnp.all(a)) for a in self.x)
+
+    def __gt__(self, o):
+        return self._binary(o, operator.gt)
+
+    def __lt__(self, o):
+        return self._binary(o, operator.lt)
+
+    def squeeze(self, axis=None):
+        """Member-wise squeeze (reference tensorlist.py:274)."""
+        return TensorList([
+            jnp.squeeze(a) if axis is None else jnp.squeeze(a, axis=axis)
+            for a in self.x
+        ])
+
+    def unsqueeze(self, axis):
+        """Member-wise expand_dims (reference tensorlist.py:283)."""
+        return TensorList([jnp.expand_dims(a, axis) for a in self.x])
+
     def reshape(self, shapes):
         return TensorList([a.reshape(s) for a, s in zip(self.x, shapes)])
 

@@ -89,13 +89,26 @@ class TensorDataset(ImageDataset):
     def __init__(self, *, x=None, y=None, params=None):
         if x is None and y is None:
             raise ValueError("at least one of x or y must be given")
-        self.x = None if x is None else np.asarray(x)
-        self.y = None if y is None else np.asarray(y)
-        self.params = params
-        if self.x is not None and self.y is not None and len(self.x) != len(self.y):
+        self._x = None if x is None else np.asarray(x)
+        self._y = None if y is None else np.asarray(y)
+        self._params = params
+        if self._x is not None and self._y is not None and len(self._x) != len(self._y):
             raise ValueError(
-                f"x and y must have the same leading dim, got {len(self.x)} vs {len(self.y)}"
+                f"x and y must have the same leading dim, got {len(self._x)} vs {len(self._y)}"
             )
+
+    # read-only views, as in the reference (datasets/base.py:209-219)
+    @property
+    def x(self):
+        return self._x
+
+    @property
+    def y(self):
+        return self._y
+
+    @property
+    def params(self):
+        return self._params
 
     def __len__(self):
         return len(self.x) if self.x is not None else len(self.y)
@@ -159,6 +172,20 @@ class RandomPatchSampler(ImageDataset):
     def __len__(self):
         return len(self.files)
 
+    def load(self, f, start_coords, patch_size=None):
+        """Load ``f`` and slice the patch starting at ``start_coords``
+        (reference datasets/random_sampler.py:241). ``None`` sizes keep the
+        whole axis."""
+        ps = self.patch_size if patch_size is None else patch_size
+        vol = self._to_chw(self.loader(f))
+        if isinstance(ps, int):
+            ps = (ps,) * (vol.ndim - 1)
+        sl = (slice(None),) + tuple(
+            slice(o, o + p) if p is not None else slice(None)
+            for o, p in zip(start_coords, ps)
+        )
+        return vol[sl]
+
     def __getitem__(self, i):
         xf, yf = self.files[i]
         vol = self._to_chw(self.loader(xf if xf is not None else yf))
@@ -184,21 +211,28 @@ class RandomPatchSampler(ImageDataset):
         return patch
 
 
-class PatchDataset(ImageDataset):
-    """Random patches from a stack of images (reference datasets/patch_ds).
+from ..utils.mixins import TiledMixin2d
+
+
+class PatchDataset(TiledMixin2d, ImageDataset):
+    """Grid patches from a stack of images (reference
+    datasets/patch_dataset.py:9, which inherits ``TiledMixin2d`` for the
+    patch-geometry helpers ``image_to_patches``/``patches_to_image``/
+    ``get_num_patches``/``get_needed_pad``/``get_compatible_img_size``).
 
     :param imgs: array (N, C, H, W); patches of ``patch_size`` are extracted
         on a regular grid with stride ``stride``.
     """
 
     def __init__(self, imgs, patch_size: int = 8, stride: int = 4, transforms=None):
+        super().__init__(patch_size=patch_size, stride=stride)
         self.imgs = np.asarray(imgs)
-        self.patch_size = patch_size
-        self.stride = stride
         self.transforms = transforms
         N, C, H, W = self.imgs.shape
-        self.per_row = (H - patch_size) // stride + 1
-        self.per_col = (W - patch_size) // stride + 1
+        ph, pw = self.patch_size
+        sh, sw = self.stride
+        self.per_row = (H - ph) // sh + 1
+        self.per_col = (W - pw) // sw + 1
         self.per_img = self.per_row * self.per_col
 
     def __len__(self):
@@ -207,10 +241,9 @@ class PatchDataset(ImageDataset):
     def __getitem__(self, idx):
         n, r = divmod(idx, self.per_img)
         i, j = divmod(r, self.per_col)
-        p = self.patch_size
-        patch = self.imgs[
-            n, :, i * self.stride : i * self.stride + p, j * self.stride : j * self.stride + p
-        ]
+        ph, pw = self.patch_size
+        sh, sw = self.stride
+        patch = self.imgs[n, :, i * sh : i * sh + ph, j * sw : j * sw + pw]
         if self.transforms is not None:
             patch = self.transforms(patch)
         return patch

@@ -20,14 +20,18 @@ import os
 import pickle
 import warnings
 import zlib
-from typing import Optional
+from contextlib import contextmanager
+from typing import Any, NamedTuple, Optional
 
 import numpy as np
+
+from ..physics.mri import MRIMixin
+from .base import ImageDataset
 
 __all__ = ["FastMRISliceDataset", "SimpleFastMRISliceDataset", "MRISliceTransform"]
 
 
-class FastMRISliceDataset:
+class FastMRISliceDataset(ImageDataset, MRIMixin):
     """Slices from raw fastMRI k-space volumes (reference fastmri.py:339).
 
     Each item is ``(x, y)``: magnitude target (1, H, W) and k-space
@@ -45,6 +49,58 @@ class FastMRISliceDataset:
         ``metadata_cache_file``.
     """
 
+    class SliceSampleID(NamedTuple):
+        """ID + metadata of one slice within an MRI volume file
+        (reference fastmri.py:294)."""
+
+        fname: str
+        slice_ind: int
+        metadata: dict
+
+    @staticmethod
+    def torch_shuffle(x: list, generator=None, seed: int = 0) -> list:
+        """Reproducibly shuffle a list (reference fastmri.py:285 uses a torch
+        generator; here a numpy Generator or an int seed)."""
+        rng = generator if generator is not None else np.random.default_rng(seed)
+        return [x[i] for i in rng.permutation(len(x))]
+
+    @contextmanager
+    def metadata_cache_manager(self, root, samples):
+        """Read/write the pickle metadata cache while populating ``samples``
+        (reference fastmri.py:302). Yields cached samples when
+        ``load_metadata_from_cache`` and the cache exists, else yields the
+        blank container for the caller to fill, saving it afterwards when
+        ``save_metadata_to_cache``."""
+        if self.load_metadata_from_cache and os.path.exists(
+            self.metadata_cache_file
+        ):
+            with open(self.metadata_cache_file, "rb") as f:
+                cache = pickle.load(f)
+            if cache.get(root) is None:
+                raise ValueError(
+                    "`metadata_cache_file` doesn't contain the metadata. "
+                    "Either deactivate `load_metadata_from_cache` or set "
+                    "`metadata_cache_file` properly."
+                )
+            yield cache[root]
+        else:
+            if self.load_metadata_from_cache and not os.path.exists(
+                self.metadata_cache_file
+            ):
+                warnings.warn(
+                    f"Couldn't find dataset cache at {self.metadata_cache_file}."
+                    " Loading dataset from scratch."
+                )
+            yield samples
+            if self.save_metadata_to_cache:
+                cache = {}
+                if os.path.exists(self.metadata_cache_file):
+                    with open(self.metadata_cache_file, "rb") as f:
+                        cache = pickle.load(f)
+                cache[root] = samples
+                with open(self.metadata_cache_file, "wb") as f:
+                    pickle.dump(cache, f)
+
     def __init__(self, root: str, slice_index="all", transform=None,
                  load_metadata_from_cache: bool = False,
                  save_metadata_to_cache: bool = False,
@@ -52,35 +108,12 @@ class FastMRISliceDataset:
         self.root = root
         self.transform = transform
         self.metadata_cache_file = metadata_cache_file
+        self.load_metadata_from_cache = load_metadata_from_cache
+        self.save_metadata_to_cache = save_metadata_to_cache
 
-        metadata = None
-        if load_metadata_from_cache:
-            if os.path.exists(metadata_cache_file):
-                with open(metadata_cache_file, "rb") as f:
-                    cache = pickle.load(f)
-                if root not in cache:
-                    raise ValueError(
-                        f"`metadata_cache_file` doesn't contain metadata for "
-                        f"{root}; deactivate load_metadata_from_cache or set "
-                        "metadata_cache_file properly."
-                    )
-                metadata = cache[root]
-            else:
-                warnings.warn(
-                    f"Couldn't find dataset cache at {metadata_cache_file}. "
-                    "Loading dataset from scratch."
-                )
-
-        if metadata is None:
-            metadata = self._scan(root)
-            if save_metadata_to_cache:
-                cache = {}
-                if os.path.exists(metadata_cache_file):
-                    with open(metadata_cache_file, "rb") as f:
-                        cache = pickle.load(f)
-                cache[root] = metadata
-                with open(metadata_cache_file, "wb") as f:
-                    pickle.dump(cache, f)
+        with self.metadata_cache_manager(root, []) as metadata:
+            if not metadata:
+                metadata.extend(self._scan(root))
 
         # metadata: list of (filename, n_slices)
         self.samples = []
@@ -137,8 +170,39 @@ class FastMRISliceDataset:
             return self.transform(x, y)
         return x, y
 
-
-from ..physics.mri import MRIMixin
+    def save_simple_dataset(self, dataset_path: str,
+                            pad_to_size=(320, 320)) -> "SimpleFastMRISliceDataset":
+        """Convert to an in-memory 2D single-coil magnitude dataset and save
+        it (reference fastmri.py:505 writes a ``.pt``; here a ``.npy``).
+        Images are rescaled to [0, 1] and center-cropped/padded to
+        ``pad_to_size`` so they stack. Returns the loaded
+        :class:`SimpleFastMRISliceDataset`."""
+        xs = []
+        for i in range(len(self)):
+            x = np.asarray(self[i][0], np.float32)  # (1, H, W) magnitude
+            lo, hi = x.min(), x.max()
+            x = (x - lo) / max(hi - lo, 1e-12)
+            if pad_to_size is not None:
+                H, W = x.shape[-2:]
+                th, tw = pad_to_size
+                # center crop then symmetric zero-pad to the target size
+                if H > th:
+                    o = (H - th) // 2
+                    x = x[..., o : o + th, :]
+                if W > tw:
+                    o = (W - tw) // 2
+                    x = x[..., :, o : o + tw]
+                ph, pw = th - x.shape[-2], tw - x.shape[-1]
+                if ph > 0 or pw > 0:
+                    x = np.pad(
+                        x,
+                        [(0, 0)] * (x.ndim - 2)
+                        + [(ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2)],
+                    )
+            xs.append(x[0])
+        arr = np.stack(xs).astype(np.float32)
+        np.save(dataset_path, arr)
+        return SimpleFastMRISliceDataset(arr)
 
 
 class MRISliceTransform(MRIMixin):
@@ -282,7 +346,7 @@ class MRISliceTransform(MRIMixin):
         return x, y
 
 
-class SimpleFastMRISliceDataset:
+class SimpleFastMRISliceDataset(ImageDataset):
     """In-memory magnitude-image dataset (reference SimpleFastMRISliceDataset):
     2-channel zero-imaginary images ready for MRI physics."""
 

@@ -15,7 +15,7 @@ fields-of-view x 50 images.
 from __future__ import annotations
 
 import os
-from typing import Callable, Sequence
+from typing import Callable, Sequence, NamedTuple
 
 __all__ = ["FMD"]
 
@@ -36,7 +36,10 @@ ALL_IMG_TYPES = (
 ALL_NOISE_LEVELS = (1, 2, 4, 8, 16)
 
 
-class FMD:
+from .base import ImageDataset
+
+
+class FMD(ImageDataset):
     """FMD dataset with the reference's directory pairing
     (reference fmd.py:117-249).
 
@@ -48,6 +51,15 @@ class FMD:
     :param transform: applied to the noisy image.
     :param target_transform: applied to the clean image.
     """
+
+    class NoisySampleIdentifier(NamedTuple):
+        """Identifies one noisy png (reference fmd.py:102): image-type
+        folder, noise folder ('raw' or 'avg<k>'), field of view, filename."""
+
+        img_type: str
+        noise_dirname: str
+        fov: int
+        fname: str
 
     def __init__(
         self,
@@ -95,7 +107,9 @@ class FMD:
                     for fname in sorted(os.listdir(folder)):
                         if fname.endswith(".png"):
                             self.noisy_sample_identifiers.append(
-                                (img_type, noise_dirname, fov, fname)
+                                self.NoisySampleIdentifier(
+                                    img_type, noise_dirname, fov, fname
+                                )
                             )
 
     def __len__(self) -> int:

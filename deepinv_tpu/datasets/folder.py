@@ -50,7 +50,10 @@ def load_image(path, size=None, to_float: bool = True, grayscale: bool = False):
     return arr
 
 
-class ImageFolder:
+from .base import ImageDataset
+
+
+class ImageFolder(ImageDataset):
     """Dataset over all images under a directory (reference ImageFolder).
 
     :param backend: ``'auto'`` (native C++ decoder when compiled and usable
@@ -144,6 +147,27 @@ class _PublicDataset(ImageFolder):
 class DIV2K(_PublicDataset):
     name = "DIV2K"
 
+    # official archive MD5s (reference div2k.py:69)
+    _checksums = {
+        "DIV2K_train_HR": "f9de9c251af455c1021017e61713a48b",
+        "DIV2K_valid_HR": "542325e500b0a474c7ad18bae922da72",
+    }
+
+    def verify_split_dataset_integrity(self, mode: str = "train") -> bool:
+        """Verify the raw DIV2K split folder under ``root`` against the
+        official MD5 (reference div2k.py:131): hashes every file in
+        ``DIV2K_{train,valid}_HR`` and compares folder digests."""
+        from .utils import calculate_md5_for_folder
+
+        root = getattr(self, "root", None)
+        if root is None or not os.path.isdir(root):
+            return False
+        split = "DIV2K_train_HR" if mode == "train" else "DIV2K_valid_HR"
+        return (
+            calculate_md5_for_folder(os.path.join(root, split))
+            == self._checksums[split]
+        )
+
 
 class Urban100HR(_PublicDataset):
     name = "Urban100"
@@ -167,3 +191,32 @@ class Flickr2kHR(_PublicDataset):
 
 class LsdirHR(_PublicDataset):
     name = "LSDIR"
+
+    # official archive MD5s (reference lsdir.py:93)
+    _checksums = {
+        "train": "a83bdb97076d617e4965913195cc84d1",
+        "val": "972ba478c530b76eb9404b038597f65f",
+    }
+
+    def verify_split_dataset_integrity(self, mode: str = "train") -> bool:
+        """Verify the raw LSDIR split under ``root`` (reference
+        lsdir.py:175): hash every shard folder (``0001000``..``0085000``
+        for train, ``val1/HR/val`` for val) and compare the combined
+        digest."""
+        import hashlib
+
+        from .utils import calculate_md5_for_folder
+
+        root = getattr(self, "root", None)
+        if root is None or not os.path.isdir(root):
+            return False
+        if mode == "train":
+            dirs = [
+                os.path.join(root, str(i * 1000).zfill(7)) for i in range(1, 86)
+            ]
+        else:
+            dirs = [os.path.join(root, "val1", "HR", "val")]
+        md5_folders = hashlib.md5()
+        for d in dirs:
+            md5_folders.update(calculate_md5_for_folder(d).encode())
+        return md5_folders.hexdigest() == self._checksums[mode]

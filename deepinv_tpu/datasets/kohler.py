@@ -31,7 +31,10 @@ def _load_image(path, transform):
     return img
 
 
-class Kohler:
+from .base import ImageDataset
+
+
+class Kohler(ImageDataset):
     """Köhler dataset with the reference's indexing semantics
     (reference kohler.py:22).
 

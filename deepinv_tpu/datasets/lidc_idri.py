@@ -35,7 +35,10 @@ class SliceSampleIdentifier(NamedTuple):
     patient_id: str
 
 
-class LidcIdriSliceDataset:
+from .base import ImageDataset
+
+
+class LidcIdriSliceDataset(ImageDataset):
     """CT slices from the LIDC-IDRI archive layout
     (reference lidc_idri.py:84-175).
 
@@ -44,6 +47,8 @@ class LidcIdriSliceDataset:
     :param hounsfield_units: convert raw values to HU via RescaleSlope/
         Intercept (float32); otherwise raw int16.
     """
+
+    SliceSampleIdentifier = SliceSampleIdentifier
 
     def __init__(self, root: str, transform: Callable = None,
                  hounsfield_units: bool = False):

@@ -50,7 +50,10 @@ def random_circles(size: int = 64, n_circles: int = 5, seed: int = 0, channels: 
     return img
 
 
-class SheppLoganDataset:
+from .base import ImageDataset
+
+
+class SheppLoganDataset(ImageDataset):
     """Dataset of randomly-deformed Shepp-Logan phantoms
     (reference utils/phantoms.py:319)."""
 

@@ -36,7 +36,10 @@ def _natsort(paths):
     return sorted(paths, key=key)
 
 
-class NBUDataset:
+from .base import ImageDataset
+
+
+class NBUDataset(ImageDataset):
     """NBU dataset with the reference's .mat pairing
     (reference satellite.py:89-176).
 

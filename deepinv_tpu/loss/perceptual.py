@@ -286,6 +286,20 @@ class BlurStrength(Metric):
         self.h_size = h_size
         self.lower_better = True
 
+    @staticmethod
+    def uniform_filter1d(x, size: int, axis: int):
+        """Batched 1D uniform filter along ``axis`` (reference
+        perceptual.py:635)."""
+        return _filter1d(
+            x, jnp.ones((size,), jnp.float32) / size, axis, size // 2
+        )
+
+    @staticmethod
+    def sobel1d(x, axis: int):
+        """Batched 1D Sobel derivative along ``axis`` (reference
+        perceptual.py:662)."""
+        return _filter1d(x, jnp.asarray([-1.0, 0.0, 1.0], jnp.float32), axis, 1)
+
     def metric(self, x_net, x=None, *args, **kwargs):
         if x_net.shape[1] not in (1, 3):
             raise ValueError("Input must have 1 or 3 channels.")

@@ -2,16 +2,24 @@
 
 Feature parity with the reference dataclass Trainer:
 
-- multi-dataloader round-robin with per-epoch random permutation
-  (trainer.py:996-1061);
+- multi-dataloader training with the reference's per-step loader permutation
+  (trainer.py:996-1061): every step draws one batch from *each* dataloader in
+  random order, with either one optimizer step per dataset or a single step
+  over the summed multi-dataset loss (``optimizer_step_multi_dataset``);
 - online measurement generation ``y = physics(x, key)`` with optional
   physics-generator resampling and *per-epoch key reset* reproducing
   ``loop_random_online_physics`` semantics (trainer.py:1352-1358) — the same
   measurements are drawn each epoch when ``loop_random_online_physics=True``;
 - offline (pre-generated HDF5) measurements with physics param updates;
 - loss lists with AverageMeter aggregation, metric train/eval histories;
-- gradient clipping, early stopping, best-model tracking, checkpointing
-  (orbax), no-learning baseline comparison (trainer.py:941).
+- the reference's documented customization hooks, all overridable:
+  ``setup_train`` (trainer.py:330), ``check_clip_grad`` (:630),
+  ``get_samples_*`` (:656,703), ``model_inference`` (:788), ``compute_loss``
+  (:823), ``compute_metrics`` (:886), ``no_learning_inference`` (:941),
+  ``step`` (:996), ``plot`` (:1090), ``reset_metrics`` (:1209),
+  ``stop_criterion`` (:1287);
+- gradient clipping + gradient-norm monitoring, early stopping, best-model
+  tracking, checkpointing (pickle/orbax), no-learning baseline comparison.
 
 JAX design: one jitted ``train_step(model, opt_state, batch, key)`` per
 (loss-set, physics structure); the optimizer is optax; the model is a pytree
@@ -48,7 +56,7 @@ class Trainer:
     """Train a reconstruction model (reference trainer.py:26).
 
     :param model: reconstructor ``model(y, physics)`` (pytree Module).
-    :param physics: physics or list of physics (round-robin with loaders).
+    :param physics: physics or list of physics (paired with the loaders).
     :param optimizer: optax optimizer (default adam(1e-3)).
     :param train_dataloader: loader or list of loaders yielding x (online) or
         (x, y) / (x, y, params) (offline).
@@ -59,6 +67,18 @@ class Trainer:
     :param loop_random_online_physics: redraw the same measurement keys every
         epoch (reference trainer.py:1352).
     :param epochs, grad_clip, early_stop, patience: training control.
+        ``early_stop`` accepts the reference's ``None | int`` (number of
+        non-improving evals) or a bool (``True`` maps to ``patience``).
+    :param optimizer_step_multi_dataset: if ``True`` (reference default,
+        trainer.py:278) one optimizer step is taken on the summed loss over
+        all dataloaders; if ``False``, one step per dataloader batch.
+    :param compute_train_metrics: compute metrics on train batches
+        (trainer.py:280).
+    :param check_grad: track the gradient norm each step in
+        ``check_grad_val`` (trainer.py:288).
+    :param eval_interval: epochs between evaluations (trainer.py:294).
+    :param plot_images, plot_interval, save_folder_im: reconstruction
+        plotting controls (trainer.py:226,249).
 
     :Examples:
 
@@ -100,8 +120,15 @@ class Trainer:
         physics_generator=None,
         loop_random_online_physics: bool = False,
         grad_clip: Optional[float] = None,
-        early_stop: bool = False,
+        early_stop=False,
         patience: int = 5,
+        optimizer_step_multi_dataset: bool = True,
+        compute_train_metrics: bool = True,
+        check_grad: bool = False,
+        eval_interval: int = 1,
+        plot_images: bool = False,
+        plot_interval: int = 1,
+        save_folder_im: Optional[str] = None,
         save_path: Optional[str] = None,
         ckpt_interval: int = 1,
         ckpt_backend: str = "pickle",
@@ -120,6 +147,7 @@ class Trainer:
 
         self.model = model
         self.physics = _to_list(physics)
+        self.grad_clip = grad_clip
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
         if grad_clip is not None:
             self.optimizer = optax.chain(
@@ -127,14 +155,26 @@ class Trainer:
             )
         self.train_dataloader = _to_list(train_dataloader)
         self.eval_dataloader = _to_list(eval_dataloader)
-        self.losses = _to_list(losses) if losses is not None else [SupLoss()]
+        self._losses = _to_list(losses) if losses is not None else [SupLoss()]
         self.metrics = _to_list(metrics) if metrics is not None else [PSNR()]
         self.epochs = epochs
         self.online_measurements = online_measurements
         self.physics_generator = physics_generator
         self.loop_random_online_physics = loop_random_online_physics
-        self.early_stop = early_stop
+        # reference early_stop: None | int (#evals without improvement);
+        # bool accepted for backwards compatibility (True -> patience)
+        if isinstance(early_stop, bool):
+            self.early_stop = patience if early_stop else None
+        else:
+            self.early_stop = early_stop
         self.patience = patience
+        self.optimizer_step_multi_dataset = optimizer_step_multi_dataset
+        self.compute_train_metrics = compute_train_metrics
+        self.check_grad = check_grad
+        self.eval_interval = eval_interval
+        self.plot_images = plot_images
+        self.plot_interval = plot_interval
+        self.save_folder_im = save_folder_im
         self.save_path = save_path
         self.ckpt_interval = ckpt_interval
         if ckpt_backend not in ("pickle", "orbax"):
@@ -144,6 +184,7 @@ class Trainer:
         self.compare_no_learning = compare_no_learning
         self.no_learning_method = no_learning_method
         self.verbose = verbose
+        self.show_progress_bar = show_progress_bar
         self.seed = seed
         # data-parallel over all devices (reference: DataParallel/DDP story,
         # docs/user_guide/training/multigpu.rst): batches are sharded over a
@@ -159,7 +200,7 @@ class Trainer:
             self._repl_sharding = NamedSharding(mesh, P())
 
         # adapt model through losses (e.g. splitting)
-        for l in self.losses:
+        for l in self._losses:
             if hasattr(l, "adapt_model"):
                 self.model = l.adapt_model(self.model)
 
@@ -190,12 +231,32 @@ class Trainer:
         self.best_metric = None
         self.best_model = None
         self._train_step_fn = None
+        self._grad_fn = None
+        self._apply_fn = None
         # jitted helpers: eager physics/metric evaluation is not supported on
         # all TPU runtimes (reductions/FFT outside jit), and jit also caches
         # the compiled program across steps
         self._measure_fn = None
         self._metric_fns = None
         self._nl_fn = None
+        self._eval_infer_fn = None
+        # per-run loop state (populated by setup_train)
+        self.G = len(self.train_dataloader) or 1
+        self.current_train_iterators = None
+        self.current_eval_iterators = None
+        self._epoch_key = None
+        self._ite_in_epoch = 0
+        self.reset_metrics()
+
+    # -- reference dataclass-field conveniences -----------------------------
+    @property
+    def losses(self) -> list:
+        """Training losses (reference trainer.py dataclass field)."""
+        return self._losses
+
+    @losses.setter
+    def losses(self, v):
+        self._losses = _to_list(v)
 
     def _measure(self, physics, x, key):
         if self._measure_fn is None:
@@ -208,6 +269,52 @@ class Trainer:
                 jax.jit(lambda a, b, m=m: jnp.mean(m(a, b))) for m in self.metrics
             ]
         return float(np.asarray(self._metric_fns[i](x_net, x)))
+
+    # -- setup (reference trainer.py:330) -----------------------------------
+    def setup_train(self, train: bool = True, **kwargs):
+        """Set up training: normalize dataloaders, sanity-check datasets,
+        reset meters and build the jitted step (reference trainer.py:330)."""
+        self.train_dataloader = _to_list(self.train_dataloader)
+        self.eval_dataloader = _to_list(self.eval_dataloader)
+        from ..datasets.base import check_dataset
+
+        for loader in self.train_dataloader + self.eval_dataloader:
+            ds = getattr(loader, "dataset", None)
+            if ds is not None:
+                check_dataset(ds)
+        self.G = len(self.train_dataloader) or 1
+        self.reset_metrics()
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        # fresh iterators + key so step() is usable standalone; train()
+        # re-creates them per epoch
+        self.current_train_iterators = [iter(dl) for dl in self.train_dataloader]
+        self.current_eval_iterators = [iter(dl) for dl in self.eval_dataloader]
+        if self._epoch_key is None:
+            self._epoch_key = ensure_key(None, self.seed)
+
+    # -- metric bookkeeping (reference trainer.py:1209) ----------------------
+    def reset_metrics(self):
+        """Reset all running meters (reference trainer.py:1209)."""
+        self.img_counter = 0
+        self.logs_total_loss_train = AverageMeter("loss")
+        self.logs_total_loss_eval = AverageMeter("loss")
+        self.logs_losses_train = [
+            AverageMeter(type(l).__name__) for l in self._losses
+        ]
+        self.logs_losses_eval = [
+            AverageMeter(type(l).__name__) for l in self._losses
+        ]
+        self.logs_metrics_train = [
+            AverageMeter(type(m).__name__) for m in self.metrics
+        ]
+        self.logs_metrics_eval = [
+            AverageMeter(type(m).__name__) for m in self.metrics
+        ]
+        self.logs_metrics_no_learning = [
+            AverageMeter(type(m).__name__) for m in self.metrics
+        ]
+        self.check_grad_val = AverageMeter("grad_norm")
 
     # -- overridable hooks (reference trainer.py:788,823) -------------------
     def model_inference(self, y, physics, model=None, train: bool = False,
@@ -229,34 +336,113 @@ class Trainer:
         reference's ``loss.backward()`` has no functional analogue).
         Must stay jax-traceable (no Python side effects on traced values).
         """
+        total, x_net, _ = self._loss_terms(model, x, y, physics, key)
+        return total, x_net
+
+    def _loss_terms(self, model, x, y, physics, key=None):
+        """(total, x_net, {loss_name: value}) — per-loss values feed the
+        reference's per-loss meters (trainer.py:860-884)."""
         x_net = self.model_inference(
             y, physics, model=model, train=True,
             key=jax.random.fold_in(key, 0x7FFFFFFF) if key is not None else None,
         )
         total = 0.0
-        for i, l in enumerate(self.losses):
+        terms = {}
+        for i, l in enumerate(self._losses):
             li = l(
                 x_net=x_net, x=x, y=y, physics=physics, model=model,
                 key=jax.random.fold_in(key, i) if key is not None else None,
             )
-            total = total + jnp.mean(li)
-        return total, x_net
+            li = jnp.mean(li)
+            terms[type(l).__name__] = li
+            total = total + li
+        return total, x_net, terms
+
+    def compute_metrics(self, x, x_net, y, physics, logs, train: bool = True,
+                        epoch: int = None):
+        """Update metric meters over a batch and fill ``logs`` (reference
+        trainer.py:886). Returns ``(x_net, logs)``."""
+        if x_net is None:
+            x_net = self.model_inference(y, physics, train=False)
+        n = x.shape[0] if hasattr(x, "shape") else 1
+        meters = self.logs_metrics_train if train else self.logs_metrics_eval
+        for i, m in enumerate(self.metrics):
+            meters[i].update(self._metric_value(i, x_net, x), n=n)
+            logs[type(m).__name__] = meters[i].avg
+            if not train and self.compare_no_learning:
+                if self._nl_fn is None:
+                    self._nl_fn = jax.jit(
+                        lambda yv, p: self.no_learning_inference(yv, p)
+                    )
+                x_nl = self._nl_fn(y, physics)
+                self.logs_metrics_no_learning[i].update(
+                    self._metric_value(i, x_nl, x), n=n
+                )
+                logs[f"{type(m).__name__} no learning"] = (
+                    self.logs_metrics_no_learning[i].avg
+                )
+        return x_net, logs
+
+    def check_clip_grad(self, grad_norm=None):
+        """Track the global gradient norm (reference trainer.py:630).
+
+        Clipping itself lives inside the optax chain
+        (``optax.clip_by_global_norm``) so it runs inside the jitted step;
+        this hook records the pre-clip norm (computed in-graph and returned
+        by the step) into ``check_grad_val`` when ``check_grad=True``.
+        """
+        if grad_norm is not None and self.check_grad:
+            self.check_grad_val.update(float(np.asarray(grad_norm)))
+        return grad_norm
 
     # -- jitted step ------------------------------------------------------
     def _build_train_step(self):
+        """Fused loss+grad+update XLA program (single-dataset path)."""
         optimizer = self.optimizer
 
         def train_step(model, opt_state, x, y, physics, key):
-            (loss, x_net), grads = jax.value_and_grad(
-                self.compute_loss, has_aux=True
+            (loss, (x_net, terms)), grads = jax.value_and_grad(
+                self._differentiable_loss, has_aux=True
             )(model, x, y, physics, key)
+            import optax
+
+            gnorm = optax.global_norm(grads)
             updates, opt_state = optimizer.update(grads, opt_state, model)
-            model = jax.tree_util.tree_map(
-                lambda m, u: m + u, model, updates
-            )
-            return model, opt_state, loss, x_net
+            model = jax.tree_util.tree_map(lambda m, u: m + u, model, updates)
+            return model, opt_state, loss, x_net, terms, gnorm
 
         return jax.jit(train_step)
+
+    def _differentiable_loss(self, model, x, y, physics, key):
+        """compute_loss wrapper returning per-loss terms as aux. Respects
+        compute_loss overrides (terms then reduce to the total only)."""
+        if type(self).compute_loss is Trainer.compute_loss:
+            total, x_net, terms = self._loss_terms(model, x, y, physics, key)
+        else:
+            total, x_net = self.compute_loss(model, x, y, physics, key)
+            terms = {"TotalLoss": total}
+        return total, (x_net, terms)
+
+    def _build_grad_fns(self):
+        """Split grad/apply programs for multi-dataset accumulation
+        (``optimizer_step_multi_dataset=True`` with several loaders)."""
+        optimizer = self.optimizer
+
+        def grad_step(model, x, y, physics, key):
+            (loss, (x_net, terms)), grads = jax.value_and_grad(
+                self._differentiable_loss, has_aux=True
+            )(model, x, y, physics, key)
+            return loss, x_net, terms, grads
+
+        def apply_step(model, opt_state, grads):
+            import optax
+
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = optimizer.update(grads, opt_state, model)
+            model = jax.tree_util.tree_map(lambda m, u: m + u, model, updates)
+            return model, opt_state, gnorm
+
+        return jax.jit(grad_step), jax.jit(apply_step)
 
     # -- sample handling --------------------------------------------------
     def get_samples_online(self, batch, physics, key):
@@ -291,58 +477,167 @@ class Trainer:
             return self.get_samples_online(batch, physics, key)
         return self.get_samples_offline(batch, physics)
 
+    # -- one train/eval iteration (reference trainer.py:996) ----------------
+    def step(self, epoch, progress_bar=None, train_ite=None, train: bool = True,
+             last_batch: bool = False):
+        """Process one batch from each dataloader (reference trainer.py:996).
+
+        Draws one batch from every loader in random order; with
+        ``optimizer_step_multi_dataset`` the gradients are accumulated over
+        all loaders and applied in a single optimizer update, otherwise each
+        loader batch takes its own step. Updates loss/metric meters and, on
+        ``last_batch``, prints the epoch log line and calls :meth:`plot`.
+        """
+        iterators = (
+            self.current_train_iterators if train else self.current_eval_iterators
+        )
+        G_perm = np.random.permutation(self.G if train else len(iterators))
+        logs = {}
+        ite = self._ite_in_epoch if train_ite is None else train_ite
+        x = y = x_net = physics_cur = None
+
+        multi = train and self.optimizer_step_multi_dataset and len(G_perm) > 1
+        if multi and self._grad_fn is None:
+            self._grad_fn, self._apply_fn = self._build_grad_fns()
+        acc_grads = None
+
+        for g in G_perm:
+            batch = next(iterators[g])
+            physics_cur = self.physics[g % len(self.physics)]
+            step_key = jax.random.fold_in(
+                jax.random.fold_in(self._epoch_key, self._ite_in_epoch), int(g)
+            )
+            x, y, physics_cur = self.get_samples(batch, physics_cur, step_key)
+            if self._dp_sharding is not None:
+                x = jax.device_put(x, self._dp_sharding)
+                y = jax.device_put(y, self._dp_sharding)
+                self.model = jax.device_put(self.model, self._repl_sharding)
+            n = x.shape[0]
+
+            if train:
+                if multi:
+                    loss, x_net, terms, grads = self._grad_fn(
+                        self.model, x, y, physics_cur, step_key
+                    )
+                    acc_grads = grads if acc_grads is None else jax.tree_util.tree_map(
+                        lambda a, b: a + b, acc_grads, grads
+                    )
+                else:
+                    (self.model, self.opt_state, loss, x_net, terms,
+                     gnorm) = self._train_step_fn(
+                        self.model, self.opt_state, x, y, physics_cur, step_key
+                    )
+                    self.check_clip_grad(gnorm)
+                self.logs_total_loss_train.update(float(np.asarray(loss)), n=n)
+                logs["TotalLoss"] = self.logs_total_loss_train.avg
+                for i, name in enumerate(
+                    type(l).__name__ for l in self._losses
+                ):
+                    if name in terms:
+                        self.logs_losses_train[i].update(
+                            float(np.asarray(terms[name])), n=n
+                        )
+                        if len(self._losses) > 1:
+                            logs[name] = self.logs_losses_train[i].avg
+                if self.compute_train_metrics:
+                    x_net, logs = self.compute_metrics(
+                        x, x_net, y, physics_cur, logs, train=True, epoch=epoch
+                    )
+            else:
+                x_net = self._eval_inference(y, physics_cur)
+                x_net, logs = self.compute_metrics(
+                    x, x_net, y, physics_cur, logs, train=False, epoch=epoch
+                )
+
+        if multi and acc_grads is not None:
+            self.model, self.opt_state, gnorm = self._apply_fn(
+                self.model, self.opt_state, acc_grads
+            )
+            self.check_clip_grad(gnorm)
+
+        if progress_bar is not None and hasattr(progress_bar, "set_postfix"):
+            progress_bar.set_postfix(logs)
+        self._ite_in_epoch += 1
+
+        if last_batch:
+            if self.verbose and not self.show_progress_bar:
+                kind = "Train" if train else "Eval"
+                body = ", ".join(f"{k}={round(v, 5)}" for k, v in logs.items())
+                print(f"{kind} epoch {epoch}: {body}")
+            self.log_metrics_mlops(dict(logs, step=epoch), step=epoch)
+            self.plot(epoch, physics_cur, x, y, x_net, train=train)
+        return logs
+
+    def _eval_inference(self, y, physics):
+        if self._eval_infer_fn is None:
+            if getattr(self.model, "train_aware", False):
+                k = ensure_key(None, self.seed + 424242)
+                self._eval_infer_fn = jax.jit(
+                    lambda model, yv, p: model(yv, p, key=k, train=False)
+                )
+            else:
+                self._eval_infer_fn = jax.jit(lambda model, yv, p: model(yv, p))
+        return self._eval_infer_fn(self.model, y, physics)
+
+    # -- plotting (reference trainer.py:1090) --------------------------------
+    def plot(self, epoch, physics, x, y, x_net, train: bool = True):
+        """Plot/save ground truth, measurement and reconstruction panels
+        (reference trainer.py:1090). Active when ``plot_images`` (every
+        ``plot_interval`` epochs) or ``save_folder_im`` is set."""
+        do_plot = self.plot_images and ((epoch + 1) % self.plot_interval == 0)
+        do_save = self.save_folder_im is not None
+        if not (do_plot or do_save) or x is None or x_net is None:
+            return
+        from ..utils.plotting import plot
+
+        imgs, titles = [x], ["Ground truth"]
+        if y is not None and getattr(y, "ndim", 0) == getattr(x, "ndim", 0):
+            imgs.append(y)
+            titles.append("Measurement")
+        imgs.append(x_net)
+        titles.append("Reconstruction")
+        save_fn = None
+        if do_save:
+            sub = "Training" if train else "Eval"
+            folder = os.path.join(self.save_folder_im, sub)
+            os.makedirs(folder, exist_ok=True)
+            save_fn = os.path.join(folder, f"epoch_{epoch}.png")
+            self.img_counter += 1
+        plot(imgs, titles=titles, show=do_plot and not do_save,
+             save_fn=save_fn)
+
     # -- training loop ----------------------------------------------------
     def train(self):
-        if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
+        self.setup_train(train=True)
         base_key = ensure_key(None, self.seed)
-        no_improve = 0
 
         for epoch in range(self.epoch_start, self.epochs):
             # per-epoch key: resets measurement draws if requested
             if self.loop_random_online_physics:
-                epoch_key = jax.random.fold_in(base_key, 0)
+                self._epoch_key = jax.random.fold_in(base_key, 0)
             else:
-                epoch_key = jax.random.fold_in(base_key, epoch)
+                self._epoch_key = jax.random.fold_in(base_key, epoch)
+            self.reset_metrics()
+            self._ite_in_epoch = 0
 
-            loss_meter = AverageMeter("loss")
-            metric_meters = [AverageMeter(type(m).__name__) for m in self.metrics]
+            self.current_train_iterators = [
+                iter(dl) for dl in self.train_dataloader
+            ]
+            batches = min(len(dl) for dl in self.train_dataloader)
+            np.random.seed(self.seed + epoch)
 
-            iters = [iter(dl) for dl in self.train_dataloader]
-            counts = [len(dl) for dl in self.train_dataloader]
-            # round-robin with random permutation (reference trainer.py:1021)
-            order = np.concatenate([np.full(c, g) for g, c in enumerate(counts)])
-            np.random.RandomState(self.seed + epoch).shuffle(order)
-
-            for step, g in enumerate(order):
-                batch = next(iters[g])
-                physics = self.physics[g % len(self.physics)]
-                step_key = jax.random.fold_in(epoch_key, step)
-                x, y, cur_physics = self.get_samples(batch, physics, step_key)
-                if self._dp_sharding is not None:
-                    x = jax.device_put(x, self._dp_sharding)
-                    y = jax.device_put(y, self._dp_sharding)
-                    self.model = jax.device_put(self.model, self._repl_sharding)
-                self.model, self.opt_state, loss, x_net = self._train_step_fn(
-                    self.model, self.opt_state, x, y, cur_physics, step_key
+            for i in range(batches):
+                self.step(
+                    epoch,
+                    train_ite=epoch * batches + i,
+                    train=True,
+                    last_batch=(i == batches - 1),
                 )
-                loss_meter.update(float(np.asarray(loss)), n=x.shape[0])
-                for i, meter in enumerate(metric_meters):
-                    meter.update(self._metric_value(i, x_net, x), n=x.shape[0])
 
-            self.loss_history.append(loss_meter.avg)
-            self.log_metrics_mlops(
-                {"loss": loss_meter.avg, **{m.name: m.avg for m in metric_meters}},
-                step=epoch,
-            )
-            if self.verbose:
-                msg = f"epoch {epoch}: loss {loss_meter.avg:.5g}"
-                for meter in metric_meters:
-                    msg += f"  {meter.name} {meter.avg:.4g}"
-                print(msg)
+            self.loss_history.append(self.logs_total_loss_train.avg)
 
             # eval + best tracking + early stop
-            if self.eval_dataloader:
+            if self.eval_dataloader and (epoch + 1) % self.eval_interval == 0:
                 eval_metrics = self.test(self.eval_dataloader, train=False)
                 first = list(eval_metrics.values())[0]
                 for k, v in eval_metrics.items():
@@ -355,20 +650,36 @@ class Trainer:
                 if improved:
                     self.best_metric = first
                     self.best_model = self.model
-                    no_improve = 0
                     if self.save_path:
                         self.save_model(os.path.join(self.save_path, "ckp_best.pkl"), epoch)
-                else:
-                    no_improve += 1
-                if self.early_stop and no_improve >= self.patience:
-                    if self.verbose:
-                        print(f"early stopping at epoch {epoch}")
+                if self.stop_criterion(epoch, epoch * batches + batches - 1):
                     break
 
             if self.save_path and (epoch + 1) % self.ckpt_interval == 0:
                 self.save_model(os.path.join(self.save_path, f"ckp_{epoch}.pkl"), epoch)
 
         return self.model
+
+    def stop_criterion(self, epoch, train_ite=None, **kwargs):
+        """Early-stopping decision (reference trainer.py:1287): stop when the
+        first eval metric has not improved in the last ``early_stop``
+        evaluations. Override for custom conditions."""
+        if not self.early_stop or not self.eval_metrics_history:
+            return False
+        name = type(self.metrics[0]).__name__
+        history = self.eval_metrics_history.get(name)
+        if not history:
+            history = next(iter(self.eval_metrics_history.values()))
+        lower_better = getattr(self.metrics[0], "lower_better", True)
+        best = min(history) if lower_better else max(history)
+        best_epoch = history.index(best) * self.eval_interval
+        stop = epoch > self.early_stop * self.eval_interval + best_epoch
+        if stop and self.verbose:
+            print(
+                f"Early stopping at epoch {epoch}: first eval metric has not "
+                f"improved in the last {self.early_stop} evaluations."
+            )
+        return stop
 
     # -- evaluation -------------------------------------------------------
     def test(self, dataloaders=None, train: bool = False, key=None):
@@ -422,13 +733,17 @@ class Trainer:
     def no_learning_inference(self, y, physics):
         """Baseline reconstruction (reference trainer.py:941)."""
         m = self.no_learning_method
+        if not isinstance(m, str) and callable(m):
+            return m(y, physics)
         if m == "A_adjoint":
             return physics.A_adjoint(y)
         if m == "A_dagger":
             return physics.A_dagger(y)
         if m == "prox_l2":
             return physics.prox_l2(physics.A_adjoint(y), y, 1.0)
-        return y
+        if m == "y":
+            return y
+        raise ValueError(f"no-learning method {m!r} not recognized")
 
     def log_metrics_mlops(self, metrics: dict, step: int = 0):
         """Push metrics to wandb/mlflow when enabled (trainer.py:604)."""
@@ -495,7 +810,7 @@ class Trainer:
         self.eval_metrics_history = payload.get("eval_metrics_history", {})
         return self
 
-    def save_best_model(self):
+    def save_best_model(self, epoch=None, train_ite=None, **kwargs):
         """Write the best-so-far model to ``save_path/ckp_best.pkl``
         (reference trainer.py:1233; called automatically during train)."""
         if not self.save_path:

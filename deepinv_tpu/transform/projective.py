@@ -203,12 +203,21 @@ class Homography(Transform):
         self.padding = padding
         self.interpolation = interpolation
 
+    def rand(self, maxi: float, mini: float = None, key=None, n: int = None):
+        """Uniform draw in ``[mini, maxi]`` of shape ``(n_trans,)``
+        (reference projective.py:224; keyed rather than stateful-rng)."""
+        if mini is None:
+            mini = -maxi
+        key = ensure_key(key, self.seed)
+        n = self.n_trans if n is None else n
+        return jax.random.uniform(key, (n,), minval=mini, maxval=maxi)
+
     def get_params(self, x, key=None) -> dict:
         key = ensure_key(key, self.seed)
         n = self.n_trans * x.shape[0]
         H, W = x.shape[-2:]
         ks = jax.random.split(key, 9)
-        u = lambda k, lo, hi: jax.random.uniform(k, (n,), minval=lo, maxval=hi)
+        u = lambda k, lo, hi: self.rand(hi, lo, key=k, n=n)
         return {
             "theta_x": u(ks[0], -self.theta_max, self.theta_max),
             "theta_y": u(ks[1], -self.theta_max, self.theta_max),

@@ -14,7 +14,39 @@ __all__ = ["ShiftTime", "RandomNoise", "RandomPhaseError"]
 
 
 class ShiftTime(Transform):
-    """Cyclic shift along the time axis of (B, C, T, H, W) data."""
+    """Shift along the time axis of (B, C, T, H, W) data (reference
+    temporal.py:7): ``padding='reflect'`` (default) mirrors at the clip
+    ends, ``'wrap'`` rolls cyclically."""
+
+    def __init__(self, *args, padding: str = "reflect", **kwargs):
+        super().__init__(*args, **kwargs)
+        if padding not in ("reflect", "wrap"):
+            raise ValueError(
+                f"padding must be one of ('reflect', 'wrap'), got {padding}"
+            )
+        self.padding = padding
+
+    @staticmethod
+    def roll_reflect_1d(x, by=0, axis: int = 0):
+        """Roll with reflect padding (reference temporal.py:29): pad both
+        sides with the flipped signal (length T-1 each), roll circularly,
+        take the central window. Traced-safe: ``by`` may be a jax scalar."""
+        T = x.shape[axis]
+        by = jnp.asarray(by)
+        by = by % (2 * T - 2)
+        by = jnp.where(by > T - 1, by - (2 * T - 2), by)
+        x_flip = jnp.flip(x, axis=axis)
+        x_pad = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(x_flip, 0, T - 1, axis=axis),
+                x,
+                jax.lax.slice_in_dim(x_flip, 1, T, axis=axis),
+            ],
+            axis=axis,
+        )
+        P = 3 * T - 2
+        idx = (jnp.arange(T) + (T - 1) - by) % P
+        return jnp.take(x_pad, idx, axis=axis)
 
     def get_params(self, x, key=None):
         key = ensure_key(key, self.seed)
@@ -24,7 +56,11 @@ class ShiftTime(Transform):
 
     def transform(self, x, t_shift=None):
         x = self._repeat(x) if x.shape[0] != t_shift.shape[0] else x
-        return jax.vmap(lambda v, s: jnp.roll(v, s, axis=1))(x, t_shift)
+        if self.padding == "wrap":
+            return jax.vmap(lambda v, s: jnp.roll(v, s, axis=1))(x, t_shift)
+        return jax.vmap(
+            lambda v, s: self.roll_reflect_1d(v, s, axis=1)
+        )(x, t_shift)
 
 
 class RandomNoise(Transform):

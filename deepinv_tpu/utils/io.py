@@ -40,10 +40,37 @@ def load_np(path):
     return np.load(path)
 
 
-def load_mat(path):
-    from scipy.io import loadmat
+def load_mat(path, mat73: bool = False):
+    """Load a MATLAB ``.mat`` file to a dict of numpy arrays (reference
+    utils/io.py:298). With ``mat73=True`` (or when scipy refuses a v7.3
+    file), reads the HDF5-based MATLAB 7.3 format natively via h5py —
+    arrays are transposed back to MATLAB (column-major) axis order and
+    compound real/imag datasets are assembled into complex arrays, matching
+    what the ``mat73`` package returns."""
+    if not mat73:
+        from scipy.io import loadmat
 
-    return loadmat(path)
+        try:
+            return loadmat(path)
+        except NotImplementedError:
+            pass  # v7.3 file: fall through to the HDF5 reader
+    import h5py
+
+    def convert(ds):
+        a = np.asarray(ds)
+        if a.dtype.names and {"real", "imag"} <= set(a.dtype.names):
+            a = a["real"] + 1j * a["imag"]
+        # h5py yields reversed (row-major) axes for MATLAB arrays
+        return a.transpose(range(a.ndim - 1, -1, -1)) if a.ndim > 1 else a
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        for k, v in f.items():
+            if k == "#refs#":
+                continue
+            if isinstance(v, h5py.Dataset):
+                out[k] = convert(v)
+    return out
 
 
 def load_tiff(path):

@@ -149,9 +149,18 @@ def test_cpab_inverse(x, key):
 
 def test_shift_time(key):
     v = jnp.asarray(np.random.default_rng(0).random((2, 1, 6, 8, 8)), jnp.float32)
-    t = ShiftTime()
+    # wrap padding is an exact group action (reference test_transform.py:274
+    # also asserts invertibility only for padding='wrap')
+    t = ShiftTime(padding="wrap")
     p = t.get_params(v, key)
     assert np.allclose(t.inverse(t.transform(v, **p), **p), v, atol=1e-6)
+    # reflect (default): matches a numpy reference implementation
+    tr = ShiftTime()
+    out = tr.transform(v, t_shift=jnp.asarray([2, -1]))
+    ref0 = np.pad(np.asarray(v[0]), [(0, 0), (5, 5), (0, 0), (0, 0)],
+                  mode="reflect")
+    ref0 = np.roll(ref0, 2, axis=1)[:, 5:11]
+    assert np.allclose(out[0], ref0, atol=1e-6)
 
 
 def test_n_trans_and_algebra(x, key):
