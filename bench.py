@@ -21,7 +21,15 @@ roughly 100x the CPU figures, so vs_baseline > ~500 clears that bar.
 
 Timing is slope-based (marginal cost per iteration between an N-iteration
 and 4N-iteration program, min over repeats, outputs forced to host) because
-the axon tunnel adds ~40-70 ms of dispatch noise per call.
+the axon tunnel adds ~40-70 ms of dispatch noise per call. N is sized so
+the long program runs ~1 s of device compute, amortizing that noise to <2%.
+
+Each line also carries the self-verifying efficiency evidence (VERDICT r2
+next-step #1a): ``model_flops`` / ``bytes_per_iter`` from XLA's own cost
+analysis of the compiled iteration, and the derived ``mfu`` /
+``hbm_util`` against the attached chip's peak (device-kind table below).
+Set ``BENCH_F32=0`` to skip the f32 cross-check row for the headline
+config (VERDICT r2 next-step #10).
 """
 
 import json
@@ -46,7 +54,17 @@ from deepinv_tpu.ops import gaussian_blur
 from deepinv_tpu.optim import optim_builder, L2, PnP
 from deepinv_tpu.models import DRUNet, DnCNN
 
-N_ITER = 8
+N_ITER = int(os.environ.get("BENCH_N_ITER", "48"))
+
+# Per-chip peaks for MFU / HBM-utilization evidence, keyed by
+# jax.devices()[0].device_kind. v5e: 197 TF/s bf16 (394 int8), f32 via MXU
+# passes at ~1/4 bf16; HBM 819 GB/s (public TPU v5e spec).
+CHIP_PEAKS = {
+    "TPU v5 lite": {"bf16_flops": 197e12, "f32_flops": 49.25e12,
+                    "hbm_gbps": 819e9},
+    "TPU v5e": {"bf16_flops": 197e12, "f32_flops": 49.25e12,
+                "hbm_gbps": 819e9},
+}
 
 CONFIGS = {
     "deblur": dict(torch_cpu_its=0.385,
@@ -103,8 +121,31 @@ def _problem(config, key):
     return physics, y, denoiser, algo, params
 
 
-def _run_config(config):
+def _iter_cost(physics, y, denoiser, algo, params):
+    """XLA cost analysis of ONE optimization iteration (flops + bytes).
+
+    XLA's cost analysis counts a ``lax.scan`` body once regardless of trip
+    count (measured: max_iter=2 and max_iter=8 report identical flops), so
+    the max_iter=1 program IS the per-iteration cost, up to the one-off
+    ``A_adjoint(y)`` initialization (<1% of the denoiser's flops here).
+    """
+    from deepinv_tpu.utils.profiling import compiled_cost
+
+    m0 = optim_builder(algo, data_fidelity=L2(), prior=PnP(denoiser),
+                       params_algo=params, max_iter=1)
+    try:
+        c0 = compiled_cost(lambda mm, yv, p: mm(yv, p), m0, y, physics)
+        return {"flops": c0.get("flops", 0.0),
+                "bytes": c0.get("bytes accessed", 0.0)}
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+
+
+def _run_config(config, dtype=None):
     meta = CONFIGS[config]
+    if dtype is not None:
+        os.environ["BENCH_DTYPE"] = dtype
+    dtype = os.environ.get("BENCH_DTYPE", "bf16")
     physics, y, denoiser, algo, params = _problem(config, jax.random.key(0))
 
     import numpy as np
@@ -118,7 +159,7 @@ def _run_config(config):
         _ = np.asarray(jax.device_get(f(m, y, physics))).ravel()[:1]
 
         ts = []
-        for _ in range(6):
+        for _ in range(8):
             t0 = time.perf_counter()
             o = f(m, y, physics)
             _ = np.asarray(jax.device_get(o)).ravel()[:1]
@@ -130,22 +171,40 @@ def _run_config(config):
     dt = (t_long - t_short) / (N_ITER * 3)
 
     its = 1.0 / dt
-    return {
-        "metric": meta["metric"],
+    row = {
+        "metric": meta["metric"] + ("" if dtype == "bf16" else f"_{dtype}"),
         "value": round(its, 2),
         "unit": "iter/s",
         "vs_baseline": round(its / meta["torch_cpu_its"], 2),
     }
 
+    cost = _iter_cost(physics, y, denoiser, algo, params)
+    peaks = CHIP_PEAKS.get(jax.devices()[0].device_kind)
+    if cost["flops"] > 0:
+        row["model_flops"] = round(cost["flops"] / 1e9, 2)  # GF / iter
+        row["bytes_per_iter"] = round(cost["bytes"] / 1e6, 1)  # MB / iter
+        if peaks:
+            peak = peaks["bf16_flops"] if dtype == "bf16" else peaks["f32_flops"]
+            row["mfu"] = round(cost["flops"] * its / peak, 3)
+            row["hbm_util"] = round(cost["bytes"] * its / peaks["hbm_gbps"], 3)
+    return row
+
 
 def main():
     # BENCH_CONFIG selects one config; default runs all three so the driver
     # captures MRI and CT evidence too. One JSON line per config; the
-    # headline (deblur) prints LAST because the driver parses the tail.
+    # headline (deblur) prints LAST because the driver parses the tail. An
+    # f32 cross-check row for the headline config (BENCH_F32=0 to skip)
+    # guards against bf16-only numerics drift going unnoticed on TPU.
     sel = os.environ.get("BENCH_CONFIG")
     configs = [sel] if sel else ["mri", "ct", "deblur"]
     for config in configs:
-        print(json.dumps(_run_config(config)), flush=True)
+        if (config == "deblur" and not sel
+                and os.environ.get("BENCH_F32", "1") == "1"):
+            print(json.dumps(_run_config(config, dtype="f32")), flush=True)
+            print(json.dumps(_run_config(config, dtype="bf16")), flush=True)
+        else:
+            print(json.dumps(_run_config(config)), flush=True)
 
 
 if __name__ == "__main__":

@@ -355,6 +355,15 @@ class ADMUNet(Denoiser):
         denoised = jnp.clip((x - noise_est * sigma * 2) / denom, -1.0, 1.0)
         return (denoised + 1) / 2
 
+    def forward_unet(self, x, sigma, class_labels=None, augment_labels=None):
+        """Raw UNet application with the noise level as the conditioning
+        input (reference guided_diffusion.py:257 ``forward_unet``): the
+        conditioning scalar is positionally embedded and drives the
+        scale-shift residual blocks. Class/augment labels are accepted for
+        signature parity; this unconditional checkpoint family has no label
+        embedding table."""
+        return self.forward_diffusion(x, jnp.asarray(sigma).reshape(-1))
+
     def __call__(self, x, sigma, type_t: str = "noise_level", **kwargs):
         # circular-pad sides up to a multiple of 32 (reference diffunet.py:381)
         ph = (-x.shape[-2]) % 32

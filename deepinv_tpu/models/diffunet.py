@@ -174,7 +174,11 @@ class DiffUNet(Denoiser):
                 h = self.ups[i](h)
         return self.out_conv(jax.nn.silu(self.out_norm(h)))
 
-    def __call__(self, x, sigma=0.05, **kwargs):
+    def __call__(self, x, sigma=0.05, y=None, type_t: str = None, **kwargs):
+        if type_t == "timestep":
+            return self.forward_diffusion(x, jnp.asarray(sigma).reshape(-1), y=y)
+        if type_t == "noise_level":
+            return self.forward_denoise(x, sigma, y=y)
         s = jnp.asarray(sigma, x.dtype).reshape(-1)
         if s.shape[0] != x.shape[0]:
             s = jnp.broadcast_to(s, (x.shape[0],))
@@ -189,6 +193,100 @@ class DiffUNet(Denoiser):
             eps = self._forward(x, t_emb)
         # epsilon-prediction -> denoised estimate
         return x - s.reshape(-1, 1, 1, 1) * eps
+
+    # -- reference protocol surface (diffunet.py:331-560) -----------------
+
+    def forward_diffusion(self, x, timesteps, y=None):
+        """Epsilon prediction from raw diffusion *timesteps* (reference
+        diffunet.py:408 ``forward_diffusion``): embeds the integer timestep
+        batch directly and returns the predicted noise map."""
+        t = jnp.asarray(timesteps, jnp.float32).reshape(-1)
+        if t.shape[0] != x.shape[0]:
+            t = jnp.broadcast_to(t, (x.shape[0],))
+        return self._forward(x, timestep_embedding(t, self.emb_dim_in))
+
+    def get_alpha_prod(self, beta_start: float = 0.1 / 1000,
+                       beta_end: float = 20 / 1000,
+                       num_train_timesteps: int = 1000):
+        """Cumulative-alpha schedule tables (reference diffunet.py:448):
+        returns ``(reduced_alpha_cumprod, sqrt_recip_alphas_cumprod,
+        sqrt_recipm1_alphas_cumprod, sqrt_1m_alphas_cumprod,
+        sqrt_alphas_cumprod)``."""
+        betas = jnp.linspace(beta_start, beta_end, num_train_timesteps,
+                             dtype=jnp.float32)
+        alphas_cumprod = jnp.cumprod(1.0 - betas)
+        sqrt_ac = jnp.sqrt(alphas_cumprod)
+        sqrt_1m_ac = jnp.sqrt(1.0 - alphas_cumprod)
+        return (
+            sqrt_1m_ac / sqrt_ac,
+            jnp.sqrt(1.0 / alphas_cumprod),
+            jnp.sqrt(1.0 / alphas_cumprod - 1.0),
+            sqrt_1m_ac,
+            sqrt_ac,
+        )
+
+    def find_nearest(self, array, value):
+        """Index of the nearest table entry per value (reference
+        diffunet.py:478)."""
+        array = jnp.asarray(array)
+        value = jnp.asarray(value).reshape(-1)
+        return jnp.argmin(jnp.abs(array[:, None] - value[None, :]), axis=0)
+
+    def forward_denoise(self, x, sigma, y=None):
+        """Denoise via the diffusion convention (reference diffunet.py:485):
+        rescale x to the [-1, 1] sqrt-alpha parametrization, look up the
+        nearest trained timestep for ``sigma``, predict epsilon, and convert
+        back to a [0, 1] denoised estimate."""
+        s = jnp.asarray(sigma, jnp.float32).reshape(-1)
+        if s.shape[0] != x.shape[0]:
+            s = jnp.broadcast_to(s, (x.shape[0],))
+        alpha = 1.0 / (1.0 + 4.0 * s**2)
+        xs = jnp.sqrt(alpha)[:, None, None, None] * (2.0 * x - 1.0)
+        s_eff = s * jnp.sqrt(alpha)
+        (_, sqrt_recip_ac, sqrt_recipm1_ac, sqrt_1m_ac, _) = self.get_alpha_prod()
+        t_idx = self.find_nearest(sqrt_1m_ac, s_eff * 2.0)
+        eps = self.forward_diffusion(xs, t_idx.astype(jnp.float32), y=y)
+        if eps.shape[1] == 2 * x.shape[1]:  # learned-variance heads
+            eps = eps[:, : x.shape[1]]
+        x0 = (sqrt_recip_ac[t_idx][:, None, None, None] * xs
+              - sqrt_recipm1_ac[t_idx][:, None, None, None] * eps)
+        return (x0 + 1.0) / 2.0
+
+    def patch_forward(self, x, t, y=None, type_t: str = "noise_level",
+                      patch_size: int = 512):
+        """Apply the model over non-overlapping ``patch_size`` tiles
+        (reference diffunet.py:331): circularly pad to a multiple of the
+        patch size, run each tile, and reassemble. Static shapes — the tile
+        grid is a reshape, so this stays one XLA program."""
+        B, C, H, W = x.shape
+        ph = (-H) % patch_size
+        pw = (-W) % patch_size
+        xp = jnp.pad(x, ((0, 0), (0, 0), (ph, 0), (pw, 0)), mode="wrap")
+        Hp, Wp = xp.shape[-2:]
+        nh, nw = Hp // patch_size, Wp // patch_size
+        tiles = xp.reshape(B, C, nh, patch_size, nw, patch_size)
+        tiles = tiles.transpose(2, 4, 0, 1, 3, 5).reshape(
+            nh * nw, B, C, patch_size, patch_size)
+        out = jax.lax.map(lambda p: self(p, t, y=y, type_t=type_t), tiles)
+        out = out.reshape(nh, nw, B, C, patch_size, patch_size)
+        out = out.transpose(2, 3, 0, 4, 1, 5).reshape(B, C, Hp, Wp)
+        return out[..., ph:, pw:]
+
+    def convert_to_fp16(self):
+        """Return a copy with float parameters stored in bfloat16 — the TPU
+        analogue of the reference's fp16 module conversion
+        (diffunet.py:392). TPUs have no fp16 MXU path; bf16 is the native
+        half-width format."""
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, self)
+
+    def convert_to_fp32(self):
+        """Return a copy with float parameters stored in float32 (reference
+        diffunet.py:400)."""
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32)
+            if hasattr(v, "dtype") and v.dtype == jnp.bfloat16 else v, self)
 
 
 # The faithful guided-diffusion architecture (reference DiffUNet /

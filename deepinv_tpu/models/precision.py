@@ -25,6 +25,13 @@ class AutocastDenoiser(Denoiser):
 
     :param denoiser: any ``denoiser(x, sigma)`` module.
     :param dtype: compute dtype (default bfloat16).
+    :param cast_params: eagerly store the float parameter leaves in
+        ``dtype`` (default True). With lazy per-call casts, the f32 weights
+        are re-read and converted *inside* every jitted iteration (a scan
+        body re-converts ~3 bytes/param of HBM traffic per step); storing
+        them once in bf16 removes that entirely and is numerically
+        identical (same rounding). Pass ``False`` to keep f32 master
+        weights (e.g. to keep training this module afterwards).
 
     :Examples:
 
@@ -37,7 +44,16 @@ class AutocastDenoiser(Denoiser):
         True
     """
 
-    def __init__(self, denoiser: Module, dtype=jnp.bfloat16):
+    def __init__(self, denoiser: Module, dtype=jnp.bfloat16, cast_params: bool = True):
+        if cast_params:
+            import jax
+
+            denoiser = jax.tree_util.tree_map(
+                lambda v: v.astype(dtype)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32
+                else v,
+                denoiser,
+            )
         self.denoiser = denoiser
         self.dtype = dtype
 
@@ -46,6 +62,6 @@ class AutocastDenoiser(Denoiser):
         return out.astype(x.dtype)
 
 
-def autocast(denoiser: Module, dtype=jnp.bfloat16) -> AutocastDenoiser:
+def autocast(denoiser: Module, dtype=jnp.bfloat16, cast_params: bool = True) -> AutocastDenoiser:
     """Wrap a denoiser for bf16 compute (see :class:`AutocastDenoiser`)."""
-    return AutocastDenoiser(denoiser, dtype=dtype)
+    return AutocastDenoiser(denoiser, dtype=dtype, cast_params=cast_params)

@@ -93,3 +93,41 @@ class PromptIR(Denoiser):
         if H % 4 or W % 4:
             return test_pad(self._forward, x, modulo=4)
         return self._forward(x)
+
+    def forward_promptir(self, y):
+        """Raw PromptIR encoder-decoder forward — sides must be divisible by
+        4 (reference third_party/promptir.py:319)."""
+        if y.shape[-2] % 4 or y.shape[-1] % 4:
+            raise ValueError(
+                "Image spatial dim is not divisible by 4. Spatial dim : "
+                f"({y.shape[-2]},{y.shape[-1]})")
+        return self._forward(y)
+
+    def load_pretrained(self, checkpoint_path: str):
+        """Load a checkpoint saved from this module (reference
+        third_party/promptir.py:288 loads the authors' ``promptir.ckpt``).
+        This implementation is a compact PromptIR, not the authors' exact
+        topology, so it loads pickled pytrees saved via
+        :func:`deepinv_tpu.utils.io.save_model`; the authors' torch
+        checkpoint does not map onto it and is rejected with guidance."""
+        if checkpoint_path == "download":
+            raise ValueError(
+                "no network egress in this environment; pass a local path")
+        if str(checkpoint_path).endswith((".ckpt", ".pth", ".pt")):
+            raise NotImplementedError(
+                "this compact PromptIR is not weight-compatible with the "
+                "authors' torch checkpoint; use Restormer(pretrained=...) "
+                "for a bit-faithful ported restoration transformer")
+        import pickle
+
+        import jax
+
+        with open(checkpoint_path, "rb") as f:
+            payload = pickle.load(f)
+        loaded = payload["model"] if isinstance(payload, dict) else payload
+        leaves = jax.tree_util.tree_leaves(loaded)
+        _, treedef = jax.tree_util.tree_flatten(self)
+        new = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(v) for v in leaves])
+        self.__dict__.update(new.__dict__)
+        return self

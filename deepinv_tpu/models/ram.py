@@ -298,6 +298,15 @@ class RAM(Reconstructor, Denoiser):
             self.__dict__.update(ported.__dict__)
 
     # -- conditioning helpers (reference ram.py:139-233) --------------------
+    def constant2map(self, value, x):
+        """Broadcast a scalar / per-sample value into a ``(B, 1, H, W)``
+        conditioning map (reference ram.py:139)."""
+        v = jnp.asarray(0.0 if value is None else value, x.dtype).reshape(-1)
+        v = jnp.broadcast_to(v[: x.shape[0]] if v.shape[0] > 1 else v,
+                             (x.shape[0],))
+        return jnp.broadcast_to(v[:, None, None, None],
+                                (x.shape[0], 1) + x.shape[-2:])
+
     def base_conditioning(self, x, sigma, gain):
         nmap = handle_sigma(0.0 if sigma is None else sigma, x)
         gmap = handle_sigma(0.0 if gain is None else gain, x)

@@ -227,3 +227,93 @@ class Restormer(Denoiser):
         if H % 8 or W % 8:
             return test_pad(self._forward, x, modulo=8)
         return self._forward(x)
+
+    def forward_restormer(self, x):
+        """Raw Restormer forward — input sides must be divisible by 8
+        (reference restormer.py:347)."""
+        if x.shape[-2] % 8 or x.shape[-1] % 8:
+            raise ValueError(
+                "Image spatial dim is not divisible by 8. Spatial dim : "
+                f"({x.shape[-2]},{x.shape[-1]})")
+        return self._forward(x)
+
+    # -- pretrained-config validators (reference restormer.py:411-539) ----
+
+    @staticmethod
+    def _is_standard_network(dim, num_blocks, num_refinement_blocks, heads,
+                             ffn_expansion_factor, bias):
+        if dim != 48:
+            raise ValueError(f"EXPECTED dim == 48, INSTEAD of {dim}")
+        if list(num_blocks) != [4, 6, 6, 8]:
+            raise ValueError(
+                f"EXPECTED num_blocks == [4, 6, 6, 8], INSTEAD of {list(num_blocks)}")
+        if num_refinement_blocks != 4:
+            raise ValueError(
+                f"EXPECTED num_refinement_blocks == 4, INSTEAD of {num_refinement_blocks}")
+        if list(heads) != [1, 2, 4, 8]:
+            raise ValueError(f"EXPECTED heads == [1, 2, 4, 8], INSTEAD of {list(heads)}")
+        if abs(ffn_expansion_factor - 2.66) > 1e-9:
+            raise ValueError(
+                f"EXPECTED ffn_expansion_factor == 2.66, INSTEAD of {ffn_expansion_factor}")
+        if bias:
+            raise ValueError(f"EXPECTED bias == False, INSTEAD of {bias}")
+
+    def is_standard_denoising_network(self, in_channels, out_channels, dim,
+                                      num_blocks, num_refinement_blocks, heads,
+                                      ffn_expansion_factor, bias,
+                                      LayerNorm_type, dual_pixel_task):
+        """Validate params against the published denoising checkpoints
+        (reference restormer.py:411)."""
+        if in_channels not in (1, 3):
+            raise ValueError(
+                f"Standard denoising / EXPECTED in_channels == 1 or 3, INSTEAD of {in_channels}")
+        if out_channels != in_channels:
+            raise ValueError(
+                f"Standard denoising / EXPECTED out_channels == in_channels, INSTEAD of {out_channels}")
+        self._is_standard_network(dim, num_blocks, num_refinement_blocks,
+                                  heads, ffn_expansion_factor, bias)
+        if LayerNorm_type != "BiasFree":
+            raise ValueError(
+                f"Standard denoising / EXPECTED LayerNorm_type == 'BiasFree', INSTEAD of {LayerNorm_type}")
+        if dual_pixel_task:
+            raise ValueError(
+                f"Standard denoising / EXPECTED dual_pixel_task == False, INSTEAD of {dual_pixel_task}")
+
+    def is_standard_deraining_network(self, in_channels, out_channels, dim,
+                                      num_blocks, num_refinement_blocks, heads,
+                                      ffn_expansion_factor, bias,
+                                      LayerNorm_type, dual_pixel_task):
+        """Validate params against the published deraining checkpoint
+        (reference restormer.py:445)."""
+        if in_channels != 3:
+            raise ValueError(
+                f"Standard deraining / EXPECTED in_channels == 3, INSTEAD of {in_channels}")
+        if out_channels != 3:
+            raise ValueError(
+                f"Standard deraining / EXPECTED out_channels == 3, INSTEAD of {out_channels}")
+        self._is_standard_network(dim, num_blocks, num_refinement_blocks,
+                                  heads, ffn_expansion_factor, bias)
+        if LayerNorm_type != "WithBias":
+            raise ValueError(
+                f"Standard deraining / EXPECTED LayerNorm_type == 'WithBias', INSTEAD of {LayerNorm_type}")
+        if dual_pixel_task:
+            raise ValueError(
+                f"Standard deraining / EXPECTED dual_pixel_task == False, INSTEAD of {dual_pixel_task}")
+
+    def is_standard_deblurring_network(self, in_channels, out_channels, dim,
+                                       num_blocks, num_refinement_blocks, heads,
+                                       ffn_expansion_factor, bias,
+                                       LayerNorm_type, dual_pixel_task):
+        """Validate params against the published motion/defocus-deblurring
+        checkpoints (reference restormer.py:479)."""
+        if in_channels not in (3, 6):
+            raise ValueError(
+                f"Standard deblurring / EXPECTED in_channels == 3 or 6, INSTEAD of {in_channels}")
+        if out_channels != 3:
+            raise ValueError(
+                f"Standard deblurring / EXPECTED out_channels == 3, INSTEAD of {out_channels}")
+        self._is_standard_network(dim, num_blocks, num_refinement_blocks,
+                                  heads, ffn_expansion_factor, bias)
+        if LayerNorm_type != "WithBias":
+            raise ValueError(
+                f"Standard deblurring / EXPECTED LayerNorm_type == 'WithBias', INSTEAD of {LayerNorm_type}")

@@ -216,6 +216,12 @@ class SCUNet(Denoiser):
             x = m(x)
         return x
 
+    def forward_scunet(self, x0):
+        """Padded 7-stage forward (reference scunet.py:456): replicate-pad
+        bottom/right to a multiple of 64, run head/downs/body/ups/tail with
+        the UNet skip sums, and crop back."""
+        return self(x0)
+
     def __call__(self, x, sigma=None, **kwargs):
         h, w = x.shape[-2:]
         pb, pr = (-h) % 64, (-w) % 64

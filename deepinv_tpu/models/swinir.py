@@ -223,6 +223,12 @@ class SwinIR(Denoiser):
         num_feat = 64
         res = (img_size // patch_size, img_size // patch_size) \
             if isinstance(img_size, int) else tuple(s // patch_size for s in img_size)
+        self.patches_resolution = res
+        self.embed_dim = embed_dim
+        self.depths = tuple(depths)
+        self.num_heads_cfg = tuple(num_heads)
+        self.mlp_ratio = mlp_ratio
+        self.in_chans = in_chans
 
         self.conv_first = Conv2d(in_chans, embed_dim, 3, 1, 1, key=next(ks))
         self.patch_norm = _LayerNorm(embed_dim)  # patch_embed.norm (patch_norm=True)
@@ -262,6 +268,50 @@ class SwinIR(Denoiser):
 
             ported = port_swinir(self, load_torch_checkpoint(pretrained))
             self.__dict__.update(ported.__dict__)
+
+    def check_img_size(self, x):
+        """Reflect-pad bottom/right so both sides are multiples of the
+        window size (reference swinir.py:1073)."""
+        H, W = x.shape[-2:]
+        ws = self.window_size
+        ph, pw = (-H) % ws, (-W) % ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect")
+        return x
+
+    def flops(self):
+        """Analytic FLOP count of one forward at the construction-time patch
+        resolution (reference swinir.py:1145 aggregates the per-module
+        ``flops()`` helpers; this computes the same closed form)."""
+        H, W = self.patches_resolution
+        d = self.embed_dim
+        ws = self.window_size
+        total = H * W * self.in_chans * d * 9  # shallow conv_first
+        total += H * W * 3 * d  # patch embed norm
+        for depth, heads in zip(self.depths, self.num_heads_cfg):
+            per_block = H * W * d  # norm1
+            nW = H * W / ws / ws
+            N = ws * ws
+            attn = (N * d * 3 * d + heads * N * (d // heads) * N * 2
+                    + N * d * d)
+            per_block += nW * attn
+            per_block += 2 * H * W * d * d * self.mlp_ratio  # MLP
+            per_block += H * W * d  # norm2
+            total += depth * per_block
+            total += H * W * d * d * 9  # RSTB tail conv
+        total += H * W * 3 * d  # final norm
+        total += H * W * d * d * 9  # conv_after_body
+        return int(total)
+
+    def no_weight_decay(self):
+        """Parameter names excluded from weight decay by the authors'
+        training recipe (reference swinir.py:1062)."""
+        return {"absolute_pos_embed"}
+
+    def no_weight_decay_keywords(self):
+        """Parameter-name keywords excluded from weight decay (reference
+        swinir.py:1068)."""
+        return {"relative_position_bias_table"}
 
     def forward_features(self, x):
         B, C, H, W = x.shape

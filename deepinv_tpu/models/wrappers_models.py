@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from ..core import Module
 from ..core.rng import ensure_key
 from .base import Denoiser, Reconstructor
+from .misc_models import ScoreModelWrapper as _ScoreModelWrapper
 from ..utils.mixins import TimeMixin
 
 __all__ = [
@@ -364,18 +365,22 @@ class EquivariantReconstructor(Reconstructor):
         return out / n
 
 
-class DiffusersDenoiserWrapper(Denoiser):
+class DiffusersDenoiserWrapper(_ScoreModelWrapper):
     """Adapter for HuggingFace ``diffusers`` UNets (reference
-    diffusers_wrapper.py). The diffusers package and its pretrained weights
-    are not available in this environment, so construction raises with
-    guidance; the native :class:`deepinv_tpu.models.DiffUNet` family covers
-    the same role."""
+    wrapper.py:379 ``DiffusersDenoiserWrapper``). Construction requires the
+    ``diffusers`` package and downloaded weights (no network egress here),
+    so it raises with guidance; the schedule/score surface
+    (``get_schedule_value``, ``time_from_sigma``, ``score``,
+    ``stable_division``) is inherited from
+    :class:`~deepinv_tpu.models.ScoreModelWrapper`, and the native
+    :class:`deepinv_tpu.models.DiffUNet` family covers the same role."""
 
     def __init__(self, *args, **kwargs):
         raise ImportError(
             "DiffusersDenoiserWrapper requires the 'diffusers' package and "
             "downloaded pretrained weights (no network egress here). Use "
-            "deepinv_tpu.models.DiffUNet / ADMUNet instead."
+            "deepinv_tpu.models.DiffUNet / ADMUNet instead, or construct a "
+            "ScoreModelWrapper around any native score network."
         )
 
 

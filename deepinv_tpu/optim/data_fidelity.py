@@ -268,10 +268,12 @@ class ItohFidelity(L2):
         self.threshold = threshold
 
     def D(self, x):
-        """Forward differences stacked on a trailing axis (zero at borders)."""
-        dh = jnp.diff(x, axis=-2, append=x[..., -1:, :])
-        dw = jnp.diff(x, axis=-1, append=x[..., -1:])
-        return jnp.stack([dh, dw], axis=-1)
+        """Forward differences stacked on a trailing axis, zero at borders;
+        (horizontal, vertical) order as in the reference
+        (data_fidelity.py:456)."""
+        dh = jnp.diff(x, axis=-1, append=x[..., -1:])
+        dv = jnp.diff(x, axis=-2, append=x[..., -1:, :])
+        return jnp.stack([dh, dv], axis=-1)
 
     def D_adjoint(self, v):
         fwd = self.D
@@ -294,10 +296,29 @@ class ItohFidelity(L2):
         return self.D_adjoint(self.d.grad(self.D(x), self.WD(y)))
 
     def prox(self, x, y, physics=None, *args, gamma=1.0, **kwargs):
-        """Prox via a few CG steps on (I + gamma/sigma^2 D^T D) u = x + gamma/sigma^2 D^T w(Dy)."""
-        from .linear import conjugate_gradient
+        """DCT closed-form prox (reference data_fidelity.py:517, the
+        Ramirez et al. 2024 solution): the finite-difference normal operator
+        diagonalizes in the DCT-II basis, so the prox is one forward DCT,
+        an elementwise divide by the cosine eigenvalue grid, and one inverse
+        DCT. ``x=None`` gives the pure least-squares unwrapping (the
+        ``D_dagger`` initialization); the reference's ``denom[0,0]=1`` DC
+        pinning is replicated for cross-framework parity."""
+        from ..ops import dct2, idct2
 
-        a = gamma / (self.sigma**2)
-        rhs = x + a * self.D_adjoint(self.WD(y))
-        op = lambda u: u + a * self.D_adjoint(self.D(u))
-        return conjugate_gradient(op, rhs, max_iter=30, tol=1e-6)
+        psi = self.D_adjoint(self.WD(y))
+        if x is not None:
+            psi = psi + (gamma / 2) * x
+        M, N = psi.shape[-2], psi.shape[-1]
+        ci = jnp.cos(jnp.pi * jnp.arange(M) / M)[:, None]
+        cj = jnp.cos(jnp.pi * jnp.arange(N) / N)[None, :]
+        if x is None:
+            denom = 2 * (2 - (ci + cj))
+        else:
+            denom = 2 * ((gamma / 4) + 2 - (ci + cj))
+        denom = denom.at[0, 0].set(1.0)
+        return idct2(dct2(psi) / denom)
+
+    def D_dagger(self, y, **kwargs):
+        """Fast DCT least-squares unwrapping initialization (reference
+        data_fidelity.py:497)."""
+        return self.prox(None, y, physics=None, gamma=None)

@@ -115,6 +115,17 @@ class ScorePrior(Prior):
     def score(self, x, sigma_denoiser, *args, **kwargs):
         return -self.grad(x, sigma_denoiser, *args, **kwargs)
 
+    @staticmethod
+    def stable_division(a, b, epsilon: float = 1e-7):
+        """``a / b`` with the denominator pushed away from zero (reference
+        prior.py:202)."""
+        if isinstance(b, (int, float)):
+            b = max(epsilon, abs(b)) * (1.0 if b >= 0 else -1.0)
+            return a / b
+        b = jnp.asarray(b)
+        sign = jnp.where(b >= 0, 1.0, -1.0)
+        return a / jnp.where(jnp.abs(b) > epsilon, b, sign * epsilon)
+
 
 class Tikhonov(Prior):
     r"""g(x) = 0.5||x||^2 (prior.py:227)."""

@@ -33,8 +33,13 @@ from ..ops.conv import (
 )
 from .base import LinearPhysics, DecomposablePhysics
 from ..core.linalg import transpose_primal
+from ..utils.mixins import TiledMixin2d
 
 __all__ = ["Blur", "BlurFFT", "Downsampling", "Upsampling", "SpaceVaryingBlur", "TiledSpaceVaryingBlur", "DownsamplingMatlab"]
+
+# Backends where BlurFFT's half-spectrum (rfft) closed forms beat the full
+# complex-FFT path (see the measurement note in BlurFFT).
+_RFFT_BACKENDS = ("cpu",)
 
 
 def _resolve_filter(filter, factor: int = 2):
@@ -146,6 +151,64 @@ class BlurFFT(DecomposablePhysics):
 
     def U_adjoint(self, x):
         return jnp.fft.fft2(x, norm="ortho")
+
+    # -- rfft fast paths ----------------------------------------------------
+    # The PSF is real, so its transfer function is Hermitian: the first
+    # W//2+1 columns of the stored full-spectrum mask ARE its rfft2. For real
+    # images the half-spectrum closed forms below are exact and do half the
+    # FFT flops with half the spectrum HBM traffic of the generic
+    # DecomposablePhysics SVD path — this prox is the per-iteration data step
+    # of DPIR-style PnP deblurring (BASELINE.md config #1).
+    #
+    # Backend gate: measured on the v5e (2026-08-18), the TPU FFT lowering
+    # runs the half-spectrum rfft2/irfft2 pair at 0.076 ms vs 0.038 ms for
+    # the plain complex fft2/ifft2 — real FFTs decompose into full complex
+    # FFTs plus Hermitian reassembly there. On CPU (pocketfft) rfft is the
+    # genuine ~2x win, so the fast path is enabled per-backend.
+
+    def _mask_r(self):
+        m = self.mask
+        if isinstance(m, (int, float)):
+            return None
+        return m[..., : self.img_size[-1] // 2 + 1]
+
+    def _rfft_ok(self, *arrs):
+        if jax.default_backend() not in _RFFT_BACKENDS:
+            return False
+        return self._mask_r() is not None and all(
+            not jnp.iscomplexobj(a) for a in arrs
+        )
+
+    def A(self, x, **params):
+        phys = self.update(**params) if params else self
+        if not phys._rfft_ok(x):
+            return super(BlurFFT, phys).A(x)
+        H, W = phys.img_size[-2:]
+        return jnp.fft.irfft2(jnp.fft.rfft2(x) * phys._mask_r(), s=(H, W))
+
+    def A_adjoint(self, y, **params):
+        phys = self.update(**params) if params else self
+        if not phys._rfft_ok(y):
+            return super(BlurFFT, phys).A_adjoint(y)
+        H, W = phys.img_size[-2:]
+        return jnp.fft.irfft2(jnp.fft.rfft2(y) * jnp.conj(phys._mask_r()),
+                              s=(H, W))
+
+    def prox_l2(self, z, y, gamma, **kwargs):
+        """Closed-form prox of ``gamma/2 ||Ax-y||^2`` about ``z`` (reference
+        forward.py:1212), solved per-rfft-bin: exact for real images and
+        ~2x cheaper than the full-spectrum path."""
+        if (z is None or isinstance(z, (int, float))
+                or not self._rfft_ok(z, y)):
+            return super().prox_l2(z, y, gamma, **kwargs)
+        from .base import _add_inv_gamma, _inv_gamma_mul
+
+        H, W = self.img_size[-2:]
+        mr = self._mask_r()
+        bf = jnp.conj(mr) * jnp.fft.rfft2(y) + _inv_gamma_mul(
+            gamma, jnp.fft.rfft2(z))
+        scaling = _add_inv_gamma(jnp.real(jnp.conj(mr) * mr), gamma, bf.ndim)
+        return jnp.fft.irfft2(bf / scaling, s=(H, W))
 
 
 class Downsampling(LinearPhysics):
@@ -331,8 +394,23 @@ class DownsamplingMatlab(LinearPhysics):
 
     def __init__(self, img_size=None, factor: int = 2, **kwargs):
         super().__init__(**kwargs)
-        self.factor = int(factor)
+        self.factor = self.check_factor(factor)
         self.imsize = tuple(img_size) if img_size is not None else None
+
+    @staticmethod
+    def check_factor(factor) -> int:
+        """Validate / cast a downsampling factor (reference blur.py:366,
+        inherited from ``Downsampling``): arrays must be 1D with one unique
+        value."""
+        return Downsampling.check_factor(factor)
+
+    @staticmethod
+    def get_filter_parameters(img_size=None, filter=None, factor=None,
+                              **kwargs) -> dict:
+        """Filter/factor parameter dict (reference blur.py:93, inherited
+        from ``Downsampling``)."""
+        return Downsampling.get_filter_parameters(
+            img_size=img_size, filter=filter, factor=factor, **kwargs)
 
     def A(self, x, **params):
         from ..ops.imresize import imresize_matlab
@@ -354,10 +432,14 @@ class DownsamplingMatlab(LinearPhysics):
         return xt
 
 
-class TiledSpaceVaryingBlur(LinearPhysics):
+class TiledSpaceVaryingBlur(TiledMixin2d, LinearPhysics):
     r"""Space-varying blur via tiled convolution (reference blur.py:871):
     ``y = sum_k h_k * (m_k . x)`` with blending masks ``m_k`` forming a
     partition of unity over overlapping patches, 'valid' convolution.
+
+    Inherits the reference's :class:`TiledMixin2d` patch-geometry surface
+    (``image_to_patches`` / ``patches_to_image`` / ``get_needed_pad`` /
+    ``get_compatible_img_size`` / ``get_num_patches``).
 
     :param filters: (B, C, K, h, w) per-tile PSFs (K = number of tiles, row
         major); may also be passed at call time.
@@ -368,10 +450,8 @@ class TiledSpaceVaryingBlur(LinearPhysics):
 
     def __init__(self, filters=None, patch_size=None, stride=None,
                  blending_mode: str = "bump", **kwargs):
-        super().__init__(**kwargs)
+        super().__init__(patch_size=patch_size, stride=stride, **kwargs)
         self.filters = filters
-        self.patch_size = (patch_size, patch_size) if isinstance(patch_size, int) else tuple(patch_size)
-        self.stride = (stride, stride) if isinstance(stride, int) else tuple(stride)
         if blending_mode not in ("bump", "linear"):
             raise ValueError("blending_mode must be 'bump' or 'linear'")
         self.blending_mode = blending_mode

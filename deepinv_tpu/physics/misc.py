@@ -135,6 +135,12 @@ class SpatialUnwrapping(Physics):
         t = self.threshold
         return jnp.mod(v + t / 2, t) - t / 2
 
+    def A_adjoint(self, y, **params):
+        """Identity (reference spatial_unwrapping.py:72): the modulo
+        operator has no meaningful linear adjoint; the reference defines it
+        as the identity so wrapped data can seed reconstruction."""
+        return y
+
     def A_dagger(self, y, **params):
         """Itoh's method: cumulative sum of wrapped gradients."""
         dy = self._wrap(jnp.diff(y, axis=-2))

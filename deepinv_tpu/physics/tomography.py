@@ -82,7 +82,7 @@ class Tomography(LinearPhysics):
             theta = np.linspace(0, 180, angles, endpoint=False)
         else:
             theta = np.asarray(angles, np.float32)
-        self.theta = jnp.asarray(theta, jnp.float32)
+        self.angles = jnp.asarray(theta, jnp.float32)
         # static copy for the fourier path: shear planning (grid sizes,
         # quadrant reduction) happens at trace time and needs concrete angles
         self._theta_deg = tuple(float(t) for t in np.asarray(theta))
@@ -110,16 +110,37 @@ class Tomography(LinearPhysics):
             else None
         )
 
+    @property
+    def theta(self):
+        """Deprecated alias of ``angles`` (reference tomography.py:209)."""
+        import warnings
+
+        warnings.warn(
+            "The attribute `theta` is deprecated and will be removed in a "
+            "future version. Use `angles` instead.",
+            DeprecationWarning, stacklevel=2)
+        return self.angles
+
+    @theta.setter
+    def theta(self, value):
+        import warnings
+
+        warnings.warn(
+            "The attribute `theta` is deprecated and will be removed in a "
+            "future version. Use `angles` instead.",
+            DeprecationWarning, stacklevel=2)
+        self.angles = value
+
     def _theta_for(self, fn):
         """Concrete angles for fourier/slice-mode functions (their sampling
         plans are built at trace time), traced/differentiable otherwise."""
         if fn in (radon_fourier, iradon_fourier, radon_slice, iradon_slice):
             return np.asarray(self._theta_deg, np.float32)
-        return self.theta
+        return self.angles
 
     def A(self, x, **params):
         if self.fan_beam:
-            y = fanbeam(x, self.theta, **self.fan_parameters)
+            y = fanbeam(x, self.angles, **self.fan_parameters)
         else:
             fwd = {"fourier": radon_fourier, "slice": radon_slice}.get(self.method, radon)
             y = fwd(x, self._theta_for(fwd), circle=self.circle)
@@ -140,7 +161,7 @@ class Tomography(LinearPhysics):
                 circle=self.circle, out_size=self.img_width,
             )
         if self.fan_beam:
-            fwd = lambda x: fanbeam(x, self.theta, **self.fan_parameters)
+            fwd = lambda x: fanbeam(x, self.angles, **self.fan_parameters)
         else:
             radon_fn = {"fourier": radon_fourier, "slice": radon_slice}.get(self.method, radon)
             fwd = lambda x: radon_fn(x, self._theta_for(radon_fn), circle=self.circle)
@@ -175,7 +196,7 @@ class Tomography(LinearPhysics):
 
             yf = ramp_filter(y)
             xt = self.A_adjoint(yf)
-            return xt * jnp.pi / (2 * self.theta.shape[0])
+            return xt * jnp.pi / (2 * self.angles.shape[0])
         if self.normalize:
             y = y * self.img_width
         ifn = {"fourier": iradon_fourier, "slice": iradon_slice}.get(self.method, iradon)
@@ -418,7 +439,7 @@ class Tomography3D(LinearPhysics):
         )
         self.img_width = img_size[-1]
         self.n_det = self._slice_physics.n_det
-        self.theta = self._slice_physics.theta
+        self.theta = self._slice_physics.angles
 
     def _per_slice(self, fn, v):
         # (B, C, D, h, w) -> fold depth into channels (the 2D projectors

@@ -360,10 +360,23 @@ def test_transform_extras(key):
     from deepinv_tpu.transform import ShiftTime, RandomNoise, RandomPhaseError
 
     xt = jax.random.uniform(key, (2, 1, 6, 8, 8))
-    st = ShiftTime()
+    # wrap padding is a true group action: exact round trip
+    st = ShiftTime(padding="wrap")
     p = st.get_params(xt, key)
     rt = st.inverse(st.transform(xt, **p), **p)
     assert_close(rt, xt)
+    # reflect padding (the reference default, temporal.py:29) is not an
+    # exact group action; check the roll itself against the reference
+    # formula: y[i] = pad[(T-1+i-s) mod (3T-2)] over [flip[:T-1], x, flip[1:]]
+    srefl = ShiftTime(padding="reflect")
+    v = np.asarray(jax.random.uniform(jax.random.key(3), (6, 4)))
+    pad = np.concatenate([v[::-1][: 6 - 1], v, v[::-1][1:6]], axis=0)
+    for s in (-5, -2, 0, 3, 7):
+        sn = s % (2 * 6 - 2)
+        sn = sn - (2 * 6 - 2) if sn > 5 else sn
+        want = np.stack([pad[(6 - 1 + i - sn) % (3 * 6 - 2)] for i in range(6)])
+        got = np.asarray(srefl.roll_reflect_1d(jnp.asarray(v), s, axis=0))
+        assert_close(got, want)
 
     x = jax.random.uniform(key, (2, 2, 8, 8))
     pe = RandomPhaseError(scale=0.2)

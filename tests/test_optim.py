@@ -11,6 +11,7 @@ from deepinv_tpu.ops import gaussian_blur
 from deepinv_tpu.optim import (
     L2,
     L1,
+    ItohFidelity,
     PoissonLikelihood,
     Tikhonov,
     L1Prior,
@@ -387,6 +388,44 @@ def test_itoh_fidelity_unwrapping():
     err = z - x
     err = err - err.mean()
     assert float(jnp.abs(err).max()) < 1e-2
+
+
+def test_itoh_prox_parity():
+    """DCT closed-form Itoh prox / D_dagger match the reference
+    bit-for-bit (reference data_fidelity.py:517)."""
+    from test_namespace_parity import _make_stubs, REFERENCE
+    import os
+    import sys
+    import tempfile
+
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+    stub_root = tempfile.mkdtemp()
+    _make_stubs(stub_root)
+    sys.path.insert(0, stub_root)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from deepinv.optim.data_fidelity import ItohFidelity as RefItoh
+    finally:
+        sys.path.remove(stub_root)
+        sys.path.remove(REFERENCE)
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(2, 1, 13, 17)).astype(np.float32)
+    x = rng.normal(size=(2, 1, 13, 17)).astype(np.float32)
+    ref = RefItoh(sigma=1.0, threshold=1.0)
+    ours = ItohFidelity(sigma=1.0, threshold=1.0)
+    assert_close(
+        np.asarray(ours.prox(jnp.asarray(x), jnp.asarray(y), gamma=0.7)),
+        ref.prox(torch.tensor(x), torch.tensor(y), physics=None,
+                 gamma=0.7).numpy(), rtol=1e-4, atol=1e-4)
+    assert_close(np.asarray(ours.D_dagger(jnp.asarray(y))),
+                 ref.D_dagger(torch.tensor(y)).numpy(),
+                 rtol=1e-4, atol=1e-4)
+    assert_close(np.asarray(ours.grad(jnp.asarray(x), jnp.asarray(y))),
+                 ref.grad(torch.tensor(x), torch.tensor(y)).numpy(),
+                 rtol=1e-4, atol=1e-4)
 
 
 def test_pmd_equals_pgd_and_pdcp_equals_cp(problem):
