@@ -79,9 +79,15 @@ def _materialize(physics, num_operators, factory_kwargs):
     raise ValueError(f"cannot build an operator stack from {type(physics)}")
 
 
-class DistributedStackedPhysics(Module):
+class DistributedStackedPhysics(Physics):
     """Mesh-sharded stack of (possibly nonlinear) physics operators
     (reference distrib_framework.py:234).
+
+    Subclasses :class:`deepinv_tpu.physics.Physics` like the reference, so
+    the full generic surface (``noise``/``sensor``/``stack``/``clone``/
+    ``update_parameters``/``set_noise_model``/``set_ls_solver``/``A_vjp``/
+    ``compute_norm``) is inherited; the distributed A/forward/A_dagger
+    below override the compute paths with shard_map versions.
 
     Homogeneous stacks (same pytree structure) run as one vmapped
     ``shard_map`` over the ``op`` mesh axis; heterogeneous stacks evaluate
@@ -112,6 +118,7 @@ class DistributedStackedPhysics(Module):
                 f"gather_strategy must be naive/concatenated/broadcast, "
                 f"got {gather_strategy!r}"
             )
+        super().__init__()
         physics_list = _materialize(physics, num_operators, factory_kwargs)
         self.n_ops = len(physics_list)
         self.ctx = ctx
@@ -202,9 +209,12 @@ class DistributedStackedPhysics(Module):
         return jax.lax.fori_loop(0, max_iter, body, x_init)
 
 
-class DistributedStackedLinearPhysics(DistributedStackedPhysics):
+class DistributedStackedLinearPhysics(DistributedStackedPhysics, LinearPhysics):
     """Mesh-sharded stack of homogeneous linear operators
-    (reference distrib_framework.py:387).
+    (reference distrib_framework.py:387). Inherits the LinearPhysics
+    spectral surface (``A_A_adjoint``/``adjointness_test``/
+    ``condition_number``/``compute_sqnorm``) on top of the distributed
+    compute paths.
 
     Adds the linear machinery: psum adjoint, distributed CG pseudo-inverse,
     distributed power method, prox_l2.

@@ -291,7 +291,35 @@ class IRadon:
 
 
 class RampFilter:
-    """Frequency-domain ramp filter (reference functional RampFilter)."""
+    """Frequency-domain ramp filter (reference functional/radon.py:168)."""
+
+    def create_filter(self, f):
+        """The ramp filter passes the base |omega| response through
+        unchanged (reference radon.py:172)."""
+        return f
+
+    def _get_fourier_filter(self, size: int):
+        """Real-spectrum ramp response of the Ram-Lak kernel (reference
+        radon.py:151)."""
+        n = np.concatenate([np.arange(1, size / 2 + 1, 2),
+                            np.arange(size / 2 - 1, 0, -2)])
+        f = np.zeros(size, np.float32)
+        f[0] = 0.25
+        f[1::2] = -1 / (np.pi * n) ** 2
+        return 2 * jnp.fft.rfft(jnp.asarray(f))
+
+    def filter(self, x, fourier_filter, pad_width: int, dim: int = 3):
+        """Filter the detector axis ``dim`` of a sinogram with a 1D Fourier
+        filter, zero-padding by ``pad_width`` first (reference
+        radon.py:115)."""
+        input_size = x.shape[dim]
+        pad = [(0, 0)] * x.ndim
+        pad[dim] = (0, pad_width)
+        padded = jnp.pad(x, pad)
+        result = jnp.fft.irfft(
+            jnp.fft.rfft(padded, axis=dim) * fourier_filter, axis=dim,
+            n=padded.shape[dim])
+        return jax.lax.slice_in_dim(result, 0, input_size, axis=dim)
 
     def __call__(self, sino):
         return _ramp(sino)
@@ -319,12 +347,80 @@ class XrayTransform:
 
     def __init__(self, geometry=None, img_size=None, pixel_spacing=1.0,
                  n_detector_pixels=None, **geom_kwargs):
+        self.geometry_type = geom_kwargs.get("geometry_type")
         if geometry is None:
             geometry = xray_geometry(**geom_kwargs)
         self.geometry = geometry
         self.img_size = tuple(img_size)
         self.pixel_spacing = pixel_spacing
         self.n_detector_pixels = n_detector_pixels
+
+    # -- geometry queries (reference functional/astra.py:50-135; derived
+    # from the astra-style per-view vectors instead of astra dicts) --------
+
+    @property
+    def domain_shape(self) -> tuple:
+        """Shape of the input volume (reference astra.py:50)."""
+        return tuple(self.img_size)
+
+    @property
+    def range_shape(self) -> tuple:
+        """Shape of the output projection: (A, N) in 2D, (V, A, N) in 3D
+        (reference astra.py:57)."""
+        A = int(np.asarray(self.geometry["det"]).shape[0])
+        n = self.n_detector_pixels
+        if isinstance(n, (tuple, list)):
+            V, N = int(n[0]), int(n[-1])
+        else:
+            N = int(n) if n is not None else int(
+                np.ceil(np.sqrt(2) * max(self.img_size[-2:])))
+            V = self.img_size[0] if len(self.img_size) == 3 else None
+        return (A, N) if V is None else (V, A, N)
+
+    @property
+    def detector_cell_u_length(self) -> float:
+        """Horizontal detector cell pitch ``||u||`` (reference
+        astra.py:93)."""
+        return float(np.linalg.norm(np.asarray(self.geometry["u"])[0]))
+
+    @property
+    def detector_cell_v_length(self) -> float:
+        """Vertical detector cell pitch ``||v||`` (reference astra.py:83)."""
+        return float(np.linalg.norm(np.asarray(self.geometry["v"])[0]))
+
+    @property
+    def detector_cell_area(self) -> float:
+        """Physical area of one detector cell (reference astra.py:103)."""
+        return self.detector_cell_u_length * self.detector_cell_v_length
+
+    @property
+    def source_radius(self) -> float:
+        """Source-to-rotation-axis distance (reference astra.py:108);
+        0.0 for parallel geometries (no point source)."""
+        src = self.geometry.get("src")
+        if src is None:
+            return 0.0
+        return float(np.linalg.norm(np.asarray(src)[0]))
+
+    @property
+    def detector_radius(self) -> float:
+        """Detector-centre-to-rotation-axis distance (reference
+        astra.py:119)."""
+        return float(np.linalg.norm(np.asarray(self.geometry["det"])[0]))
+
+    @property
+    def object_cell_volume(self) -> float:
+        """Physical volume of one voxel (reference astra.py:64)."""
+        return float(self.pixel_spacing) ** len(self.img_size)
+
+    @property
+    def magnification_factor(self) -> float:
+        """Cone-beam magnification (reference astra.py:130); 1.0 for
+        parallel and fan geometries."""
+        if (self.geometry_type and "cone" in self.geometry_type
+                and self.source_radius > 0):
+            return (self.detector_radius + self.source_radius) / self.source_radius
+        return 1.0
 
     def __call__(self, x):
         return xray_transform(

@@ -175,6 +175,7 @@ class PET(LinearPhysics):
         zero length (integral 0), mirroring parallelproj's michelogram."""
         D, W = self.depth, self.img_width
         R = float(scanner_radius) if scanner_radius is not None else float(W)
+        self.scanner_radius = R
         N = int(n_radial) if n_radial is not None else W
         a = np.deg2rad(self._theta_np.astype(np.float64))  # (A,)
         t = (np.arange(N) - (N - 1) / 2.0)  # radial offsets, pixel units
@@ -211,6 +212,38 @@ class PET(LinearPhysics):
             img_size=(self.depth, self.img_width, self.img_width),
             pixel_spacing=(self.ring_spacing, 1.0, 1.0),
         )
+
+    def plot_geometry(self, n_lors: int = 64, show: bool = True):
+        """3D plot of the scanner geometry (reference pet.py:274, which
+        delegates to parallelproj's ``show_geometry``): crystal rings and a
+        subset of the michelogram lines of response. Returns the figure."""
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(16, 8))
+        ax = fig.add_subplot(1, 1, 1, projection="3d")
+        R = getattr(self, "scanner_radius", float(self.img_width))
+        phi = np.linspace(0, 2 * np.pi, 181)
+        D = self.depth or 1
+        zc = (np.arange(D) - (D - 1) / 2.0) * self.ring_spacing
+        for z in zc:
+            ax.plot(R * np.cos(phi), R * np.sin(phi), np.full_like(phi, z),
+                    color="0.6", lw=0.8)
+        if self._lor_p0 is not None:
+            p0 = np.asarray(self._lor_p0).reshape(-1, 3)
+            p1 = np.asarray(self._lor_p1).reshape(-1, 3)
+            keep = np.linalg.norm(p1 - p0, axis=-1) > 0
+            p0, p1 = p0[keep], p1[keep]
+            step = max(1, len(p0) // n_lors)
+            for a, b in zip(p0[::step], p1[::step]):
+                ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]],
+                        color="C0", lw=0.5, alpha=0.5)
+        ax.set_xlabel("mm")
+        ax.set_ylabel("mm")
+        ax.set_zlabel("mm")
+        fig.tight_layout()
+        if show:  # pragma: no cover - interactive
+            fig.show()
+        return fig
 
     def _fold(self, v):
         """(B, C, D, H, W) -> (B, C*D, H, W) for per-plane projection."""

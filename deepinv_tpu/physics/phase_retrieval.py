@@ -164,6 +164,34 @@ class StructuredRandomPhaseRetrieval(PhaseRetrieval):
         super().__init__(_StructB(diagonals), **kwargs)
         self.img_size = img_size
         self.output_size = output_size
+        self.n_layers = n_layers
+
+    @property
+    def diagonals(self):
+        """Random phase diagonals of the structured product."""
+        return self.B.diagonals
+
+    def get_A_squared_mean(self):
+        """Mean of the squared operator entries, ``var + mean^2`` of the
+        first diagonal (reference phase_retrieval.py:298); ``None`` for the
+        single-Fourier (n_layers=0.5) structure."""
+        if self.n_layers == 0.5:
+            import warnings
+
+            warnings.warn(
+                "computing the mean of the squared operator for a single "
+                "Fourier transform.")
+            return None
+        d = self.diagonals[0]
+        return jnp.var(d) + jnp.mean(d) ** 2
+
+    @staticmethod
+    def get_structure(n_layers) -> str:
+        """Operator structure string, e.g. ``'FDFD'`` (reference
+        phase_retrieval.py:307)."""
+        import math
+
+        return "FD" * math.floor(n_layers) + "F" * (n_layers % 1 == 0.5)
 
 
 class PtychographyLinearOperator(LinearPhysics):
@@ -207,6 +235,37 @@ class PtychographyLinearOperator(LinearPhysics):
 
         outs = jax.vmap(one)(self.shifts, yc)
         return jnp.sum(outs, axis=0)
+
+    @staticmethod
+    def shift(x, x_shift, y_shift, pad_zeros: bool = True):
+        """Roll ``x`` by ``(x_shift, y_shift)``, optionally zeroing the
+        wrapped-in region (reference phase_retrieval.py:397)."""
+        x = jnp.roll(x, (x_shift, y_shift), axis=(-2, -1))
+        if pad_zeros:
+            H, W = x.shape[-2:]
+            ii = jnp.arange(H)[:, None]
+            jj = jnp.arange(W)[None, :]
+            keep = jnp.ones((H, W), bool)
+            if x_shift < 0:
+                keep = keep & (ii < H + x_shift)
+            elif x_shift > 0:
+                keep = keep & (ii >= x_shift)
+            if y_shift < 0:
+                keep = keep & (jj < W + y_shift)
+            elif y_shift > 0:
+                keep = keep & (jj >= y_shift)
+            x = jnp.where(keep, x, 0)
+        return x
+
+    def get_overlap_img(self, shifts):
+        """Sum of squared shifted probe intensities — the illumination
+        coverage map used for normalization (reference
+        phase_retrieval.py:420)."""
+        overlap = jnp.zeros(self.probe.shape, jnp.float32)
+        for x_shift, y_shift in np.asarray(shifts):
+            overlap = overlap + jnp.abs(
+                self.shift(self.probe, int(x_shift), int(y_shift))) ** 2
+        return overlap
 
 
 class Ptychography(PhaseRetrieval):

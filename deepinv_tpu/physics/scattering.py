@@ -138,22 +138,31 @@ class Scattering(Physics):
         self.ls_tol = tol
 
     def _solve_field(self, c):
-        """Born-series fixed point for the total field (B, S, n, n)."""
+        """Total field (B, S, n, n): Krylov solve of the Lippmann-Schwinger
+        system ``(I - G diag(k0^2 c)) u = u_inc``.
+
+        BiCGStab converges where the plain Born series (spectral radius of
+        ``G diag(k0^2 c)`` > 1 at realistic contrasts) diverges — the
+        reference reaches the same system through its lsqr/BiCGStab/CG
+        LippmannSchwingerSolver (scattering.py:782). Wrapped in
+        ``lax.custom_linear_solve`` so gradients use the implicit
+        adjoint-state solve (one transposed Krylov solve) instead of
+        differentiating through the iterations — the JAX analogue of the
+        reference's LippmannSchwingerAdjointState (scattering.py:862)."""
         g = self.grid
-        u0 = jnp.broadcast_to(g.u_inc[None], (c.shape[0],) + g.u_inc.shape).astype(jnp.complex64)
+        u0 = jnp.broadcast_to(
+            g.u_inc[None], (c.shape[0],) + g.u_inc.shape).astype(jnp.complex64)
+        k2c = (g.k0**2 * c[:, None]).astype(jnp.complex64)
 
-        def step(u):
-            return u0 + g.apply_G(g.k0**2 * c[:, None] * u)
+        def matvec(u):
+            return u - g.apply_G(k2c * u)
 
-        def cond(state):
-            u, u_prev, it = state
-            num = jnp.sum(jnp.abs(u - u_prev) ** 2)
-            den = jnp.maximum(jnp.sum(jnp.abs(u) ** 2), 1e-20)
-            return jnp.logical_and(it < self.ls_max_iter, num / den > self.ls_tol**2)
+        def solve(mv, b):
+            return jax.scipy.sparse.linalg.bicgstab(
+                mv, b, x0=b, tol=self.ls_tol, maxiter=self.ls_max_iter)[0]
 
-        u1 = step(u0)
-        u, _, _ = jax.lax.while_loop(cond, lambda s: (step(s[0]), s[0], s[2] + 1), (u1, u0, jnp.asarray(1)))
-        return u
+        return jax.lax.custom_linear_solve(
+            matvec, u0, solve, transpose_solve=solve)
 
     def A(self, c, **params):
         g = self.grid
@@ -170,3 +179,92 @@ class Scattering(Physics):
         born.noise_model = None
         born.sensor_model = None
         return jnp.real(born.A_adjoint(y))
+
+    # -- reference solver-configuration surface (scattering.py:184-423) ----
+
+    from dataclasses import dataclass as _dataclass
+
+    @_dataclass
+    class SolverConfig:
+        """Lippmann-Schwinger solver configuration (reference
+        scattering.py:184). ``solver``/``adjoint_state`` are accepted for
+        signature parity; the JAX implementation always runs the
+        while_loop Born fixed point with autodiff gradients."""
+
+        min_iter: int = 1
+        max_iter: int = 500
+        solver: str = "lsqr"
+        tol: float = 1e-5
+        green_imaginary_part: float = 0.0
+        adjoint_state: bool = True
+        verbose: bool = False
+
+    del _dataclass
+
+    def set_solver(self, solver_config: "Scattering.SolverConfig"):
+        """Update the field-solver configuration (reference
+        scattering.py:234)."""
+        self.ls_max_iter = int(solver_config.max_iter)
+        self.ls_tol = float(solver_config.tol)
+        self.verbose = bool(solver_config.verbose)
+        return self
+
+    def set_verbose(self, verbose: bool):
+        """Toggle verbosity (reference scattering.py:401)."""
+        self.verbose = bool(verbose)
+        return self
+
+    @property
+    def img_width(self) -> int:
+        return self.grid.n
+
+    @property
+    def box_length(self) -> float:
+        return self.grid.n * self.grid.dx
+
+    @property
+    def wavenumber(self) -> float:
+        return self.grid.k0
+
+    @property
+    def incident_field(self):
+        """Incident field ``(1, T, H, W)`` on the image grid."""
+        return self.grid.u_inc[None]
+
+    def get_img_grid(self, dtype=jnp.float32):
+        """Flattened physical (x, y) coordinates of the image grid
+        (reference scattering.py:209)."""
+        dom = jnp.linspace(-self.box_length / 2, self.box_length / 2,
+                           self.img_width, dtype=dtype)
+        y_dom, x_dom = jnp.meshgrid(-dom, dom, indexing="ij")
+        return x_dom.ravel(), y_dom.ravel()
+
+    def generate_incident_field(self, dtype=jnp.complex64):
+        """Plane-wave incident fields ``(1, T, H, W)`` on the image grid
+        (reference scattering.py:297); this implementation's sources are
+        plane waves, precomputed on the grid at construction."""
+        return self.incident_field.astype(dtype)
+
+    def compute_total_field(self, x, **kwargs):
+        """Total field ``u`` solving the Lippmann-Schwinger equation for
+        potential ``x`` (reference scattering.py:387), shape (B,T,H,W)."""
+        c = x[:, 0] if x.ndim == 4 else x
+        return self._solve_field(c)
+
+    def compute_field_out(self, x, total_field):
+        """Receiver samples ``y = M G (k0^2 x . u)`` of the scattered field
+        radiated by the induced currents (reference scattering.py:411)."""
+        g = self.grid
+        c = x[:, 0] if x.ndim == 4 else x
+        return g.measure(g.apply_G(g.k0**2 * c[:, None] * total_field))
+
+    def normalize(self, x):
+        """Rescale the incident field (and any Gaussian noise sigma) by the
+        operator's Jacobian spectral norm at ``x`` (reference
+        scattering.py:222)."""
+        norm = jnp.sqrt(self.compute_norm(x))
+        self.grid = self.grid.replace(u_inc=self.grid.u_inc / norm)
+        if self.noise_model is not None and hasattr(self.noise_model, "sigma"):
+            self.noise_model = self.noise_model.replace(
+                sigma=self.noise_model.sigma / norm)
+        return self
