@@ -10,6 +10,11 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+import _util
+
+_util.setup()  # CPU by default; DEEPINV_TPU_DEMO_PLATFORM overrides
 
 # this demo is about multi-device execution: run it on a virtual 8-device CPU
 # mesh so it demonstrates the collectives even on a single-chip (or no-TPU) host

@@ -12,6 +12,11 @@ import sys as _sys
 import tempfile
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+import _util
+
+_util.setup()  # CPU by default; DEEPINV_TPU_DEMO_PLATFORM overrides
 
 import jax
 import numpy as np

@@ -1,0 +1,93 @@
+"""Render docs/benchmarks.md from the driver-recorded BENCH_r*.json files.
+
+The reference auto-generates a benchmarks page at docs build
+(docs/source/generate_benchmarks.py:17-33); this is the offline counterpart
+fed from the per-round bench artifacts plus BASELINE.md's derivation.
+
+Usage: python scripts/gen_benchmarks.py
+"""
+
+import glob
+import json
+import os
+import re
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PRETTY = {
+    "pnp_hqs_drunet_deblur_256px_iters_per_sec_chip":
+        "Deblur — PnP-HQS, BlurFFT + DRUNet, 1×3×256×256",
+    "pnp_pgd_dncnn_mri_256px_iters_per_sec_chip":
+        "MRI — PnP-PGD, masked FFT (30%) + DnCNN, 1×2×256×256",
+    "pnp_pgd_dncnn_ct90_256px_iters_per_sec_chip":
+        "CT — PnP-PGD, Tomography 90 views + DnCNN, 1×1×256×256",
+}
+
+
+def _rows():
+    rows = []
+    for path in sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json"))):
+        rnd = re.search(r"BENCH_r(\d+)", path).group(1)
+        try:
+            tail = json.load(open(path)).get("tail", "")
+        except Exception:
+            continue
+        for line in tail.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except Exception:
+                continue
+            if "metric" in rec:
+                rec["round"] = int(rnd)
+                rows.append(rec)
+    return rows
+
+
+def main():
+    rows = _rows()
+    lines = [
+        "# Benchmarks",
+        "",
+        "Per-chip reconstruction-iteration throughput on one **TPU v5e**",
+        "(axon tunnel), recorded by the driver at the end of every build",
+        "round (`BENCH_r*.json`, produced by `python bench.py`).",
+        "",
+        "`vs_baseline` divides by the PyTorch reference running the",
+        "identical workload on this host's CPU (8 threads). BASELINE.md",
+        "derives the A100 conversion: the bandwidth-bound configs (MRI, CT)",
+        "clear the ≥5× A100 bar with 2–4× margin; the compute-bound deblur",
+        "config sustains ~92% of the chip's HBM-bandwidth roofline (see the",
+        "per-phase speed-of-light analysis in BASELINE.md).",
+        "",
+        "| Round | Workload | iter/s | × torch-CPU | model GF/iter | MFU | HBM util |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        name = PRETTY.get(r["metric"], r["metric"])
+        if r["metric"].endswith("_f32"):
+            name = PRETTY.get(r["metric"][:-4], r["metric"]) + " *(f32 cross-check)*"
+        lines.append(
+            f"| r{r['round']:02d} | {name} | {r['value']} | {r['vs_baseline']} | "
+            f"{r.get('model_flops', '—')} | {r.get('mfu', '—')} | "
+            f"{r.get('hbm_util', '—')} |")
+    lines += [
+        "",
+        "Reproduce: `python bench.py` (all configs) or",
+        "`BENCH_CONFIG=deblur python bench.py`; `BENCH_DTYPE=f32` disables",
+        "the default bf16 autocast. Timing is slope-based (marginal cost",
+        "between an N- and 4N-iteration scan) so per-call dispatch noise",
+        "cancels; `model_flops`/`mfu`/`hbm_util` come from XLA's own cost",
+        "analysis of the compiled iteration.",
+        "",
+    ]
+    out = os.path.join(HERE, "docs", "benchmarks.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

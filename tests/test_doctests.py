@@ -1,59 +1,49 @@
-"""Docstring examples run as tests (the reference CI runs
-``pytest --doctest-modules`` over the whole package — SURVEY.md §4,
-.github/workflows/test_cpu.yml:26). Modules with ``:Examples:`` blocks are
-enumerated here; every ``>>>`` must execute and match.
+"""Docstring examples run as tests over the WHOLE package.
+
+The reference CI runs ``pytest --doctest-modules`` across every module
+(SURVEY.md §4, .github/workflows/test_cpu.yml:26). This mirrors that with
+auto-discovery (VERDICT r2 next-step #8): every module under ``deepinv_tpu``
+is imported and its ``>>>`` examples executed — modules added later join
+automatically. A short skip-list covers modules whose import has side
+effects unsuitable for the test environment.
 """
 
 import doctest
 import importlib
+import pkgutil
 import warnings
 
 import pytest
 
-MODULES = [
-    "deepinv_tpu.transform.projective",
-    "deepinv_tpu.physics.base",
-    "deepinv_tpu.physics.blur",
-    "deepinv_tpu.physics.noise",
-    "deepinv_tpu.physics.inpainting",
-    "deepinv_tpu.physics.mri",
-    "deepinv_tpu.physics.tomography",
-    "deepinv_tpu.physics.generator.base",
-    "deepinv_tpu.physics.generator.blur",
-    "deepinv_tpu.optim.optimizers",
-    "deepinv_tpu.optim.prior",
-    "deepinv_tpu.optim.data_fidelity",
-    "deepinv_tpu.optim.dpir",
-    "deepinv_tpu.models.base",
-    "deepinv_tpu.models.drunet",
-    "deepinv_tpu.models.classic",
-    "deepinv_tpu.transform.base",
-    "deepinv_tpu.transform.geometric",
-    "deepinv_tpu.loss.metric",
-    "deepinv_tpu.loss.losses",
-    "deepinv_tpu.sampling.sde",
-    "deepinv_tpu.datasets.base",
-    "deepinv_tpu.core.tensorlist",
-    "deepinv_tpu.utils.functional",
-    "deepinv_tpu.physics.compressed_sensing",
-    "deepinv_tpu.optim.linear",
-    "deepinv_tpu.optim.bregman",
-    "deepinv_tpu.models.wrappers_models",
-    "deepinv_tpu.models.precision",
-    "deepinv_tpu.unfolded",
-    "deepinv_tpu.parallel.context",
-    "deepinv_tpu.physics.phase_retrieval",
-    "deepinv_tpu.physics.wrappers",
-    "deepinv_tpu.models.artifactremoval",
-    "deepinv_tpu.sampling.base",
-    "deepinv_tpu.training.trainer",
-    "deepinv_tpu.physics.singlepixel",
-    "deepinv_tpu.loss.measplit",
-    "deepinv_tpu.physics.radio",
-    "deepinv_tpu.sampling.diffusion",
-    "deepinv_tpu.physics.scattering",
-    "deepinv_tpu.transform.diffeomorphism",
-]
+import deepinv_tpu
+
+# Modules excluded from the sweep, each with a reason.
+SKIP = {
+    # serve spins up HTTP-server helpers; exercised by tests/test_utils.py
+    "deepinv_tpu.serve",
+    # the C++ shared library is loaded via ctypes by native/__init__.py,
+    # not importable as a CPython extension module
+    "deepinv_tpu.native._native",
+}
+
+
+def _walk_modules():
+    names = []
+    for info in pkgutil.walk_packages(deepinv_tpu.__path__,
+                                      prefix="deepinv_tpu."):
+        if info.name in SKIP:
+            continue
+        names.append(info.name)
+    return sorted(names)
+
+
+MODULES = _walk_modules()
+
+
+def test_discovery_is_whole_package():
+    """The sweep really covers the package (guards against the walk
+    silently returning a handful of modules)."""
+    assert len(MODULES) > 60, MODULES
 
 
 @pytest.mark.parametrize("name", MODULES)
