@@ -1,6 +1,9 @@
 from .datagenerator import generate_dataset, HDF5Dataset
 from .base import (ImageDataset, ArrayDataset, TensorDataset, DataLoader, PatchDataset, RandomPatchSampler, random_split, check_dataset)
-from .phantoms import shepp_logan, SheppLoganDataset, random_circles
+from .phantoms import (
+    shepp_logan, SheppLoganDataset, RandomPhantomDataset, random_circles,
+    generate_random_phantom, random_shapes,
+)
 from .fastmri import FastMRISliceDataset, SimpleFastMRISliceDataset
 from .folder import (
     ImageFolder,

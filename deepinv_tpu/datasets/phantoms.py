@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["shepp_logan", "SheppLoganDataset", "random_circles"]
+__all__ = ["shepp_logan", "SheppLoganDataset", "RandomPhantomDataset",
+           "random_circles"]
 
 # (intensity, a, b, x0, y0, phi_deg) — standard Shepp-Logan ellipses
 _ELLIPSES = [
@@ -54,22 +55,87 @@ from .base import ImageDataset
 
 
 class SheppLoganDataset(ImageDataset):
-    """Dataset of randomly-deformed Shepp-Logan phantoms
-    (reference utils/phantoms.py:319)."""
+    """Dataset of the Shepp-Logan phantom (reference utils/phantoms.py:104).
 
-    def __init__(self, size: int = 128, length: int = 10, channels: int = 1, seed: int = 0):
+    With the reference defaults (``length=1``) each item is the exact
+    phantom repeated over ``n_data`` channels, shape ``(n_data, size,
+    size)``. ``length>1`` is an extension: items beyond determinism get a
+    small deterministic shift + intensity jitter so the set is usable as
+    (diverse) training data without downloads.
+    """
+
+    def __init__(self, size: int = 128, n_data: int = 1, transform=None,
+                 length: int = 1, channels: int = None, seed: int = 0):
         self.size = size
-        self.length = length
-        self.channels = channels
+        self.n_data = channels if channels is not None else n_data
+        self.transform = transform
+        self.length = int(length)
         self.seed = seed
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, i):
-        rng = np.random.RandomState(self.seed + i)
         base = shepp_logan(self.size)
-        # random affine jitter: shift + intensity scaling per sample
-        shift = rng.randint(-self.size // 16, self.size // 16 + 1, 2)
-        img = np.roll(base, shift, axis=(0, 1)) * (0.8 + 0.4 * rng.rand())
-        return np.repeat(img[None], self.channels, axis=0).astype(np.float32)
+        if self.length > 1:
+            rng = np.random.RandomState(self.seed + i)
+            shift = rng.randint(-self.size // 16, self.size // 16 + 1, 2)
+            base = np.roll(base, shift, axis=(0, 1)) * (0.8 + 0.4 * rng.rand())
+        x = np.repeat(base[None], self.n_data, axis=0).astype(np.float32)
+        if self.transform is not None:
+            x = self.transform(x)
+        return x
+
+
+def random_shapes(rng: np.random.RandomState, interior: bool = False):
+    """Random ellipse parameters (reference utils/phantoms.py:7):
+    (intensity, a, b, x0, y0, theta)."""
+    if interior:
+        x0, y0 = rng.rand() - 0.5, rng.rand() - 0.5
+    else:
+        x0, y0 = 2 * rng.rand() - 1.0, 2 * rng.rand() - 1.0
+    return ((rng.rand() - 0.5) * rng.exponential(0.4),
+            rng.exponential() * 0.2, rng.exponential() * 0.2,
+            x0, y0, rng.rand() * 2 * np.pi)
+
+
+def generate_random_phantom(size: int, n_ellipse: int = 50,
+                            interior: bool = False, rng=None) -> np.ndarray:
+    """Random ellipsoid phantom in [0, 1] (reference utils/phantoms.py:28);
+    vectorised over ellipses instead of a per-ellipse accumulation loop."""
+    rng = rng or np.random.RandomState()
+    n = rng.poisson(n_ellipse)
+    y, x = np.mgrid[-1 : 1 : size * 1j, -1 : 1 : size * 1j]
+    img = np.zeros((size, size), np.float32)
+    if n:
+        p = np.stack([random_shapes(rng, interior) for _ in range(n)])  # (n,6)
+        a, b, c, x0, y0, th = (p[:, j, None, None] for j in range(6))
+        xr = (x - x0) * np.cos(th) + (y - y0) * np.sin(th)
+        yr = -(x - x0) * np.sin(th) + (y - y0) * np.cos(th)
+        img = (a * (((xr / b) ** 2 + (yr / c) ** 2) <= 1)).sum(0)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+class RandomPhantomDataset(ImageDataset):
+    """Random ellipsoid phantoms generated on the fly
+    (reference utils/phantoms.py:44) — each item is ``(n_data, size, size)``.
+    Deterministic per index (seeded), unlike the reference's global RNG."""
+
+    def __init__(self, length: int, size: int = 128, n_data: int = 1,
+                 transform=None, seed: int = 0):
+        self.size = size
+        self.n_data = n_data
+        self.transform = transform
+        self.length = int(length)
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(self.seed * 100003 + i)
+        x = np.stack([generate_random_phantom(self.size, rng=rng)
+                      for _ in range(self.n_data)])
+        if self.transform is not None:
+            x = self.transform(x)
+        return x

@@ -22,7 +22,7 @@ from ..core.tensorlist import TensorList
 
 _LAZY = {
     "SheppLoganDataset": ("..datasets.phantoms", "SheppLoganDataset"),
-    "RandomPhantomDataset": ("..datasets.phantoms", "SheppLoganDataset"),
+    "RandomPhantomDataset": ("..datasets.phantoms", "RandomPhantomDataset"),
     "MRIMixin": ("..physics.mri", "MRIMixin"),
     "patch_extractor": ("..optim.epll", "patch_extractor"),
     "load_image": ("..datasets.folder", "load_image"),
@@ -36,6 +36,10 @@ def __getattr__(name):
         mod, attr = _LAZY[name]
         return getattr(importlib.import_module(mod, __name__), attr)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
 
 
 # --- gated / thin counterparts of torch- or download-specific helpers ----

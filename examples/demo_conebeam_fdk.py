@@ -27,7 +27,7 @@ from deepinv_tpu.physics import TomographyWithAstra, GaussianNoise
 from deepinv_tpu.loss.metric import PSNR
 
 # 3D phantom: a few ellipsoids (Shepp-Logan-ish), 32^3
-D = H = W = 32
+D = H = W = 16 if _util.fast() else 32
 zz, yy, xx = np.meshgrid(
     np.linspace(-1, 1, D), np.linspace(-1, 1, H), np.linspace(-1, 1, W),
     indexing="ij",
@@ -42,11 +42,11 @@ x = jnp.asarray(vol)[None, None]
 
 physics = TomographyWithAstra(
     img_size=(D, H, W),
-    angles=90,
+    angles=_util.scale(90, 30),
     angular_range=(0, 360),
     geometry_type="conebeam",
     geometry_parameters={"source_radius": 90.0, "detector_radius": 30.0},
-    n_detector_pixels=(48, 64),
+    n_detector_pixels=(24, 32) if _util.fast() else (48, 64),
     detector_spacing=(1.5, 1.5),
     normalize=True,
     noise_model=GaussianNoise(0.01),

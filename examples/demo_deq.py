@@ -5,6 +5,11 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+import _util
+
+_util.setup()  # CPU by default; DEEPINV_TPU_DEMO_PLATFORM overrides
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +37,8 @@ from deepinv_tpu.loss.metric import PSNR
 from deepinv_tpu.datasets import random_circles
 
 
-def main(steps=30):
+def main(steps=None):
+    steps = _util.scale(30, 5) if steps is None else steps
     physics = Inpainting(img_size=(1, 32, 32), mask=0.6,
                          key=jax.random.key(0),
                          noise_model=GaussianNoise(0.02))
@@ -42,7 +48,7 @@ def main(steps=30):
     model = DEQ_builder(
         "PGD", data_fidelity=L2(), prior=PnP(ContractiveDenoiser(DnCNN(1, 1, depth=3, nf=8))),
         params_algo={"stepsize": 0.5, "g_param": 0.05},
-        max_iter=30, max_iter_backward=20,
+        max_iter=_util.scale(30, 8), max_iter_backward=_util.scale(20, 5),
     )
     opt = optax.adam(1e-3)
     state = opt.init(model)

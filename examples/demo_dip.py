@@ -27,7 +27,7 @@ def main():
                          noise_model=GaussianNoise(0.02))
     y = physics(x, key=jax.random.key(1))
 
-    model = DeepImagePrior(img_shape=(1, 32, 32), iterations=800, lr=3e-2)
+    model = DeepImagePrior(img_shape=(1, 32, 32), iterations=_util.scale(800, 100), lr=3e-2)
     xhat = model(y, physics, key=jax.random.key(2))
 
     psnr = PSNR()

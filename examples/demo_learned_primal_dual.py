@@ -5,6 +5,11 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+import _util
+
+_util.setup()  # CPU by default; DEEPINV_TPU_DEMO_PLATFORM overrides
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +22,8 @@ from deepinv_tpu.loss.metric import PSNR
 from deepinv_tpu.datasets import shepp_logan
 
 
-def main(steps=150):
+def main(steps=None):
+    steps = _util.scale(150, 10) if steps is None else steps
     physics = Tomography(img_width=32, angles=24, normalize=True)
     x = jnp.asarray(shepp_logan(32))[None, None]
     xs = jnp.concatenate([x, jnp.roll(x, 3, axis=-1),

@@ -6,6 +6,11 @@ import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
+import _util
+
+_util.setup()  # CPU by default; DEEPINV_TPU_DEMO_PLATFORM overrides
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +22,8 @@ from deepinv_tpu.unfolded import unfolded_builder
 from deepinv_tpu.optim import L2, L1Prior
 
 
-def main(steps=50):
+def main(steps=None):
+    steps = _util.scale(50, 8) if steps is None else steps
     n, m = 64, 40
     physics = CompressedSensing(m=m, img_size=(1, 8, 8), key=jax.random.key(0))
     # sparse signals

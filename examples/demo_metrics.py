@@ -40,8 +40,9 @@ for m in (SpectralAngleMapper(), ERGAS(factor=4)):
     print(f"{type(m).__name__:22s} {float(m(noisy, x3)[0]):.4f}")
 
 print("\n== perceptual (higher HaarPSI/Cosine = better; lower GMSD = better) ==")
+noisy01 = jnp.clip(noisy, 0.0, 1.0)  # HaarPSI requires [0, 1] inputs
 for m in (GMSD(), HaarPSI(), CosineSimilarity()):
-    print(f"{type(m).__name__:22s} {float(m(noisy, x3)[0]):.4f}")
+    print(f"{type(m).__name__:22s} {float(m(noisy01, x3)[0]):.4f}")
 
 # LPIPS pipeline (pass vgg_pretrained=<torchvision vgg16 .pth> for the
 # calibrated published metric; random features still rank corruption)

@@ -48,7 +48,8 @@ class ScaledZeroFill(Module):
         return self.a * physics.A_adjoint(y)
 
 
-def train(loss, model, y, physics, steps=300, lr=5e-2, seed=3):
+def train(loss, model, y, physics, steps=None, lr=5e-2, seed=3):
+    steps = _util.scale(300, 20) if steps is None else steps
     opt = optax.adam(lr)
     st = opt.init(model)
 
@@ -107,7 +108,7 @@ def main():
     # ------------------------------------------------------------------
     model = wloss.adapt_model(MoDL(DnCNN(2, 2, depth=5, nf=16), num_iter=3))
     model, first = train(wloss, model, y, physics, steps=1, lr=1e-4, seed=2)
-    model, last = train(wloss, model, y, physics, steps=60, lr=1e-4, seed=4)
+    model, last = train(wloss, model, y, physics, steps=_util.scale(60, 10), lr=1e-4, seed=4)
     print(f"weighted-SSDU MoDL fine-tune: loss {first:.5f} -> {last:.5f} "
           f"over 60 steps (zero-filled baseline {zf:.2f} dB; start from "
           f"RAM(pretrained=...) to improve on it)")

@@ -24,7 +24,9 @@ from deepinv_tpu.datasets import ArrayDataset, DataLoader, shepp_logan
 from deepinv_tpu.loss import PSNR
 
 
-def main(size=64, epochs=5):
+def main(size=None, epochs=None):
+    size = (32 if _util.fast() else 64) if size is None else size
+    epochs = _util.scale(5, 1) if epochs is None else epochs
     # toy magnitude dataset -> 2-channel complex convention
     imgs = np.stack([
         np.roll(shepp_logan(size), (i, -i), (0, 1)) for i in range(16)

@@ -36,6 +36,27 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run slow-marked tests (big model ports, the demo "
+             "gallery, 3D physics) — the quick gate skips them")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Deselect slow tests unless --runslow / RUN_SLOW=1 (the reference CI
+    splits fast/slow the same way — SURVEY.md §4). The quick gate
+    (`pytest tests/ -x -q`) therefore stays under its 10-minute budget."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    if config.getoption("-m"):
+        return  # explicit -m selection wins
+    skip = pytest.mark.skip(reason="slow: pass --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def key():
     return jax.random.key(0)
