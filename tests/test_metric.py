@@ -261,3 +261,61 @@ def test_norm_inputs_l2_per_plane():
     want = ((norm(xn) - norm(yn)) ** 2).reshape(2, -1).mean(1)
     got = np.asarray(MSE(norm_inputs="l2")(x, y))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_metric_kwargs_reference_values():
+    """Exact option semantics against the reference's hand-computed values
+    (reference test_metric.py:test_metric_kwargs)."""
+    from deepinv_tpu.loss.metric import MSE
+
+    xh = jnp.array([[1.0, 1.0], [2.0, 2.0], [4.0, 4.0]])
+    x0 = jnp.zeros_like(xh)
+    assert float(MSE(reduction="mean")(xh, x0)) == 7.0
+    assert float(MSE(reduction="sum")(xh, x0)) == 21.0
+    assert np.allclose(np.asarray(MSE(reduction="none")(xh, x0)),
+                       [1.0, 4.0, 16.0])
+
+    xh2 = jnp.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    assert np.allclose(np.asarray(MSE(norm_inputs="min_max")(xh2, x0)),
+                       [0.5, 0.5, 0.5])
+    x2 = jnp.array([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]])
+    assert np.allclose(np.asarray(MSE(norm_inputs="l2")(xh2, x2)),
+                       [0.0083, 0.0011, 0.0011], atol=1e-4)
+
+    xc = jnp.array([[1.0 + 1.0j, 2.0 + 2.0j]])
+    assert np.allclose(np.asarray(MSE(complex_abs=True)(xc, xc * 0)), [5.0],
+                       atol=1e-5)
+    xh3 = jnp.ones((1, 2, 1))
+    assert np.allclose(np.asarray(MSE(complex_abs=True)(xh3, xh3 * 0)),
+                       [2.0], atol=1e-5)
+    assert np.allclose(np.asarray(MSE(complex_abs=False)(xh3, xh3 * 0)),
+                       [1.0])
+    # train_loss is a no-op for lower-is-better metrics
+    assert np.allclose(np.asarray(MSE(train_loss=True)(xh3, xh3 * 0)), [1.0])
+
+
+def test_center_crop_semantics():
+    """center_crop int / tuple semantics (reference test_center_crop)."""
+    from deepinv_tpu.loss.metric import MSE
+
+    x = jnp.ones((2, 3, 32, 32))
+    xz = jnp.zeros_like(x)
+    assert np.allclose(np.asarray(MSE(center_crop=16)(xz, x)), [1.0, 1.0])
+    assert np.allclose(np.asarray(MSE(center_crop=(8, 8))(xz, x)),
+                       [1.0, 1.0])
+
+
+def test_snr_power_ratios():
+    """SNR closed form 10 log10(Ps/Pn) (reference test_snr); at zero noise
+    the class metric returns a large finite value (epsilon-clamped for
+    jit-safety) rather than the functional's +inf."""
+    from deepinv_tpu.loss.metric import SNR
+    import math
+
+    for ps, pn in [(1.0, 1.0), (10.0, 1.0), (1.0, 10.0), (10.0, 10.0)]:
+        xs = jnp.full((1, 1, 16, 16), math.sqrt(ps))
+        ys = xs + math.sqrt(pn)
+        got = float(np.asarray(SNR()(ys, xs)).ravel()[0])
+        assert abs(got - 10 * math.log10(ps / pn)) < 1e-3, (ps, pn, got)
+    xs = jnp.full((1, 1, 16, 16), 1.0)
+    assert float(np.asarray(SNR()(xs, xs)).ravel()[0]) > 100.0
