@@ -276,3 +276,67 @@ def test_inference_server_client_loopback():
 
         with pytest.raises(urllib.error.HTTPError):
             Client(url, api_key="secret")(y, Weird())
+
+
+def test_tensorlist_arithmetic_reference():
+    """TensorList arithmetic semantics (reference test_utils.py:57-116):
+    +, *, scalar *, /, -, unary -, append."""
+    from deepinv_tpu.core.tensorlist import TensorList
+
+    a = TensorList([jnp.ones((1, 3)), jnp.zeros((1, 2))])
+    b = TensorList([2 * jnp.ones((1, 3)), jnp.ones((1, 2))])
+    assert np.allclose((a + b)[0], 3.0) and np.allclose((a + b)[1], 1.0)
+    assert np.allclose((a * b)[0], 2.0) and np.allclose((a * b)[1], 0.0)
+    assert np.allclose((2.0 * a)[0], 2.0)
+    assert np.allclose((a / b)[0], 0.5)
+    assert np.allclose((a - b)[1], -1.0)
+    assert np.allclose((-a)[0], -1.0)
+    c = a.append(b)
+    assert len(c) == 4 and c.shape[2] == (1, 3)
+
+
+def test_tensorlist_isnan_any_all():
+    """isnan/any/all combination semantics (reference
+    test_tensorlist_any_all_isnan)."""
+    from deepinv_tpu.core.tensorlist import TensorList
+
+    x = jnp.zeros((1, 3))
+    x_nan = jnp.full((1, 3), jnp.nan)
+    tl = TensorList([x, x])
+    tl_mixed = TensorList([x, x_nan])
+    tl_nan = TensorList([x_nan, x_nan])
+    assert not bool(tl.isnan().any())
+    assert not bool(tl.isnan().all())
+    assert bool(tl_mixed.isnan().any())
+    assert not bool(tl_mixed.isnan().all())
+    assert bool(tl_nan.isnan().all())
+
+
+def test_tensorlist_methods_do_not_raise():
+    """Every public TensorList method is callable with default-style args
+    (reference test_tensorlist_methods does the same smoke sweep)."""
+    from deepinv_tpu.core.tensorlist import TensorList
+
+    a = TensorList([jnp.ones((1, 1, 3, 3)), jnp.zeros((1, 1, 2, 2))])
+    for name in ("abs", "clone", "conj", "detach", "flatten", "isnan",
+                 "max", "numel", "numpy", "squeeze", "sum"):
+        _ = getattr(a, name)()
+    assert a.astype(jnp.float16)[0].dtype == jnp.float16
+    assert a.reshape([(1, 9), (1, 4)])[0].shape == (1, 9)
+    assert a.unsqueeze(0)[0].shape == (1, 1, 1, 3, 3)
+    assert a.shape == [(1, 1, 3, 3), (1, 1, 2, 2)]
+    assert a.dtype[0] == jnp.float32
+
+
+def test_dirac_like_tensorlist():
+    """dirac_like on a TensorList returns per-entry dirac images
+    (reference test_dirac_like parametrizes lengths)."""
+    from deepinv_tpu.core.tensorlist import TensorList
+    from deepinv_tpu.utils import dirac_like
+
+    a = TensorList([jnp.ones((1, 1, 3, 3)), jnp.ones((1, 1, 5, 5))])
+    d = dirac_like(a)
+    for entry in d:
+        assert float(entry.sum()) == 1.0
+        h, w = entry.shape[-2:]
+        assert np.asarray(entry)[..., h // 2, w // 2].ravel()[0] == 1.0
