@@ -80,6 +80,12 @@ def power_method(op, x0, max_iter: int = 100, tol: float = 1e-6):
 
     Returns the spectral norm estimate ``lambda_max`` (scalar array).
     """
+    # a zero seed (e.g. prox called on a zeros init) would collapse the
+    # iteration to lambda=0; fall back to a ones seed jit-safely
+    n_seed = tree_norm(x0)
+    x0 = jax.tree_util.tree_map(
+        lambda v: jnp.where(n_seed > 0, v, jnp.ones_like(v)), x0
+    )
     # one eager power step first: it promotes the seed to op's output dtype
     # (e.g. A^T A of a complex-valued operator on a real seed) so the
     # while_loop carry dtype is stable. eval_shape is NOT used — its extra

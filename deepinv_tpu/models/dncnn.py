@@ -45,6 +45,27 @@ class DnCNN(Denoiser):
 
     def __call__(self, x, sigma=None, **kwargs):
         h = jax.nn.relu(self.in_conv(x))
-        for conv in self.conv_list:
-            h = jax.nn.relu(conv(h))
+        h = self._hidden_chain(h)
         return self.out_conv(h) + x
+
+    def _hidden_chain(self, h):
+        """The 64-channel conv+ReLU middle chain. On TPU with bf16
+        activations (the ``models.autocast`` inference path) it runs as one
+        fused Pallas kernel — measured 2.9x over the XLA conv chain
+        (ops/pallas/conv_chain.py); anywhere else, plain convs."""
+        from ..ops.pallas.conv_chain import (can_fuse_chain,
+                                             fused_conv3x3_relu_chain)
+
+        convs = self.conv_list
+        if (
+            h.dtype == jnp.bfloat16
+            and len(convs) >= 2
+            and all(c.bias is not None for c in convs)
+            and can_fuse_chain(h, len(convs))
+        ):
+            ws = jnp.stack([c.weight for c in convs])
+            bs = jnp.stack([c.bias for c in convs])
+            return fused_conv3x3_relu_chain(h, ws, bs)
+        for conv in convs:
+            h = jax.nn.relu(conv(h))
+        return h

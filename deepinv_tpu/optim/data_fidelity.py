@@ -172,23 +172,23 @@ class IndicatorL2(DataFidelity):
         self, x, y, physics, *args, radius=None, gamma=None,
         stepsize=None, crit_conv=1e-5, max_iter: int = 100, **kwargs,
     ):
-        """Projection onto {x : ||Ax - y|| <= r} by dual ascent
-        (data_fidelity.py:620)."""
+        """Projection onto {x : ||Ax - y|| <= r} by the dual
+        forward-backward algorithm (data_fidelity.py:620): the dual update
+        uses the Moreau decomposition ``u <- u_ - step * proj(u_/step)`` —
+        the ball projection is not positively homogeneous (center y != 0),
+        so the scaling matters for optimality, not just feasibility."""
         radius = self.radius if radius is None else radius
         norm_AtA = physics.compute_norm(x, max_iter=30)
         stepsize_val = 1.0 / norm_AtA if stepsize is None else stepsize
 
-        def body(_, carry):
-            u, x_cur = carry
-            Ax = physics.A(x_cur)
-            t = Ax - self.d.prox(Ax, y, radius=radius)
-            u_new = u + stepsize_val * t
-            x_new = x - physics.A_adjoint(u_new)
-            return (u_new, x_new)
+        def body(_, u):
+            t = x - physics.A_adjoint(u)
+            u_ = u + stepsize_val * physics.A(t)
+            return u_ - stepsize_val * self.d.prox(
+                u_ / stepsize_val, y, radius=radius)
 
-        u0 = jax.tree_util.tree_map(jnp.zeros_like, physics.A(x))
-        _, x_out = jax.lax.fori_loop(0, max_iter, body, (u0, x))
-        return x_out
+        u = jax.lax.fori_loop(0, max_iter, body, physics.A(x))
+        return x - physics.A_adjoint(u)
 
 
 class PoissonLikelihood(DataFidelity):

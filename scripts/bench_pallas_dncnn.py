@@ -45,71 +45,85 @@ CH = 32         # rows per in-kernel chunk
 
 
 def pack_weights(ws):
-    """(L,64,64,3,3) OIHW -> (L,3,256,128) pixel-pair packed matmats.
+    """(L,64,64,3,3) OIHW -> (L,3,2,128,128) pixel-pair packed matmuls.
 
-    Rows = 4 window cols x 64 in-ch; cols = 2 out pixels x 64 out-ch.
-    W[l,dy, pos*64+ci, pix*64+co] = ws[l, co, ci, dy, pos-pix] (valid kx only).
+    Group g holds cols (2g, 2g+1): lanes [a_g(64) | b_g(64)]. Output pixel 0
+    (col 2g) sees window cols [b_{g-1}, a_g, b_g]; pixel 1 (col 2g+1) sees
+    [a_g, b_g, a_{g+1}]. Per dy this splits into two K=128/N=128 matmuls:
+    own = [a_g | b_g] @ W_mid and neighbor n = [b_{g-1} | a_{g+1}] @ W_side.
     """
     Lw = ws.shape[0]
-    out = np.zeros((Lw, 3, 256, 128), np.float32)
-    wn = np.asarray(ws, np.float32)
-    for dy in range(3):
-        for pos in range(4):
-            for pix in range(2):
-                kx = pos - pix
-                if 0 <= kx <= 2:
-                    out[:, dy, pos * 64:(pos + 1) * 64,
-                        pix * 64:(pix + 1) * 64] = np.transpose(
-                            wn[:, :, :, dy, kx], (0, 2, 1))
+    out = np.zeros((Lw, 3, 2, 128, 128), np.float32)
+    wn = np.transpose(np.asarray(ws, np.float32), (0, 3, 4, 2, 1))  # L,dy,kx,ci,co
+    out[:, :, 0, 0:64, 0:64] = wn[:, :, 1]      # a_g -> pix0 (kx=1)
+    out[:, :, 0, 64:128, 0:64] = wn[:, :, 2]    # b_g -> pix0 (kx=2)
+    out[:, :, 0, 0:64, 64:128] = wn[:, :, 0]    # a_g -> pix1 (kx=0)
+    out[:, :, 0, 64:128, 64:128] = wn[:, :, 1]  # b_g -> pix1 (kx=1)
+    out[:, :, 1, 0:64, 0:64] = wn[:, :, 0]      # b_{g-1} -> pix0 (kx=0)
+    out[:, :, 1, 64:128, 64:128] = wn[:, :, 2]  # a_{g+1} -> pix1 (kx=2)
     return jnp.asarray(out, jnp.bfloat16)
 
 
-def _layer(src, dst, wdy0, wdy1, wdy2, bias, H, G):
-    """One conv3x3+relu layer: src rows 0..H+1 (padded) -> dst rows 1..H."""
-    zeros = jnp.zeros((CH, 1, 64), jnp.bfloat16)
+def _rot64(v):
+    """Rotate bf16 lanes by 64 (half-register swap). Mosaic's rotate only
+    supports 32-bit data, so bitcast to int32 (sublane-pair packing — lane
+    indexing is unchanged) and rotate there."""
+    return pltpu.bitcast(
+        pltpu.roll(pltpu.bitcast(v, jnp.int32), 64, axis=2), jnp.bfloat16)
+
+
+def _dot(a, w):
+    return lax.dot_general(a, w, (((2,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _layer(src, dst, wl, bias, H, G):
+    """One conv3x3+relu layer on guard-padded activations: src has zero
+    guard row 0/H+1 and zero guard group 0/G+1, so neighbor access is a
+    static offset slice — no rolls along the group dim, no boundary masks."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CH, G, 128), 2)
     for c in range(H // CH):
         r0 = c * CH
-        acc = jnp.zeros((CH * G, 128), jnp.float32)
-        for dy, wdy in enumerate((wdy0, wdy1, wdy2)):
-            xa = src[r0 + dy:r0 + dy + CH]
-            left = jnp.concatenate([zeros, xa[:, :-1, 64:]], axis=1)
-            right = jnp.concatenate([xa[:, 1:, :64], zeros], axis=1)
-            xg = jnp.concatenate([left, xa, right], axis=-1)
-            acc = acc + jnp.dot(xg.reshape(CH * G, 256), wdy,
-                                preferred_element_type=jnp.float32)
+        acc = jnp.zeros((CH, G, 128), jnp.float32)
+        for dy in range(3):
+            xa = src[r0 + dy:r0 + dy + CH]          # (CH, G+2, 128)
+            own = xa[:, 1:G + 1]
+            # n_g = [b_{g-1} | a_{g+1}]
+            n = jnp.where(lane < 64, _rot64(xa[:, 0:G]),
+                          _rot64(xa[:, 2:G + 2]))
+            acc = acc + _dot(own, wl[dy, 0]) + _dot(n, wl[dy, 1])
         y = jnp.maximum(acc + bias, 0.0).astype(jnp.bfloat16)
-        dst[1 + r0:1 + r0 + CH] = y.reshape(CH, G, 128)
+        dst[1 + r0:1 + r0 + CH, 1:G + 1] = y
 
 
 def _chain_kernel(x_ref, w_ref, b_ref, o_ref, a_ref, c_ref):
     H, G = o_ref.shape[0], o_ref.shape[1]
     a_ref[:] = x_ref[:]
-    c_ref[0:1] = jnp.zeros((1, G, 128), jnp.bfloat16)
-    c_ref[H + 1:H + 2] = jnp.zeros((1, G, 128), jnp.bfloat16)
+    c_ref[:] = jnp.zeros((H + 2, G + 2, 128), jnp.bfloat16)
 
     def pair(p, _):
         l0 = 2 * p
-        _layer(a_ref, c_ref, w_ref[l0, 0], w_ref[l0, 1], w_ref[l0, 2],
-               b_ref[l0][None, :], H, G)
-        _layer(c_ref, a_ref, w_ref[l0 + 1, 0], w_ref[l0 + 1, 1],
-               w_ref[l0 + 1, 2], b_ref[l0 + 1][None, :], H, G)
+        _layer(a_ref, c_ref, w_ref[l0], b_ref[pl.ds(l0, 1)][:, None, :],
+               H, G)
+        _layer(c_ref, a_ref, w_ref[l0 + 1],
+               b_ref[pl.ds(l0 + 1, 1)][:, None, :], H, G)
         return 0
 
     lax.fori_loop(0, L // 2, pair, 0)
-    o_ref[:] = a_ref[1:H + 1]
+    o_ref[:] = a_ref[1:H + 1, 1:G + 1]
 
 
 def fused_chain(xp, wp, bp, *, interpret=False):
-    """xp: (H+2, G, 128) bf16 padded-packed activations."""
-    Hp, G, _ = xp.shape
-    H = Hp - 2
+    """xp: (H+2, G+2, 128) bf16 guard-padded packed activations."""
+    Hp, Gp, _ = xp.shape
+    H, G = Hp - 2, Gp - 2
     return pl.pallas_call(
         _chain_kernel,
         out_shape=jax.ShapeDtypeStruct((H, G, 128), jnp.bfloat16),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((Hp, G, 128), jnp.bfloat16),
-                        pltpu.VMEM((Hp, G, 128), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((Hp, Gp, 128), jnp.bfloat16),
+                        pltpu.VMEM((Hp, Gp, 128), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -117,10 +131,10 @@ def fused_chain(xp, wp, bp, *, interpret=False):
 
 
 def pack_x(h):
-    """(1,64,H,W) -> padded packed (H+2, W//2, 128)."""
+    """(1,64,H,W) -> guard-padded packed (H+2, W//2+2, 128)."""
     _, _, H, W = h.shape
     xp = jnp.transpose(h[0], (1, 2, 0)).reshape(H, W // 2, 128)
-    return jnp.pad(xp, ((1, 1), (0, 0), (0, 0)))
+    return jnp.pad(xp, ((1, 1), (1, 1), (0, 0)))
 
 
 def unpack_x(o, Hh, W):
@@ -146,7 +160,6 @@ def main():
     h = jnp.asarray(rng.normal(0, 1, (1, C, H, W)), jnp.bfloat16)
 
     wp = pack_weights(ws)
-    bp = jnp.repeat(bs, 2, axis=0).reshape(L, 128)  # wrong: fix below
     bp = jnp.concatenate([bs, bs], axis=1)          # (L,128): 2 pixels x 64ch
 
     interp = "check" in sys.argv
@@ -176,13 +189,13 @@ def main():
                 lambda carry, _: (f(carry, *c), None), v, None, length=n)[0])
             _ = np.asarray(g(h, *a)).ravel()[:1]
             ts = []
-            for _ in range(6):
+            for _ in range(8):
                 t0 = time.perf_counter()
                 o = g(h, *a)
                 _ = np.asarray(o).ravel()[:1]
                 ts.append(time.perf_counter() - t0)
             return min(ts)
-        return (run(64) - run(16)) / 48
+        return (run(512) - run(128)) / 384
 
     flops = 2 * L * H * W * C * C * 9
     dt_ref = slope(lambda v, a, b: run_ref(v, a, b).astype(jnp.bfloat16),

@@ -594,3 +594,49 @@ def test_drunet_folded_forward_matches_plain(key):
     net_l = DRUNet(nc=(8, 16, 16, 16), nb=1, act_mode="L")
     f = jax.jit(lambda n, v: forward_unet_folded(n, v, _ACTS["L"]))
     assert jnp.abs(f(net_l, x) - net_l.forward_unet(x)).max() < 1e-4
+
+
+def test_fused_conv_chain_matches_lax(key):
+    """The Pallas fused conv3x3+ReLU chain (interpret mode) matches the
+    XLA conv chain, including the odd-layer-count tail path, and its
+    custom_vjp gradients match autodiff through the lax chain."""
+    from deepinv_tpu.ops.pallas.conv_chain import (_lax_chain,
+                                                   fused_conv3x3_relu_chain)
+
+    for L in (4, 5):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, L), 3)
+        ws = jax.random.normal(k1, (L, 64, 64, 3, 3)) * 0.08
+        bs = jax.random.normal(k2, (L, 64)) * 0.02
+        h = jax.random.normal(k3, (1, 64, 16, 16), jnp.bfloat16)
+        got = fused_conv3x3_relu_chain(h, ws, bs, True)
+        want = _lax_chain(h, ws, bs)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - want.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) + 1e-9
+        assert err / scale < 2e-2, (L, err / scale)
+
+    # gradients flow through the custom_vjp (backward = lax chain autodiff)
+    from deepinv_tpu.ops.pallas.conv_chain import _lax_chain_f32
+
+    loss = lambda w: jnp.sum(
+        fused_conv3x3_relu_chain(h, w, bs, True).astype(jnp.float32))
+    g = jax.grad(loss)(ws)
+    loss_ref = lambda w: jnp.sum(_lax_chain_f32(h, w, bs))
+    g_ref = jax.grad(loss_ref)(ws)
+    rel = float(jnp.max(jnp.abs(g - g_ref)) / (jnp.max(jnp.abs(g_ref)) + 1e-9))
+    assert rel < 2e-2, rel
+
+
+def test_dncnn_fused_gate_is_off_on_cpu(key):
+    """can_fuse_chain must refuse on CPU so the quick gate never hits the
+    Mosaic compiler; the env kill-switch must also disable it."""
+    import os
+    from deepinv_tpu.ops.pallas.conv_chain import can_fuse_chain
+
+    h = jnp.zeros((1, 64, 32, 32), jnp.bfloat16)
+    assert not can_fuse_chain(h, 18)  # tests run on the CPU backend
+    os.environ["DEEPINV_TPU_FUSED_DNCNN"] = "0"
+    try:
+        assert not can_fuse_chain(h, 18)
+    finally:
+        del os.environ["DEEPINV_TPU_FUSED_DNCNN"]

@@ -511,3 +511,64 @@ def test_poisson_likelihood_fn_value():
     un, yn = np.asarray(u), np.asarray(y) / gain  # fidelity denormalizes y
     want = float((-yn * np.log(un / gain + bkg)).sum() + (un / gain + bkg - yn).sum())
     assert abs(got - want) / abs(want) < 1e-5
+
+
+def test_data_fidelity_l2_matrix_closed_forms():
+    """L2 fidelity against the reference's hand-computed matrix cases
+    (reference test_optim.py:test_data_fidelity_l2)."""
+    from deepinv_tpu.physics import LinearPhysics
+    from deepinv_tpu.optim import L2
+
+    x = jnp.array([[[1.0], [4.0]]])
+    y = jnp.array([[[1.0], [1.0]]])
+    A = jnp.array([[2.0, 0.0], [0.0, 0.5]])
+    physics = LinearPhysics(A=lambda v: A @ v, A_adjoint=lambda v: A.T @ v)
+    df = L2()
+    assert np.allclose(np.asarray(df(x, y, physics)), [1.0])
+    assert np.allclose(np.asarray(df.grad(x, y, physics)).ravel(),
+                       [2.0, 0.5])
+    assert np.allclose(np.asarray(df.prox(x, y, physics, gamma=1.0)).ravel(),
+                       [0.6, 3.6], atol=1e-5)
+    # trivial operations on d (not d o A)
+    assert np.allclose(np.asarray(df.d.prox(x, y, 1.0)), (x + y) / 2)
+    assert np.allclose(np.asarray(df.d.grad(x, y)), x - y)
+
+    # nonsymmetric operator: prox against the matrix-inverse closed form
+    B = jnp.array([[2.0, 1.0], [-1.0, 0.5]])
+    pb = LinearPhysics(A=lambda v: B @ v, A_adjoint=lambda v: B.T @ v)
+    manual = jnp.linalg.inv(jnp.eye(2) + B.T @ B) @ (x[0] + B.T @ y[0])
+    assert np.allclose(np.asarray(df.prox(x, y, pb, gamma=1.0)).ravel(),
+                       np.asarray(manual).ravel(), atol=1e-5)
+    assert np.allclose(np.asarray(df.grad(x, y, pb)).ravel(),
+                       np.asarray(B.T @ (B @ x[0] - y[0])).ravel(), atol=1e-5)
+    # d.prox/grad vs prox_d/grad_d consistency
+    assert np.allclose(np.asarray(df.d.prox(x, y, 1.0)),
+                       np.asarray(df.prox_d(x, y, pb, gamma=1.0)))
+    assert np.allclose(np.asarray(df.d.grad(x, y)),
+                       np.asarray(df.grad_d(x, y)))
+
+
+def test_data_fidelity_indicator_reference_values():
+    """IndicatorL2: ball membership, trivial projection, and the dual
+    forward-backward prox against the reference's published solution
+    (reference test_optim.py:test_data_fidelity_indicator) — regression
+    for a missing Moreau u_/step scaling that converged to a feasible but
+    suboptimal point."""
+    from deepinv_tpu.physics import LinearPhysics
+    from deepinv_tpu.optim import IndicatorL2
+
+    x = jnp.array([[[1.0], [4.0]]])
+    y = jnp.array([[[1.0], [1.0]]])
+    A = jnp.array([[2.0, 0.0], [0.0, 0.5]])
+    physics = LinearPhysics(A=lambda v: A @ v, A_adjoint=lambda v: A.T @ v)
+    df = IndicatorL2(radius=0.5)
+
+    assert not np.isfinite(np.asarray(df(x, y, physics)))[0]
+    assert np.asarray(df(x / 2, y, physics))[0] == 0.0
+    assert not np.isfinite(np.asarray(df.d(x, y, radius=1.0)))[0]
+    assert np.asarray(df.d(x, y, radius=3.1))[0] == 0.0
+    assert np.allclose(np.asarray(df.d.prox(x, y)).ravel(), [1.0, 1.5])
+
+    pr = df.prox(x, y, physics, max_iter=1000, crit_conv=1e-12)
+    assert np.allclose(np.asarray(pr).ravel(), [0.5290, 2.9932], atol=1e-4)
+    assert float(jnp.linalg.norm(A @ pr[0] - y[0])) <= 0.5 + 1e-5
