@@ -72,6 +72,15 @@ def _safe_div(num, den, eps=1e-30):
     return num / jnp.where(jnp.abs(den) > eps, den, jnp.where(den >= 0, eps, -eps))
 
 
+def _bselect(mask, a, b):
+    """Per-batch select: mask (B,) -> a where True else b, over pytrees."""
+    def f(ai, bi):
+        m = mask.reshape(mask.shape + (1,) * (ai.ndim - 1))
+        return jnp.where(m, ai, bi)
+
+    return jax.tree_util.tree_map(f, a, b)
+
+
 # ---------------------------------------------------------------------------
 # Conjugate gradient (SPD systems)
 # ---------------------------------------------------------------------------
@@ -82,6 +91,13 @@ def conjugate_gradient(H, b, init=None, max_iter: int = 100, tol: float = 1e-5):
 
     Stops when every batch element's relative residual is below ``tol`` or
     ``max_iter`` is reached; compiled as a single ``lax.while_loop``.
+
+    Returns the **best iterate seen** (smallest recurrence residual per
+    batch element), not the last: on singular/consistent systems — e.g.
+    normal equations of a rank-deficient operator, where ``tol`` may be
+    unreachable — plain CG converges and then diverges in the null-space
+    directions once round-off error accumulates; keeping the best iterate
+    makes the large-``max_iter`` call safe.
     """
     x0 = tree_zeros_like(b) if init is None else init
     r0 = tree_sub(b, H(x0))
@@ -90,11 +106,11 @@ def conjugate_gradient(H, b, init=None, max_iter: int = 100, tol: float = 1e-5):
     b_norm = jnp.maximum(_bdot(b, b), 1e-30)
 
     def cond(state):
-        _, _, _, rs, it = state
+        _, _, _, rs, _, _, it = state
         return jnp.logical_and(it < max_iter, jnp.max(rs / b_norm) > tol**2)
 
     def body(state):
-        x, r, p, rs, it = state
+        x, r, p, rs, x_best, rs_best, it = state
         Hp = H(p)
         alpha = _safe_div(rs, _bdot(p, Hp))
         x = _baxpy(alpha, p, x)
@@ -102,11 +118,14 @@ def conjugate_gradient(H, b, init=None, max_iter: int = 100, tol: float = 1e-5):
         rs_new = _bdot(r, r)
         beta = _safe_div(rs_new, rs)
         p = _baxpy(beta, p, r)  # p = r + beta p  (order swapped: axpy(beta, p, r))
-        return (x, r, p, rs_new, it + 1)
+        better = rs_new < rs_best
+        x_best = _bselect(better, x, x_best)
+        rs_best = jnp.where(better, rs_new, rs_best)
+        return (x, r, p, rs_new, x_best, rs_best, it + 1)
 
-    state = (x0, r0, p0, rs0, jnp.asarray(0))
-    x, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    state = (x0, r0, p0, rs0, x0, rs0, jnp.asarray(0))
+    *_, x_best, _, _ = jax.lax.while_loop(cond, body, state)
+    return x_best
 
 
 # ---------------------------------------------------------------------------
@@ -125,12 +144,12 @@ def bicgstab(H, b, init=None, max_iter: int = 100, tol: float = 1e-5):
     ones = jnp.ones(B)
 
     def cond(state):
-        x, r, p, v, rho, alpha, omega, it = state
+        x, r, p, v, rho, alpha, omega, x_best, rs_best, it = state
         rs = _bdot(r, r)
         return jnp.logical_and(it < max_iter, jnp.max(rs / b_norm) > tol**2)
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, it = state
+        x, r, p, v, rho, alpha, omega, x_best, rs_best, it = state
         rho_new = _bdot(rhat, r)
         beta = _safe_div(rho_new * alpha, rho * omega)
         # p = r + beta (p - omega v)
@@ -143,11 +162,17 @@ def bicgstab(H, b, init=None, max_iter: int = 100, tol: float = 1e-5):
         omega = _safe_div(_bdot(t, s), _bdot(t, t))
         x = _baxpy(omega, s, h)
         r = _baxpy(-omega, t, s)
-        return (x, r, p, v, rho_new, alpha, omega, it + 1)
+        # best-iterate tracking (same rationale as conjugate_gradient)
+        rs_new = _bdot(r, r)
+        better = rs_new < rs_best
+        x_best = _bselect(better, x, x_best)
+        rs_best = jnp.where(better, rs_new, rs_best)
+        return (x, r, p, v, rho_new, alpha, omega, x_best, rs_best, it + 1)
 
-    state = (x0, r0, tree_zeros_like(b), tree_zeros_like(b), ones, ones, ones, jnp.asarray(0))
-    x, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    state = (x0, r0, tree_zeros_like(b), tree_zeros_like(b), ones, ones,
+             ones, x0, _bdot(r0, r0), jnp.asarray(0))
+    *_, x_best, _, _ = jax.lax.while_loop(cond, body, state)
+    return x_best
 
 
 # ---------------------------------------------------------------------------

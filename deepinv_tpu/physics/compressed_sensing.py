@@ -121,5 +121,6 @@ class CompressedSensing(LinearPhysics):
             u = u.at[:, self.rows].set(v * math.sqrt(self.n / self.m))
             x = dst1(u, axes=(-1,)) * self.D
         else:
-            x = v @ self._A_mat
+            # A^H = conj(A)^T; conj is a no-op for the real default dtype
+            x = v @ self._A_mat.conj()
         return self._unflatten(x, meta)

@@ -41,32 +41,73 @@ OPERATORS = [
     "blur_replicate",
     "blur_constant",
     "blur_fft",
+    "blur_3d_valid",
+    "blur_3d_circular",
     "downsampling_circular",
     "downsampling_valid",
+    "downsampling_reflect",
+    "downsampling_replicate",
+    "downsampling_constant",
+    "downsampling_aliased",
     "upsampling",
+    "upsampling_reflect",
+    "upsampling_replicate",
+    "upsampling_constant",
     "inpainting",
     "demosaicing",
     "mri",
+    "mri_3d",
     "dynamic_mri",
     "multicoil_mri",
+    "multicoil_mri_3d",
+    "multicoil_mri_birdcage",
     "cs_dense",
     "cs_fast",
+    "cs_complex",
     "composed",
+    "composed2",
     "stacked",
     "tomography",
     "tomography_fanbeam",
     "tomography_conebeam",
     "singlepixel",
+    "singlepixel_cake",
+    "singlepixel_zigzag",
+    "singlepixel_xy",
     "structured_random",
     "pansharpen",
+    "pansharpen_valid",
+    "pansharpen_reflect",
+    "pansharpen_replicate",
+    "pansharpen_aliased",
     "cassi_sd",
     "cassi_ss",
     "unmixing",
     "space_varying_blur",
+    "space_varying_blur_valid",
+    "space_varying_blur_reflect",
+    "space_varying_blur_replicate",
+    "space_varying_blur_constant",
+    "tiled_space_varying_blur",
     "downsampling_matlab",
     "decolorize",
     "pet_michelogram",
+    "radio",
+    "radio_weighted",
+    "ptychography_linear",
+    "virtual_blur",
 ]
+
+# operators whose domain is complex-valued (battery draws complex inputs)
+COMPLEX_OPS = {"cs_complex", "radio", "radio_weighted", "ptychography_linear"}
+
+
+def rand_x(key, shape, name):
+    x = jax.random.normal(key, shape)
+    if name in COMPLEX_OPS:
+        kb = jax.random.fold_in(key, 1)
+        return (x + 1j * jax.random.normal(kb, shape)).astype(jnp.complex64)
+    return x
 
 
 def find_operator(name):
@@ -75,6 +116,12 @@ def find_operator(name):
     imsize = IMSIZE
     if name == "denoising":
         return Denoising(), imsize
+    if name.startswith("blur_3d_"):
+        # volumetric PSF, odd sizes (reference test_physics.py: 3Ddeblur_*)
+        padding = name.split("_")[2]
+        f = jax.random.uniform(jax.random.key(3), (1, 1, 3, 4, 3)) + 0.1
+        f = f / f.sum()
+        return Blur(filter=f, padding=padding), (1, 6, 17, 15)
     if name.startswith("blur_") and name != "blur_fft":
         padding = name.split("_")[1]
         return Blur(filter=gaussian_blur(sigma=(1.5, 0.7), angle=10.0), padding=padding), imsize
@@ -84,8 +131,26 @@ def find_operator(name):
         return Downsampling(img_size=imsize, filter="bicubic", factor=2, padding="circular"), imsize
     if name == "downsampling_valid":
         return Downsampling(img_size=imsize, filter="bilinear", factor=2, padding="valid"), imsize
+    if name in ("downsampling_reflect", "downsampling_replicate",
+                "downsampling_constant"):
+        return (
+            Downsampling(img_size=(3, 36, 32), filter="gaussian", factor=2,
+                         padding=name.split("_")[1]),
+            (3, 36, 32),
+        )
+    if name == "downsampling_aliased":
+        # no anti-aliasing filter: pure decimation (reference
+        # aliased_super_resolution)
+        return Downsampling(img_size=(3, 36, 32), filter=None, factor=2), (3, 36, 32)
     if name == "upsampling":
         return Upsampling(img_size=(3, 36, 32), filter="bilinear", factor=2, padding="circular"), (3, 18, 16)
+    if name.startswith("upsampling_"):
+        # reference down_resolution_{reflect,replicate,constant}
+        return (
+            Upsampling(img_size=(3, 36, 32), filter="gaussian", factor=2,
+                       padding=name.split("_")[1]),
+            (3, 18, 16),
+        )
     if name == "inpainting":
         return Inpainting(img_size=imsize, mask=0.7, key=key), imsize
     if name == "demosaicing":
@@ -93,6 +158,23 @@ def find_operator(name):
     if name == "mri":
         mask = (jax.random.uniform(key, (37, 31)) > 0.5).astype(jnp.float32)
         return MRI(mask=mask), (2, 37, 31)
+    if name == "mri_3d":
+        mask = (jax.random.uniform(key, (1, 2, 4, 17, 15)) > 0.5).astype(jnp.float32)
+        return MRI(mask=mask, three_d=True), (2, 4, 17, 15)
+    if name == "multicoil_mri_3d":
+        mask = (jax.random.uniform(key, (1, 2, 4, 17, 15)) > 0.5).astype(jnp.float32)
+        maps = jax.random.normal(jax.random.key(7), (1, 3, 4, 17, 15)) \
+            + 1j * jax.random.normal(jax.random.key(8), (1, 3, 4, 17, 15))
+        return (
+            MultiCoilMRI(mask=mask, coil_maps=maps, three_d=True),
+            (2, 4, 17, 15),
+        )
+    if name == "multicoil_mri_birdcage":
+        from deepinv_tpu.physics.mri import birdcage_maps
+
+        mask = (jax.random.uniform(key, (37, 31)) > 0.5).astype(jnp.float32)
+        maps = birdcage_maps(4, (37, 31))[None]  # (1, 4, 37, 31)
+        return MultiCoilMRI(mask=mask, coil_maps=maps), (2, 37, 31)
     if name == "dynamic_mri":
         mask = (jax.random.uniform(key, (1, 2, 4, 37, 31)) > 0.5).astype(jnp.float32)
         return DynamicMRI(mask=mask), (2, 4, 37, 31)
@@ -107,10 +189,21 @@ def find_operator(name):
         return CompressedSensing(m=250, img_size=(1, 17, 19)), (1, 17, 19)
     if name == "cs_fast":
         return CompressedSensing(m=100, img_size=(1, 17, 19), fast=True), (1, 17, 19)
+    if name == "cs_complex":
+        return (
+            CompressedSensing(m=150, img_size=(1, 13, 11), dtype=jnp.complex64),
+            (1, 13, 11),
+        )
     if name == "composed":
         blur = Blur(filter=gaussian_blur(sigma=1.0), padding="circular")
         down = Downsampling(img_size=imsize, filter=None, factor=2)
         return compose(blur, down), imsize
+    if name == "composed2":
+        # composition in the opposite order + a third factor (reference
+        # composition2): inpaint(blur(x)) via the * operator
+        blur = Blur(filter=gaussian_blur(sigma=0.8), padding="circular")
+        inp = Inpainting(img_size=imsize, mask=0.6, key=key)
+        return inp * blur, imsize
     if name == "stacked":
         p1 = Blur(filter=gaussian_blur(sigma=1.0), padding="circular")
         p2 = Inpainting(img_size=imsize, mask=0.5, key=key)
@@ -147,6 +240,15 @@ def find_operator(name):
         from deepinv_tpu.physics import SinglePixelCamera
 
         return SinglePixelCamera(m=50, img_size=(1, 16, 16)), (1, 16, 16)
+    if name in ("singlepixel_cake", "singlepixel_zigzag", "singlepixel_xy"):
+        from deepinv_tpu.physics import SinglePixelCamera
+
+        ordering = {"cake": "cake_cutting", "zigzag": "zig_zag", "xy": "xy"}[
+            name.split("_")[1]]
+        return (
+            SinglePixelCamera(m=50, img_size=(1, 16, 16), ordering=ordering),
+            (1, 16, 16),
+        )
     if name == "structured_random":
         from deepinv_tpu.physics import StructuredRandom
 
@@ -158,6 +260,18 @@ def find_operator(name):
         from deepinv_tpu.physics import Pansharpen
 
         return Pansharpen(img_size=(3, 36, 32), factor=4), (3, 36, 32)
+    if name.startswith("pansharpen_") and name != "pansharpen_aliased":
+        from deepinv_tpu.physics import Pansharpen
+
+        return (
+            Pansharpen(img_size=(3, 36, 32), factor=4,
+                       padding=name.split("_")[1]),
+            (3, 36, 32),
+        )
+    if name == "pansharpen_aliased":
+        from deepinv_tpu.physics import Pansharpen
+
+        return Pansharpen(img_size=(3, 36, 32), factor=4, filter=None), (3, 36, 32)
     if name in ("cassi_sd", "cassi_ss"):
         from deepinv_tpu.physics import CompressiveSpectralImaging
 
@@ -171,14 +285,50 @@ def find_operator(name):
         from deepinv_tpu.physics import HyperSpectralUnmixing
 
         return HyperSpectralUnmixing(E=3, C=7, key=key), (3, 13, 11)
-    if name == "space_varying_blur":
+    if name.startswith("space_varying_blur"):
         from deepinv_tpu.physics import SpaceVaryingBlur
 
+        padding = name[len("space_varying_blur_"):] or "circular"
         kf = jax.random.key(5)
         filt = jax.random.uniform(kf, (1, 1, 2, 5, 5))
         filt = filt / filt.sum(axis=(-2, -1), keepdims=True)
         w = jax.random.uniform(jax.random.key(6), (1, 1, 2, 21, 23))
-        return SpaceVaryingBlur(filters=filt, multipliers=w, padding="circular"), (1, 21, 23)
+        return SpaceVaryingBlur(filters=filt, multipliers=w, padding=padding), (1, 21, 23)
+    if name == "tiled_space_varying_blur":
+        from deepinv_tpu.physics import TiledSpaceVaryingBlur
+
+        K = TiledSpaceVaryingBlur.num_filters((24, 24), 12, 8)  # 3x3 tiles
+        filt = jax.random.uniform(jax.random.key(5), (1, 1, K, 5, 5)) + 0.05
+        filt = filt / filt.sum(axis=(-2, -1), keepdims=True)
+        return (
+            TiledSpaceVaryingBlur(filters=filt, patch_size=12, stride=8),
+            (1, 24, 24),
+        )
+    if name == "radio" or name == "radio_weighted":
+        from deepinv_tpu.physics import RadioInterferometry
+
+        M = 120
+        loc = jax.random.uniform(jax.random.key(9), (2, M),
+                                 minval=-jnp.pi * 0.9, maxval=jnp.pi * 0.9)
+        w = (jax.random.uniform(jax.random.key(10), (M,)) + 0.5
+             if name == "radio_weighted" else None)
+        return (
+            RadioInterferometry(img_size=(16, 16), samples_loc=loc,
+                                dataWeight=w, real_projection=False),
+            (16, 16),
+        )
+    if name == "ptychography_linear":
+        from deepinv_tpu.physics import PtychographyLinearOperator
+
+        return PtychographyLinearOperator((16, 16), n_img=9), (1, 16, 16)
+    if name == "virtual_blur":
+        from deepinv_tpu.physics import VirtualLinearPhysics
+
+        return (
+            VirtualLinearPhysics(lambda: Blur(
+                filter=gaussian_blur(sigma=1.2), padding="circular")),
+            imsize,
+        )
     if name == "downsampling_matlab":
         from deepinv_tpu.physics import DownsamplingMatlab
 
@@ -203,7 +353,7 @@ def find_operator(name):
 def test_adjointness(name):
     """<Au, v> == <u, A^T v> (reference adjointness_test, forward.py:696)."""
     physics, imsize = find_operator(name)
-    u = jax.random.normal(jax.random.key(1), (2,) + imsize)
+    u = rand_x(jax.random.key(1), (2,) + imsize, name)
     err = physics.adjointness_test(u, key=jax.random.key(2))
     assert abs(complex(err)) < 1e-3, f"adjointness error {err} for {name}"
 
@@ -212,11 +362,11 @@ def test_adjointness(name):
 def test_operator_norm(name):
     """Power-method norm is consistent: ||A x|| <= ||A|| ||x||."""
     physics, imsize = find_operator(name)
-    x = jax.random.normal(jax.random.key(3), (1,) + imsize)
+    x = rand_x(jax.random.key(3), (1,) + imsize, name)
     norm2 = physics.compute_norm(x, max_iter=200, tol=1e-7)
     Ax = physics.A(x)
     num = np.sqrt(float(sum(jnp.sum(jnp.abs(v) ** 2) for v in jax.tree_util.tree_leaves(Ax))))
-    den = np.sqrt(float(jnp.sum(x**2)))
+    den = np.sqrt(float(jnp.sum(jnp.abs(x) ** 2)))
     assert num / den <= np.sqrt(float(norm2)) * 1.01 + 1e-6
 
 
@@ -227,7 +377,7 @@ def test_operator_norm(name):
 def test_pseudoinverse(name):
     """A(A^dagger(A x)) == A x (reference test_physics.py:803)."""
     physics, imsize = find_operator(name)
-    x = jax.random.normal(jax.random.key(4), (2,) + imsize)
+    x = rand_x(jax.random.key(4), (2,) + imsize, name)
     y = physics.A(x)
     if name in ("tomography", "pet_michelogram"):
         # these override A_dagger with FBP/SSRB — an *approximate* inverse
