@@ -130,11 +130,21 @@ class DistributedStackedPhysics(Physics):
         except ValueError:
             self.batched = None
             self.physics_list = physics_list
-        if self.batched is not None and self.n_ops % ctx.axis_size(op_axis):
-            raise ValueError(
-                f"{self.n_ops} operators not divisible by mesh axis size "
-                f"{ctx.axis_size(op_axis)}"
-            )
+        # Non-divisible stacks (incl. fewer operators than devices — the
+        # reference's "empty local set", test_distributed.py:855): pad the
+        # operator axis to a mesh multiple by repeating the last operator.
+        # A() slices the pads off; A_adjoint() feeds them zero measurements,
+        # so their contribution to the psum is exactly zero (linearity).
+        self.n_pad = 0
+        if self.batched is not None:
+            k = ctx.axis_size(op_axis)
+            self.n_pad = (-self.n_ops) % k
+            if self.n_pad:
+                self.batched = jax.tree_util.tree_map(
+                    lambda l: jnp.concatenate(
+                        [l, jnp.repeat(l[-1:], self.n_pad, axis=0)]),
+                    self.batched,
+                )
 
     # -- map over the stack ----------------------------------------------
     def _sharded_map(self, fn, *args_specs):
@@ -155,7 +165,8 @@ class DistributedStackedPhysics(Physics):
             return jax.vmap(lambda p: p.A(xv, **params))(batched_local)
 
         f = self._sharded_map(local, (None, P()))
-        return f(self.batched, x)
+        out = f(self.batched, x)
+        return out[: self.n_ops] if self.n_pad else out
 
     def forward(self, x, key=None, **params):
         """Full forward ``N(A(x))`` with per-operator noise keys."""
@@ -165,7 +176,7 @@ class DistributedStackedPhysics(Physics):
             return TensorList(
                 [p(x, key=k, **params) for p, k in zip(self.physics_list, keys)]
             )
-        keys = jax.random.split(key, self.n_ops)
+        keys = jax.random.split(key, self.n_ops + self.n_pad)
 
         def local(batched_local, keys_local, xv):
             return jax.vmap(lambda p, k: p(xv, key=k, **params))(
@@ -179,7 +190,8 @@ class DistributedStackedPhysics(Physics):
             in_specs=(P(self.op_axis), P(self.op_axis), P()),
             out_specs=P(self.op_axis),
         )
-        return f(self.batched, keys, x)
+        out = f(self.batched, keys, x)
+        return out[: self.n_ops] if self.n_pad else out
 
     def __call__(self, x, key=None, **params):
         return self.forward(x, key=key, **params)
@@ -238,6 +250,10 @@ class DistributedStackedLinearPhysics(DistributedStackedPhysics, LinearPhysics):
         """Sum of per-operator adjoints — psum over the op axis
         (reference all_reduce, distrib_framework.py:450)."""
         mesh = self.ctx.mesh
+        if self.n_pad:
+            # pad operators see zero measurements -> zero adjoint (linear)
+            y = jnp.concatenate(
+                [y, jnp.zeros((self.n_pad,) + y.shape[1:], y.dtype)])
 
         def local(batched_local, y_local):
             s = self._local_At_sum(batched_local, y_local)

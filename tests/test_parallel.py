@@ -361,3 +361,95 @@ def test_processing_options():
         DistributedProcessing(med, sp, tiling_strategy="bogus")
     with pytest.raises(ValueError):
         DistributedProcessing(med, sp, tiling_dims=(0, 1))
+
+
+def test_gather_strategies_equivalence(ctx, physics_list):
+    """All three reference gather strategies produce bit-identical results
+    on TPU (gathering is an XLA sharding decision, not a user-level
+    serialization choice — reference distrib_framework.py:262 exposes
+    'naive'/'concatenated'/'broadcast' with equal math)."""
+    plist = _filters_same_size(physics_list)
+    x = jax.random.normal(jax.random.key(20), (2,) + IMSIZE)
+    outs_A, outs_At = [], []
+    for strategy in ("naive", "concatenated", "broadcast"):
+        d = DistributedStackedLinearPhysics(plist, ctx,
+                                            gather_strategy=strategy)
+        y = d.A(x)
+        outs_A.append(np.asarray(y))
+        outs_At.append(np.asarray(d.A_adjoint(y)))
+    assert np.array_equal(outs_A[0], outs_A[1])
+    assert np.array_equal(outs_A[0], outs_A[2])
+    assert np.array_equal(outs_At[0], outs_At[1])
+    assert np.array_equal(outs_At[0], outs_At[2])
+    with pytest.raises(ValueError):
+        DistributedStackedLinearPhysics(plist, ctx, gather_strategy="bogus")
+
+
+@pytest.mark.parametrize("n_ops", [10, 3])
+def test_non_divisible_operator_count(ctx, n_ops):
+    """Operator counts that don't divide the mesh (10 on 8 devices) and
+    fewer operators than devices (3 on 8 — the reference's 'empty local
+    set', test_distributed.py:855) both match the sequential stack."""
+    plist = _filters_same_size([
+        Blur(filter=gaussian_blur(sigma=0.5 + 0.2 * i), padding="circular")
+        for i in range(n_ops)
+    ])
+    d = DistributedStackedLinearPhysics(plist, ctx)
+    x = jax.random.normal(jax.random.key(21), (2,) + IMSIZE)
+    y = d.A(x)
+    assert y.shape[0] == n_ops
+    y_seq = jnp.stack([p.A(x) for p in plist])
+    assert_close(y, y_seq, rtol=1e-5, atol=1e-5)
+
+    at = d.A_adjoint(y)
+    at_seq = sum(p.A_adjoint(yi) for p, yi in zip(plist, y_seq))
+    assert_close(at, at_seq, rtol=1e-4, atol=1e-5)
+
+    # noise keys are independent per real operator and pads are dropped
+    yn = d(x, key=jax.random.key(22))
+    assert yn.shape[0] == n_ops
+
+    # the full linear surface still works through the padded stack
+    xd = d.A_dagger(y, max_iter=150)
+    rel = float(jnp.sum((d.A(xd) - y) ** 2) / jnp.sum(y**2))
+    assert rel < 1e-3
+
+
+def test_factory_materializes_each_index_once(ctx):
+    """A factory callable is invoked exactly once per operator index with
+    the shared factory_kwargs (reference distribute.py:62-77)."""
+    calls = []
+
+    def factory(i, device, kwargs):
+        calls.append((i, kwargs["sigma"]))
+        # fixed psf_size so the stack is homogeneous (one batched operator)
+        return Blur(filter=gaussian_blur(sigma=kwargs["sigma"] + 0.1 * i,
+                                         psf_size=(7, 7)),
+                    padding="circular")
+
+    d = distribute(factory, ctx, num_operators=6, type_object="physics",
+                   factory_kwargs={"sigma": 0.5})
+    assert sorted(c[0] for c in calls) == list(range(6))
+    assert all(c[1] == 0.5 for c in calls)
+    x = jax.random.normal(jax.random.key(23), (1,) + IMSIZE)
+    assert d.A(x).shape[0] == 6
+
+
+def test_data_fidelity_per_operator_list(ctx, physics_list):
+    """DistributedDataFidelity with a per-operator fidelity list matches
+    the explicit per-operator sum (reference test_distributed.py:1460)."""
+    from deepinv_tpu.optim import L1
+
+    plist = _filters_same_size(physics_list)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    fids = [L2() if i % 2 == 0 else L1() for i in range(8)]
+    dfid = DistributedDataFidelity(fids, ctx)
+    x = jax.random.normal(jax.random.key(24), (2,) + IMSIZE)
+    xg = jax.random.normal(jax.random.key(25), (2,) + IMSIZE)
+    y = dphys.A(xg)
+    val = dfid(x, y, dphys)
+    val_seq = sum(
+        float(jnp.sum(f(x, y[i], p)))
+        for i, (f, p) in enumerate(zip(fids, plist))
+    )
+    assert abs(float(jnp.sum(val)) - val_seq) / abs(val_seq) < 1e-4
