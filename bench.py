@@ -40,6 +40,11 @@ below). Two honesty caveats baked into the field semantics:
   (the CT projector) can report >1. Values near/below ~0.9 are meaningful
   (the deblur roofline in BASELINE.md is corroborated by real traffic
   measurements); values >1 just mean the cost model overcounts.
+- fused Pallas kernels are opaque to XLA's cost analysis (it reports ~0
+  flops for a ``pallas_call``), so the kernel wrappers inject analytically
+  counted flops/bytes at trace time (utils/profiling.record_pallas_cost);
+  ``model_flops``/``bytes_per_iter`` include them and the Pallas share is
+  broken out as ``pallas_flops``/``pallas_bytes`` (VERDICT r3 next-step #2a).
 
 Set ``BENCH_F32=0`` to skip the f32 cross-check row for the headline
 config (VERDICT r2 next-step #10).
@@ -147,9 +152,12 @@ def _iter_cost(physics, y, denoiser, algo, params):
     try:
         c0 = compiled_cost(lambda mm, yv, p: mm(yv, p), m0, y, physics)
         return {"flops": c0.get("flops", 0.0),
-                "bytes": c0.get("bytes accessed", 0.0)}
+                "bytes": c0.get("bytes accessed", 0.0),
+                "pallas_flops": c0.get("pallas_flops", 0.0),
+                "pallas_bytes": c0.get("pallas_bytes", 0.0)}
     except Exception:
-        return {"flops": 0.0, "bytes": 0.0}
+        return {"flops": 0.0, "bytes": 0.0, "pallas_flops": 0.0,
+                "pallas_bytes": 0.0}
 
 
 def _run_config(config, dtype=None):
@@ -194,6 +202,12 @@ def _run_config(config, dtype=None):
     if cost["flops"] > 0:
         row["model_flops"] = round(cost["flops"] / 1e9, 2)  # GF / iter
         row["bytes_per_iter"] = round(cost["bytes"] / 1e6, 1)  # MB / iter
+        if cost["pallas_flops"] > 0:
+            # share contributed by fused Pallas kernels (opaque to XLA's
+            # cost model; analytically counted by the kernel wrappers —
+            # utils/profiling.record_pallas_cost)
+            row["pallas_flops"] = round(cost["pallas_flops"] / 1e9, 2)
+            row["pallas_bytes"] = round(cost["pallas_bytes"] / 1e6, 1)
         if peaks:
             # bf16 peak even for the f32 row: TPU DEFAULT precision
             # multiplies f32 convs in bf16 (see module docstring).

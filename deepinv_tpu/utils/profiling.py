@@ -13,7 +13,25 @@ import time
 
 import jax
 
-__all__ = ["trace", "compiled_cost", "timeit"]
+__all__ = ["trace", "compiled_cost", "timeit", "record_pallas_cost"]
+
+# --- analytic cost of pallas_call sites -----------------------------------
+#
+# XLA's cost analysis cannot see inside a ``pallas_call`` (it reports ~0
+# flops for the fused conv kernels), so the fused-kernel wrappers report
+# their analytically counted cost here AT TRACE TIME. A ``lax.scan`` body is
+# traced once regardless of trip count, which matches XLA's own convention
+# of counting a scan body once — so adding the recorded totals to the XLA
+# numbers keeps the combined figure per-iteration-consistent.
+_pallas_record = None
+
+
+def record_pallas_cost(flops: float, bytes_accessed: float) -> None:
+    """Report the analytic cost of a fused kernel call site (called by the
+    kernel wrappers while tracing; no-op outside :func:`compiled_cost`)."""
+    if _pallas_record is not None:
+        _pallas_record["flops"] += float(flops)
+        _pallas_record["bytes"] += float(bytes_accessed)
 
 
 @contextlib.contextmanager
@@ -34,8 +52,20 @@ def trace(logdir: str = "/tmp/deepinv_tpu_trace"):
 def compiled_cost(fn, *args, **kwargs) -> dict:
     """Compile ``fn`` and return XLA's cost analysis: ``flops``,
     ``bytes accessed``, and (when available) memory footprint — the
-    speed-of-light denominator for kernel optimization."""
-    lowered = jax.jit(fn).lower(*args, **kwargs)
+    speed-of-light denominator for kernel optimization.
+
+    Fused Pallas call sites (opaque to XLA's cost model) contribute their
+    analytic cost via :func:`record_pallas_cost`; the returned ``flops`` /
+    ``bytes accessed`` include them, with the Pallas share also broken out
+    as ``pallas_flops`` / ``pallas_bytes``.
+    """
+    global _pallas_record
+    prev, _pallas_record = _pallas_record, {"flops": 0.0, "bytes": 0.0}
+    try:
+        lowered = jax.jit(fn).lower(*args, **kwargs)
+        rec = _pallas_record
+    finally:
+        _pallas_record = prev
     compiled = lowered.compile()
     try:
         cost = compiled.cost_analysis()
@@ -45,6 +75,11 @@ def compiled_cost(fn, *args, **kwargs) -> dict:
         cost = {}
     out = {k: float(v) for k, v in (cost or {}).items()
            if isinstance(v, (int, float))}
+    if rec["flops"] or rec["bytes"]:
+        out["pallas_flops"] = rec["flops"]
+        out["pallas_bytes"] = rec["bytes"]
+        out["flops"] = out.get("flops", 0.0) + rec["flops"]
+        out["bytes accessed"] = out.get("bytes accessed", 0.0) + rec["bytes"]
     try:
         mem = compiled.memory_analysis()
         if mem is not None:
