@@ -69,4 +69,7 @@ def extract_tarball(file_path, extract_dir) -> None:
     """Extract a local tarball, any compression (reference
     datasets/utils.py:110)."""
     with tarfile.open(file_path, "r:*") as t:
-        t.extractall(extract_dir)
+        # 'data' filter: refuse absolute paths / links escaping extract_dir
+        # (Python 3.14 default; explicit here to silence the warning and
+        # harden against malicious archives)
+        t.extractall(extract_dir, filter="data")
