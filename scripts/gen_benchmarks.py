@@ -69,18 +69,40 @@ def main():
         name = PRETTY.get(r["metric"], r["metric"])
         if r["metric"].endswith("_f32"):
             name = PRETTY.get(r["metric"][:-4], r["metric"]) + " *(f32 cross-check)*"
+        # r3 Pallas rows predate the analytic-cost injection: XLA's cost
+        # model can't see into pallas_call, so their mfu/flops fields are
+        # artifacts — annotate instead of printing misleading numbers
+        # (BASELINE.md "Pallas fused DnCNN conv chain" has the true values).
+        stale = (r["round"] == 3 and r["metric"].startswith("pnp_pgd_dncnn")
+                 and "pallas_flops" not in r)
+        mfu = "†" if stale else r.get("mfu", "—")
+        gf = "†" if stale else r.get("model_flops", "—")
+        hbm = "†" if stale else r.get("hbm_util_bound", r.get("hbm_util", "—"))
         lines.append(
             f"| r{r['round']:02d} | {name} | {r['value']} | {r['vs_baseline']} | "
-            f"{r.get('model_flops', '—')} | {r.get('mfu', '—')} | "
-            f"{r.get('hbm_util', '—')} |")
+            f"{gf} | {mfu} | {hbm} |")
     lines += [
+        "",
+        "The r02 CT figure (689.8) is a slope-noise artifact of the short",
+        "r02 bench program — the honest XLA-only CT figure is 380.5 it/s",
+        "(BASELINE.md, \"CT measurement correction\"); r03's 552.2 is the",
+        "Pallas fused chain.",
+        "",
+        "† r03 MRI/CT ran the Pallas fused DnCNN chain before `bench.py`",
+        "injected analytic costs for fused call sites; XLA's cost analysis",
+        "cannot see inside a `pallas_call`, so the recorded GF/MFU fields",
+        "for those rows are meaningless and omitted here. True utilization",
+        "(analytic): MRI 0.40 MFU, CT 0.25 — derivation in BASELINE.md",
+        "(\"Pallas fused DnCNN conv chain\"). From r04 on, fused kernels",
+        "report analytic flops/bytes (`pallas_flops`/`pallas_bytes` per",
+        "row) and the MFU column is truthful again.",
         "",
         "Reproduce: `python bench.py` (all configs) or",
         "`BENCH_CONFIG=deblur python bench.py`; `BENCH_DTYPE=f32` disables",
         "the default bf16 autocast. Timing is slope-based (marginal cost",
         "between an N- and 4N-iteration scan) so per-call dispatch noise",
-        "cancels; `model_flops`/`mfu`/`hbm_util` come from XLA's own cost",
-        "analysis of the compiled iteration.",
+        "cancels; `model_flops`/`mfu`/`hbm_util_bound` come from XLA's cost",
+        "analysis of the compiled iteration plus the analytic Pallas share.",
         "",
     ]
     out = os.path.join(HERE, "docs", "benchmarks.md")
