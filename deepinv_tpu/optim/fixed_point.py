@@ -97,7 +97,13 @@ class FixedPoint(Module):
     def __call__(self, x_init, data_fidelity, prior, params_iter, y, physics):
         """Run the loop. ``params_iter`` is a pytree whose leaves have leading
         dimension ``max_iter`` (one slice per iteration)."""
-        X0 = self.iterator.init_state(x_init, y, physics)
+        if isinstance(x_init, dict):
+            # reference custom_init dict form (optimizers.py:238): the dict
+            # IS the initial state, e.g. {"est": (x0, z0)}
+            X0 = dict(x_init)
+            X0.setdefault("it", jnp.asarray(0))
+        else:
+            X0 = self.iterator.init_state(x_init, y, physics)
         if self.anderson_acceleration:
             return self._run_anderson(X0, data_fidelity, prior, params_iter, y, physics)
         if self.early_stop:

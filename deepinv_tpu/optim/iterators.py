@@ -181,10 +181,14 @@ class ADMMIteration(OptimIterator):
     def __call__(self, X, data_fidelity, prior, params, y, physics):
         x, z = X["est"]
         if self.g_first:
+            # reference admm.py:140: g-first flips the dual sign in BOTH
+            # steps — u = prox_g(x - z); x = prox_f(u + z). Using the
+            # g-last signs here makes the dual update positive-feedback
+            # (diverges to NaN).
             u = prior.prox(
-                x + z, params.get("g_param"), gamma=params["lambda"] * params["stepsize"]
+                x - z, params.get("g_param"), gamma=params["lambda"] * params["stepsize"]
             )
-            x_new = data_fidelity.prox(u - z, y, physics, gamma=params["stepsize"])
+            x_new = data_fidelity.prox(u + z, y, physics, gamma=params["stepsize"])
         else:
             u = data_fidelity.prox(x - z, y, physics, gamma=params["stepsize"])
             x_new = prior.prox(

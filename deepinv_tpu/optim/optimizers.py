@@ -103,7 +103,16 @@ def create_iterator(iteration, prior=None, cost_fn=None, g_first=False, **kwargs
             lamb=kwargs.get("lamb", 10.0),
             preprocessing=kwargs.get("preprocessing"),
         )
-    return cls(g_first=g_first)
+    it = cls(g_first=g_first)
+    # explicit primal-dual splitting operator (reference CP params "K",
+    # primal_dual_CP.py:70) — accepted as builder kwargs; silently dropping
+    # it ran CP with the identity K (caught by tests/test_optim_battery.py)
+    if isinstance(it, CPIteration):
+        if kwargs.get("K") is not None:
+            it.K = kwargs["K"]
+        if kwargs.get("K_adjoint") is not None:
+            it.K_adjoint = kwargs["K_adjoint"]
+    return it
 
 
 class BaseOptim(Module):
