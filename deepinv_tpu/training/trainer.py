@@ -727,6 +727,9 @@ class Trainer:
             out[name + "_std"] = meter.std
         if self.compare_no_learning:
             for name, meter in nl_meters.items():
+                # reference key spelling (trainer.py:1586); keep the
+                # underscore form as a back-compat alias
+                out[name + " no learning"] = meter.avg
                 out[name + "_no_learning"] = meter.avg
         return out
 
@@ -845,7 +848,7 @@ def test(model, test_dataloader, physics, metrics=None, online_measurements=Fals
         metrics=metrics,
         online_measurements=online_measurements,
         physics_generator=physics_generator,
-        verbose=False,
+        verbose=kwargs.pop("verbose", False),
         **kwargs,
     )
     return trainer.test(_to_list(test_dataloader))
