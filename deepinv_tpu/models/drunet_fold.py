@@ -157,6 +157,66 @@ def forward_unet_folded(net, x0_nchw, act):
         return v + _conv3_folded(act(_conv3_folded(v, blk.conv1.weight)),
                                  blk.conv2.weight)
 
+    def _fusible(mode, tag, v, blocks):
+        # default "down": only the down chain fuses. The up chain's fused
+        # kernel is 1.7-4.7x faster in ISOLATION, but any variant of it in
+        # the full graph costs +1.0-1.1 ms: XLA's layout assignment
+        # materializes ~8 MB relayout copies around the pallas_call when
+        # scale-1 conv outputs feed it (three kernel variants measured,
+        # scripts/bench_fused_bisect.py + dump_up_hlo.py; BASELINE.md
+        # "DRUNet fused scale-0 resblocks").
+        return (
+            mode in ("1", "both", tag)
+            and v.dtype == jnp.bfloat16
+            and all(b.act_mode == "R" and b.conv1.bias is None
+                    and b.conv2.bias is None for b in blocks)
+        )
+
+    def resblock_chain_folded(v, blocks, tag):
+        """Scale-0 resblock chain. With bf16 activations (the
+        ``models.autocast`` inference path) and ReLU blocks it runs as one
+        VMEM-resident Pallas kernel — measured 1.7x over the XLA folded
+        chain in isolation (ops/pallas/resblock_chain.py); anywhere else,
+        folded convs. ``tag`` ('down'/'up') allows bisecting via the
+        DEEPINV_TPU_FUSED_DRUNET env var."""
+        import os
+
+        from ..ops.pallas.resblock_chain import (can_fuse_resblocks,
+                                                 fused_resblock_chain_folded)
+
+        mode = os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "down")
+        blocks = list(blocks)
+        if (_fusible(mode, tag, v, blocks)
+                and can_fuse_resblocks(v, len(blocks))):
+            w1s = jnp.stack([b.conv1.weight for b in blocks])
+            w2s = jnp.stack([b.conv2.weight for b in blocks])
+            return fused_resblock_chain_folded(v, w1s, w2s)
+        for blk in blocks:
+            v = resblock_folded(v, blk)
+        return v
+
+    def up_resblock_chain(v_skip, w_up, blocks):
+        """Scale-0 up path: transposed-conv upsample emitting the folded
+        layout + resblock chain. Fusible case runs as ONE Pallas kernel
+        (up-projection prologue + chain) — keeping the H-interleave inside
+        VMEM avoids the ~8 MB relayout copies XLA's layout assignment
+        inserts when the interleave feeds a pallas_call operand
+        (scripts/dump_up_hlo.py)."""
+        import os
+
+        from ..ops.pallas.resblock_chain import (
+            can_fuse_up_resblocks, fused_up_resblock_chain_folded)
+
+        mode = os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "down")
+        blocks = list(blocks)
+        if (_fusible(mode, "up", v_skip, blocks)
+                and can_fuse_up_resblocks(v_skip, w_up, len(blocks))):
+            w1s = jnp.stack([b.conv1.weight for b in blocks])
+            w2s = jnp.stack([b.conv2.weight for b in blocks])
+            return fused_up_resblock_chain_folded(v_skip, w_up, w1s, w2s)
+        v = _up_to_fold(v_skip, w_up)
+        return resblock_chain_folded(v, blocks, "up")
+
     def resblock_nhwc(v, blk):
         return v + _conv3_nhwc(act(_conv3_nhwc(v, blk.conv1.weight)),
                                blk.conv2.weight)
@@ -164,9 +224,7 @@ def forward_unet_folded(net, x0_nchw, act):
     # head + scale0 down (folded)
     xf = _fold_w(x0_nchw)
     x1 = _conv3_folded(xf, net.m_head.weight)
-    v = x1
-    for blk in net.m_down1[:-1]:
-        v = resblock_folded(v, blk)
+    v = resblock_chain_folded(x1, net.m_down1[:-1], 'down')
     x2 = _down_from_fold(v, net.m_down1[-1].weight)  # (B, H/2, J, nc1) NHWC
 
     # scale1..2 down (plain NHWC)
@@ -192,9 +250,7 @@ def forward_unet_folded(net, x0_nchw, act):
     for blk in net.m_up2[1:]:
         v = resblock_nhwc(v, blk)
     # scale0 up: emit directly into the folded layout
-    v = _up_to_fold(v + x2, net.m_up1[0].weight)
-    for blk in net.m_up1[1:]:
-        v = resblock_folded(v, blk)
+    v = up_resblock_chain(v + x2, net.m_up1[0].weight, net.m_up1[1:])
 
     out = _conv3_folded(v + x1, net.m_tail.weight)
     return _unfold_w(out)

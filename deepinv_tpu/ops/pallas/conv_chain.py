@@ -81,7 +81,14 @@ def _dot(a, w):
                            preferred_element_type=jnp.float32)
 
 
-def _layer(src, dst, wl, bias, H, G, ch):
+def _layer(src, dst, wl, bias, H, G, ch, relu=True, residual=False):
+    """One packed 3x3 conv layer ``src -> dst`` (both guard-padded).
+
+    ``relu=False`` emits the raw conv; ``residual=True`` adds ``dst``'s
+    current interior (the resblock skip) before the single bf16 rounding —
+    the resblock pattern writes ``h + conv2(relu(conv1(h)))`` back into the
+    buffer that held ``h``.
+    """
     lane = lax.broadcasted_iota(jnp.int32, (ch, G, 128), 2)
     for c in range(H // ch):
         r0 = c * ch
@@ -92,8 +99,13 @@ def _layer(src, dst, wl, bias, H, G, ch):
             n = jnp.where(lane < 64, _rot64(xa[:, 0:G]),
                           _rot64(xa[:, 2:G + 2]))
             acc = acc + _dot(own, wl[dy, 0]) + _dot(n, wl[dy, 1])
-        y = jnp.maximum(acc + bias, 0.0).astype(jnp.bfloat16)
-        dst[1 + r0:1 + r0 + ch, 1:G + 1] = y
+        if bias is not None:
+            acc = acc + bias
+        if residual:
+            acc = acc + dst[1 + r0:1 + r0 + ch, 1:G + 1].astype(jnp.float32)
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        dst[1 + r0:1 + r0 + ch, 1:G + 1] = acc.astype(jnp.bfloat16)
 
 
 def _chain_kernel(x_ref, w_ref, b_ref, o_ref, a_ref, c_ref, *, n_pairs, ch):
@@ -110,6 +122,45 @@ def _chain_kernel(x_ref, w_ref, b_ref, o_ref, a_ref, c_ref, *, n_pairs, ch):
         return 0
 
     lax.fori_loop(0, n_pairs, pair, 0)
+    o_ref[:] = a_ref[1:H + 1, 1:G + 1]
+
+
+def _chain_kernel_stash(x_ref, w_ref, b_ref, o_ref, acts_ref, a_ref, c_ref,
+                        sems, *, n_pairs, ch):
+    """Forward chain that also stashes every layer's (guard-padded, folded)
+    activation to HBM by async DMA overlapped with the next layer's compute
+    — the training-mode forward: the backward pass then needs no forward
+    recompute (``acts_ref`` lives in ``pltpu.ANY``/HBM; VMEM only ever holds
+    the two ping-pong buffers)."""
+    H, G = o_ref.shape[0], o_ref.shape[1]
+    a_ref[:] = x_ref[:]
+    c_ref[:] = jnp.zeros(c_ref.shape, jnp.bfloat16)
+
+    def pair(p, _):
+        l0 = 2 * p
+
+        # c is about to be overwritten: wait for its stash from pair p-1
+        @pl.when(p > 0)
+        def _():
+            pltpu.make_async_copy(c_ref, acts_ref.at[l0 - 2], sems.at[0]).wait()
+
+        _layer(a_ref, c_ref, w_ref[l0], b_ref[pl.ds(l0, 1)][:, None, :],
+               H, G, ch)
+        pltpu.make_async_copy(c_ref, acts_ref.at[l0], sems.at[0]).start()
+
+        @pl.when(p > 0)
+        def _():
+            pltpu.make_async_copy(a_ref, acts_ref.at[l0 - 1], sems.at[1]).wait()
+
+        _layer(c_ref, a_ref, w_ref[l0 + 1],
+               b_ref[pl.ds(l0 + 1, 1)][:, None, :], H, G, ch)
+        pltpu.make_async_copy(a_ref, acts_ref.at[l0 + 1], sems.at[1]).start()
+        return 0
+
+    lax.fori_loop(0, n_pairs, pair, 0)
+    Le = 2 * n_pairs
+    pltpu.make_async_copy(c_ref, acts_ref.at[Le - 2], sems.at[0]).wait()
+    pltpu.make_async_copy(a_ref, acts_ref.at[Le - 1], sems.at[1]).wait()
     o_ref[:] = a_ref[1:H + 1, 1:G + 1]
 
 
@@ -184,6 +235,16 @@ def _fused_fwd_impl(h, ws, bs, interpret):
     G = W // 2
     ch = _chunk_rows(H)
 
+    # analytic cost for compiled_cost (XLA can't see inside pallas_call):
+    # useful conv flops (2*H*W*Ci*Co*9 per layer, XLA's own convention) and
+    # the kernel's real HBM traffic (one activation read + write + weights).
+    from ...utils.profiling import record_pallas_cost
+
+    record_pallas_cost(
+        Le * 2 * H * W * C * C * 9,
+        ((H + 2) * (G + 2) + H * G) * 128 * 2
+        + Le * 3 * 2 * 128 * 128 * 2 + Le * 128 * 4)
+
     wp = _pack_weights(ws[:Le])
     bp = jnp.concatenate([bs[:Le], bs[:Le]], axis=1).astype(jnp.float32)
 
@@ -206,14 +267,135 @@ def _fused_fwd_impl(h, ws, bs, interpret):
     return out
 
 
+def _fused_fwd_stash_impl(h, ws, bs, interpret):
+    """Training-mode forward: fused chain + per-layer activation stash.
+
+    Returns ``(out, acts)`` with ``acts`` of shape ``(Le, H+2, G+2, 128)``
+    (guard-padded folded layout): ``acts[l]`` is layer ``l``'s output — the
+    input of layer ``l+1`` and the ReLU mask of layer ``l``'s backward.
+    """
+    Lw = ws.shape[0]
+    Le = Lw - (Lw % 2)
+    _, _, H, W = h.shape
+    G = W // 2
+    ch = _chunk_rows(H)
+    # HBM slices must be tile-aligned (Mosaic: sublane dim % 8 == 0), so the
+    # guard-padded column count is rounded up; the extra columns are dead
+    Gp = -(-(G + 2) // 8) * 8
+
+    from ...utils.profiling import record_pallas_cost
+
+    record_pallas_cost(
+        Le * 2 * H * W * C * C * 9,
+        ((H + 2) * Gp * (Le + 1) + H * G) * 128 * 2
+        + Le * 3 * 2 * 128 * 128 * 2 + Le * 128 * 4)
+
+    wp = _pack_weights(ws[:Le])
+    bp = jnp.concatenate([bs[:Le], bs[:Le]], axis=1).astype(jnp.float32)
+    xp = jnp.transpose(h[0].astype(jnp.bfloat16), (1, 2, 0)).reshape(H, G, 128)
+    xp = jnp.pad(xp, ((1, 1), (1, Gp - G - 1), (0, 0)))
+    out, acts = pl.pallas_call(
+        functools.partial(_chain_kernel_stash, n_pairs=Le // 2, ch=ch),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, G, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Le, H + 2, Gp, 128), jnp.bfloat16),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # HBM: DMA'd per layer
+        ),
+        scratch_shapes=[pltpu.VMEM((H + 2, Gp, 128), jnp.bfloat16),
+                        pltpu.VMEM((H + 2, Gp, 128), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, wp, bp)
+    o = jnp.transpose(out.reshape(H, W, C), (2, 0, 1))[None]
+    return o, acts
+
+
+def _acts_to_nhwc(acts, H, W):
+    """(L, H+2, G+2, 128) padded-folded -> (L, H, W, 64) NHWC — a pure
+    reshape (the fold interleaves adjacent columns), no transpose."""
+    G = W // 2
+    inner = acts[:, 1:H + 1, 1:G + 1]
+    return inner.reshape(acts.shape[0], H, G, 2, C).reshape(
+        acts.shape[0], H, W, C)
+
+
 def _fwd(h, ws, bs, interpret):
-    return _fused_fwd_impl(h, ws, bs, interpret), (h, ws, bs)
+    Lw = ws.shape[0]
+    if Lw % 2:
+        # odd tail layer runs (and is differentiated) in XLA; only the even
+        # prefix uses the fused path
+        out_even, acts = _fused_fwd_stash_impl(h, ws, bs, interpret)
+        return _lax_chain(out_even, ws[Lw - 1:], bs[Lw - 1:]), \
+            (h, ws, bs, acts, out_even)
+    out, acts = _fused_fwd_stash_impl(h, ws, bs, interpret)
+    return out, (h, ws, bs, acts, None)
+
+
+def _conv_nhwc(x, w_hwio):
+    return lax.conv_general_dilated(
+        x, w_hwio, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
 
 
 def _bwd(interpret, res, g):
-    h, ws, bs = res
-    _, vjp = jax.vjp(_lax_chain_f32, h, ws, bs)
-    dh, dws, dbs = vjp(g.astype(jnp.float32))
+    """Backward from the stashed activations — no forward recompute.
+
+    bf16 activation-gradient chain (matching the forward's precision
+    policy: one bf16 rounding per conv, f32 accumulation); weight/bias
+    gradients accumulate in f32.
+    """
+    h, ws, bs, acts, out_even = res
+    Lw = ws.shape[0]
+    Le = Lw - (Lw % 2)
+    _, _, H, W = h.shape
+
+    g = g.astype(jnp.float32)
+    if Lw % 2:
+        # peel the odd XLA tail layer with plain autodiff (single layer)
+        _, vjp = jax.vjp(
+            lambda hh, ww, bb: _lax_chain_f32(hh, ww, bb),
+            out_even.astype(jnp.float32), ws[Le:], bs[Le:])
+        g, dws_tail, dbs_tail = vjp(g)
+
+    # NHWC views of the stash; layer l's input is acts[l-1] (h for l=0)
+    a_nhwc = _acts_to_nhwc(acts, H, W)  # (Le, H, W, 64) bf16
+    h_nhwc = jnp.transpose(h[0].astype(jnp.bfloat16), (1, 2, 0))[None]
+    d = jnp.transpose(g[0], (1, 2, 0))[None].astype(jnp.bfloat16)  # NHWC
+
+    dws = []
+    dbs = []
+    for l in range(Le - 1, -1, -1):
+        mask = a_nhwc[l][None] > 0  # relu' of layer l's pre-activation
+        d = jnp.where(mask, d, 0)
+        dbs.append(jnp.sum(d.astype(jnp.float32), axis=(0, 1, 2)))
+        x_in = h_nhwc if l == 0 else a_nhwc[l - 1][None]
+        # dW[ky,kx,i,o] via conv with batch as the contraction:
+        # lhs (I,H,W,B), rhs (H,W,B,O), padding 1 -> (I,3,3,O)
+        dw = lax.conv_general_dilated(
+            jnp.transpose(x_in, (3, 1, 2, 0)),
+            jnp.transpose(d, (1, 2, 0, 3)),
+            (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        dws.append(jnp.transpose(dw, (3, 0, 1, 2)))  # -> OIHW
+        # cotangent of layer input: conv with flipped, I/O-swapped kernel
+        w_hwio = jnp.transpose(ws[l], (2, 3, 1, 0)).astype(jnp.bfloat16)
+        w_t = jnp.swapaxes(jnp.flip(w_hwio, (0, 1)), 2, 3)
+        d = _conv_nhwc(d, w_t).astype(jnp.bfloat16)
+
+    dws = jnp.stack(dws[::-1])
+    dbs = jnp.stack(dbs[::-1])
+    if Lw % 2:
+        dws = jnp.concatenate([dws, dws_tail.astype(dws.dtype)])
+        dbs = jnp.concatenate([dbs, dbs_tail.astype(dbs.dtype)])
+    dh = jnp.transpose(d.astype(jnp.float32), (0, 3, 1, 2))
     return dh.astype(h.dtype), dws.astype(ws.dtype), dbs.astype(bs.dtype)
 
 

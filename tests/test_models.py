@@ -615,16 +615,112 @@ def test_fused_conv_chain_matches_lax(key):
         scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) + 1e-9
         assert err / scale < 2e-2, (L, err / scale)
 
-    # gradients flow through the custom_vjp (backward = lax chain autodiff)
-    from deepinv_tpu.ops.pallas.conv_chain import _lax_chain_f32
+    # gradients flow through the custom_vjp: backward reads the kernel's
+    # DMA-stashed activations (no forward recompute) and must match
+    # autodiff through the bf16 lax chain — the forward it actually
+    # computes: comparing against the *f32* chain instead conflates
+    # forward numerics with backward precision (borderline preacts flip
+    # their ReLU mask between bf16 and f32 forwards) — for weights,
+    # biases AND the input, on both even and odd layer counts
+    for L in (4, 5):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 10 + L), 3)
+        ws = jax.random.normal(k1, (L, 64, 64, 3, 3)) * 0.08
+        bs = jax.random.normal(k2, (L, 64)) * 0.02
+        h = jax.random.normal(k3, (1, 64, 16, 16), jnp.bfloat16)
 
-    loss = lambda w: jnp.sum(
-        fused_conv3x3_relu_chain(h, w, bs, True).astype(jnp.float32))
-    g = jax.grad(loss)(ws)
-    loss_ref = lambda w: jnp.sum(_lax_chain_f32(h, w, bs))
-    g_ref = jax.grad(loss_ref)(ws)
-    rel = float(jnp.max(jnp.abs(g - g_ref)) / (jnp.max(jnp.abs(g_ref)) + 1e-9))
-    assert rel < 2e-2, rel
+        def _chain_bf16_rounded(hh, w, b):
+            # f32 convs with explicit bf16 rounding points — the same
+            # numerics as the bf16 chain (bf16 products are exact in f32),
+            # expressed in a form JAX can differentiate end-to-end
+            import jax.lax as _lax
+
+            a = hh.astype(jnp.float32)
+            for l in range(w.shape[0]):
+                wb = w[l].astype(jnp.bfloat16).astype(jnp.float32)
+                z = _lax.conv_general_dilated(
+                    a, wb, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                a = jnp.maximum(z + b[l][None, :, None, None], 0.0)
+                a = a.astype(jnp.bfloat16).astype(jnp.float32)
+            return a
+
+        loss = lambda hh, w, b: jnp.sum(
+            fused_conv3x3_relu_chain(hh, w, b, True).astype(jnp.float32))
+        gh, gw, gb = jax.grad(loss, argnums=(0, 1, 2))(h, ws, bs)
+        loss_ref = lambda hh, w, b: jnp.sum(_chain_bf16_rounded(hh, w, b))
+        gh_r, gw_r, gb_r = jax.grad(loss_ref, argnums=(0, 1, 2))(h, ws, bs)
+        for a, b_, nm in ((gw, gw_r, "dW"), (gb, gb_r, "db"), (gh, gh_r, "dh")):
+            a = a.astype(jnp.float32)
+            b_ = b_.astype(jnp.float32)
+            rel = float(jnp.max(jnp.abs(a - b_)) / (jnp.max(jnp.abs(b_)) + 1e-9))
+            assert rel < 3e-2, (L, nm, rel)
+
+
+def test_fused_resblock_chain_matches_lax(key):
+    """The Pallas fused resblock chain (interpret mode) matches the pure
+    XLA f32 resblock chain on the folded tensor, and its custom_vjp
+    gradients match autodiff through the lax chain."""
+    from deepinv_tpu.ops.pallas.resblock_chain import (
+        _lax_resblocks_f32, can_fuse_resblocks, fused_resblock_chain_folded)
+
+    for R in (1, 3):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, R), 3)
+        w1s = jax.random.normal(k1, (R, 64, 64, 3, 3)) * 0.08
+        w2s = jax.random.normal(k2, (R, 64, 64, 3, 3)) * 0.08
+        vf = jax.random.normal(k3, (1, 16, 8, 128), jnp.bfloat16)
+        got = fused_resblock_chain_folded(vf, w1s, w2s, True)
+        want = _lax_resblocks_f32(vf, w1s, w2s)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+        scale = float(jnp.max(jnp.abs(want))) + 1e-9
+        assert err / scale < 2e-2, (R, err / scale)
+
+    # custom_vjp gradients (backward = f32 lax chain autodiff)
+    loss = lambda w1, w2: jnp.sum(
+        fused_resblock_chain_folded(vf, w1, w2, True).astype(jnp.float32))
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(w1s, w2s)
+    loss_ref = lambda w1, w2: jnp.sum(_lax_resblocks_f32(vf, w1, w2))
+    r1, r2 = jax.grad(loss_ref, argnums=(0, 1))(w1s, w2s)
+    for a, b, nm in ((g1, r1, "dW1"), (g2, r2, "dW2")):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 3e-2, (nm, rel)
+
+    # the CPU gate keeps the fused path off the folded forward here
+    assert not can_fuse_resblocks(vf, 3)
+
+
+def test_fused_up_resblock_chain_matches_lax(key):
+    """The Pallas up-projection + resblock chain (interpret mode) matches
+    the pure XLA f32 reference (transposed conv, kernel == stride, +
+    folded resblocks), and custom_vjp gradients flow to all four args."""
+    from deepinv_tpu.ops.pallas.resblock_chain import (
+        _lax_up_resblocks_f32, can_fuse_up_resblocks,
+        fused_up_resblock_chain_folded)
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    Ci = 16
+    v = jax.random.normal(k1, (1, 8, 8, Ci), jnp.bfloat16)
+    w = jax.random.normal(k2, (Ci, 64, 2, 2)) * 0.1
+    w1s = jax.random.normal(k3, (2, 64, 64, 3, 3)) * 0.08
+    w2s = jax.random.normal(k4, (2, 64, 64, 3, 3)) * 0.08
+    got = fused_up_resblock_chain_folded(v, w, w1s, w2s, True)
+    want = _lax_up_resblocks_f32(v, w, w1s, w2s)
+    assert got.shape == (1, 16, 8, 128)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert err / scale < 2e-2, err / scale
+
+    loss = lambda *a: jnp.sum(
+        fused_up_resblock_chain_folded(*a, True).astype(jnp.float32))
+    loss_ref = lambda *a: jnp.sum(_lax_up_resblocks_f32(*a))
+    gs = jax.grad(loss, argnums=(0, 1, 2, 3))(v, w, w1s, w2s)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(v, w, w1s, w2s)
+    for a, b, nm in zip(gs, gr, ("dv", "dw_up", "dw1", "dw2")):
+        rel = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32)))
+                    / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-9))
+        assert rel < 3e-2, (nm, rel)
+
+    assert not can_fuse_up_resblocks(v, w, 2)  # CPU gate off
 
 
 def test_dncnn_fused_gate_is_off_on_cpu(key):
