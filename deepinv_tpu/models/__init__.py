@@ -1,7 +1,9 @@
 from .base import Denoiser, Reconstructor, handle_sigma
 from .layers import (
     Conv2d,
+    Conv3d,
     ConvTranspose2d,
+    ConvTranspose3d,
     Linear,
     Sequential,
     ReLU,
@@ -10,10 +12,14 @@ from .layers import (
     Identity,
     AvgPool2d,
     MaxPool2d,
+    MaxPool3d,
     UpsampleNearest,
     PixelShuffle,
     BatchNorm2d,
+    conv_nd,
+    fix_dim,
 )
+from .utils3d import initialize_3d_from_2d
 from .dncnn import DnCNN
 from .drunet import DRUNet
 from .unet import UNet

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .base import Denoiser
-from .layers import Conv2d
+from .layers import conv_nd, fix_dim
 
 __all__ = ["DnCNN"]
 
@@ -25,18 +25,31 @@ class DnCNN(Denoiser):
         bias: bool = True,
         nf: int = 64,
         pretrained=None,
+        pretrained_2d_isotropic: bool = False,
+        dim=2,
         key=None,
     ):
         key = key if key is not None else jax.random.key(0)
         keys = jax.random.split(key, depth)
         self.depth = depth
-        self.in_conv = Conv2d(in_channels, nf, 3, 1, 1, bias=bias, key=keys[0])
+        dim = fix_dim(dim)
+        Conv = conv_nd(dim)
+        self.in_conv = Conv(in_channels, nf, 3, 1, 1, bias=bias, key=keys[0])
         self.conv_list = [
-            Conv2d(nf, nf, 3, 1, 1, bias=bias, key=keys[i + 1])
+            Conv(nf, nf, 3, 1, 1, bias=bias, key=keys[i + 1])
             for i in range(depth - 2)
         ]
-        self.out_conv = Conv2d(nf, out_channels, 3, 1, 1, bias=bias, key=keys[-1])
-        if pretrained is not None:
+        self.out_conv = Conv(nf, out_channels, 3, 1, 1, bias=bias, key=keys[-1])
+        if pretrained is not None and dim == 3:
+            # 2D weights inflated into the 3D kernels (reference
+            # dncnn.py:111 initialize_3d_from_2d)
+            from .convert import load_torch_checkpoint
+            from .utils3d import initialize_3d_from_2d
+
+            ckpt = load_torch_checkpoint(pretrained)
+            initialize_3d_from_2d(self, ckpt,
+                                  isotropic=pretrained_2d_isotropic)
+        elif pretrained is not None:
             from .convert import load_torch_checkpoint, port_dncnn
 
             ckpt = load_torch_checkpoint(pretrained)

@@ -57,10 +57,14 @@ class ResBlock(Module):
     """C-act-C residual block (reference drunet.py:310); ``act_mode`` as in
     the reference: R=ReLU, L=LeakyReLU, E=ELU (GSDRUNet), S=Softplus."""
 
-    def __init__(self, nc: int, bias: bool = False, act_mode: str = "R", key=None):
+    def __init__(self, nc: int, bias: bool = False, act_mode: str = "R",
+                 dim: int = 2, key=None):
+        from .layers import conv_nd
+
         k1, k2 = jax.random.split(key if key is not None else jax.random.key(0))
-        self.conv1 = Conv2d(nc, nc, 3, 1, 1, bias=bias, key=k1)
-        self.conv2 = Conv2d(nc, nc, 3, 1, 1, bias=bias, key=k2)
+        Conv = conv_nd(dim)
+        self.conv1 = Conv(nc, nc, 3, 1, 1, bias=bias, key=k1)
+        self.conv2 = Conv(nc, nc, 3, 1, 1, bias=bias, key=k2)
         self.act_mode = act_mode
         # reference init uses gain 0.2 (weights_init_drunet) so stacked
         # residual blocks stay stable at random init
@@ -95,36 +99,56 @@ class DRUNet(Denoiser):
         nb: int = 4,
         act_mode: str = "R",
         pretrained=None,
+        pretrained_2d_isotropic: bool = False,
+        dim=2,
         key=None,
     ):
+        from .layers import conv_nd, conv_transpose_nd, fix_dim
+
         key = key if key is not None else jax.random.key(0)
         ks = iter(jax.random.split(key, 64))
         nc = tuple(nc)
         self.nb = nb
+        dim = fix_dim(dim)
+        self.dim = dim
+        Conv = conv_nd(dim)
+        ConvT = conv_transpose_nd(dim)
 
-        self.m_head = Conv2d(in_channels + 1, nc[0], 3, 1, 1, bias=False, key=next(ks))
+        self.m_head = Conv(in_channels + 1, nc[0], 3, 1, 1, bias=False, key=next(ks))
 
         def down_stage(cin, cout):
-            blocks = [ResBlock(cin, act_mode=act_mode, key=next(ks)) for _ in range(nb)]
-            down = Conv2d(cin, cout, 2, 2, 0, bias=False, key=next(ks))
+            blocks = [ResBlock(cin, act_mode=act_mode, dim=dim, key=next(ks))
+                      for _ in range(nb)]
+            down = Conv(cin, cout, 2, 2, 0, bias=False, key=next(ks))
             return Sequential(*blocks, down)
 
         def up_stage(cin, cout):
-            up = ConvTranspose2d(cin, cout, 2, 2, 0, bias=False, key=next(ks))
-            blocks = [ResBlock(cout, act_mode=act_mode, key=next(ks)) for _ in range(nb)]
+            up = ConvT(cin, cout, 2, 2, 0, bias=False, key=next(ks))
+            blocks = [ResBlock(cout, act_mode=act_mode, dim=dim, key=next(ks))
+                      for _ in range(nb)]
             return Sequential(up, *blocks)
 
         self.m_down1 = down_stage(nc[0], nc[1])
         self.m_down2 = down_stage(nc[1], nc[2])
         self.m_down3 = down_stage(nc[2], nc[3])
         self.m_body = Sequential(
-            *[ResBlock(nc[3], act_mode=act_mode, key=next(ks)) for _ in range(nb)])
+            *[ResBlock(nc[3], act_mode=act_mode, dim=dim, key=next(ks))
+              for _ in range(nb)])
         self.m_up3 = up_stage(nc[3], nc[2])
         self.m_up2 = up_stage(nc[2], nc[1])
         self.m_up1 = up_stage(nc[1], nc[0])
-        self.m_tail = Conv2d(nc[0], out_channels, 3, 1, 1, bias=False, key=next(ks))
+        self.m_tail = Conv(nc[0], out_channels, 3, 1, 1, bias=False, key=next(ks))
 
-        if pretrained is not None:
+        if pretrained is not None and dim == 3:
+            # inflate 2D weights into the cube kernels (reference
+            # drunet.py pretrained='download_2d')
+            from .convert import load_torch_checkpoint
+            from .utils3d import initialize_3d_from_2d
+
+            ckpt = load_torch_checkpoint(pretrained)
+            initialize_3d_from_2d(self, ckpt,
+                                  isotropic=pretrained_2d_isotropic)
+        elif pretrained is not None:
             from .convert import load_torch_checkpoint, port_drunet
 
             ckpt = load_torch_checkpoint(pretrained)
@@ -132,7 +156,7 @@ class DRUNet(Denoiser):
             self.__dict__.update(ported.__dict__)
 
     def forward_unet(self, x0):
-        if _use_folded():
+        if x0.ndim == 4 and _use_folded():
             from .drunet_fold import forward_unet_folded
 
             return forward_unet_folded(self, x0, _ACTS[self.m_body[0].act_mode])
@@ -149,7 +173,7 @@ class DRUNet(Denoiser):
     def __call__(self, x, sigma=0.05, **kwargs):
         noise_map = handle_sigma(sigma, x)
         xin = jnp.concatenate([x, noise_map], axis=1)
-        H, W = x.shape[-2:]
-        if H % 8 == 0 and W % 8 == 0 and H > 31 and W > 31:
+        spatial = x.shape[2:]
+        if all(s % 8 == 0 and s > 31 for s in spatial):
             return self.forward_unet(xin)
         return test_pad(self.forward_unet, xin, modulo=16)

@@ -235,6 +235,117 @@ class Identity(Module):
         return x
 
 
+class Conv3d(Module):
+    """3D convolution, NCDHW / OIDHW (torch-compatible weights) —
+    reference models build 3D variants via ``conv_nd`` (models/utils.py)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int = 3,
+        stride: int = 1,
+        padding: int = 1,
+        bias: bool = True,
+        groups: int = 1,
+        key=None,
+    ):
+        key = key if key is not None else jax.random.key(0)
+        k = kernel_size
+        fan_in = in_channels // groups * k ** 3
+        self.weight = he_init(
+            key, (out_channels, in_channels // groups, k, k, k), fan_in)
+        self.bias = jnp.zeros((out_channels,)) if bias else None
+        self.stride = stride
+        self.padding = padding
+        self.groups = groups
+
+    def __call__(self, x):
+        out = lax.conv_general_dilated(
+            x,
+            self.weight.astype(x.dtype),
+            window_strides=(self.stride,) * 3,
+            padding=[(self.padding, self.padding)] * 3,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            feature_group_count=self.groups,
+            preferred_element_type=_conv_out_dtype(x),
+        ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(x.dtype)[None, :, None, None, None]
+        return out
+
+
+class ConvTranspose3d(Module):
+    """3D transposed convolution matching torch semantics (IODHW)."""
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: int = 2,
+        stride: int = 2,
+        padding: int = 0,
+        bias: bool = True,
+        key=None,
+    ):
+        key = key if key is not None else jax.random.key(0)
+        k = kernel_size
+        fan_in = in_channels * k ** 3
+        self.weight = he_init(key, (in_channels, out_channels, k, k, k),
+                              fan_in)
+        self.bias = jnp.zeros((out_channels,)) if bias else None
+        self.stride = stride
+        self.padding = padding
+        self.kernel_size = k
+
+    def __call__(self, x):
+        p = self.kernel_size - 1 - self.padding
+        out = lax.conv_transpose(
+            x,
+            self.weight.astype(x.dtype),
+            strides=(self.stride,) * 3,
+            padding=[(p, p)] * 3,
+            # weight stored torch-style (in, out, k, k, k); with
+            # transpose_kernel=True the O/I labels swap, so OIDHW is right
+            # (same convention as the 2D NCHW path above)
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            transpose_kernel=True,
+        ).astype(x.dtype)
+        if self.bias is not None:
+            out = out + self.bias.astype(x.dtype)[None, :, None, None, None]
+        return out
+
+
+class MaxPool3d(Module):
+    def __init__(self, kernel_size: int = 2, stride: Optional[int] = None):
+        self.kernel_size = kernel_size
+        self.stride = stride if stride is not None else kernel_size
+
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, 1, k, k, k), (1, 1, s, s, s), "VALID"
+        )
+
+
+def fix_dim(dim) -> int:
+    """Normalize a ``dim`` argument: 2 / 3 / "2" / "2d" / "3D" -> int
+    (reference models/utils.py fix_dim)."""
+    d = int(str(dim).lower().rstrip("d"))
+    if d not in (2, 3):
+        raise ValueError(f"dim must be 2 or 3, got {dim!r}")
+    return d
+
+
+def conv_nd(dim):
+    """Conv class for ``dim`` spatial dimensions (reference conv_nd)."""
+    return Conv2d if fix_dim(dim) == 2 else Conv3d
+
+
+def conv_transpose_nd(dim):
+    return ConvTranspose2d if fix_dim(dim) == 2 else ConvTranspose3d
+
+
 class AvgPool2d(Module):
     def __init__(self, kernel_size: int = 2, stride: Optional[int] = None):
         self.kernel_size = kernel_size
@@ -292,8 +403,10 @@ class BatchNorm2d(Module):
         self.eps = eps
 
     def __call__(self, x):
-        m = self.running_mean[None, :, None, None]
-        v = self.running_var[None, :, None, None]
-        w = self.weight[None, :, None, None]
-        b = self.bias[None, :, None, None]
+        # dim-agnostic channel broadcast (works for 4D NCHW and 5D NCDHW)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        m = self.running_mean.reshape(shape)
+        v = self.running_var.reshape(shape)
+        w = self.weight.reshape(shape)
+        b = self.bias.reshape(shape)
         return (x - m) / jnp.sqrt(v + self.eps) * w + b

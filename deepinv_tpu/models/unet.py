@@ -14,10 +14,13 @@ __all__ = ["UNet"]
 
 
 class _DoubleConv(Module):
-    def __init__(self, cin, cout, batch_norm=True, key=None):
+    def __init__(self, cin, cout, batch_norm=True, dim=2, key=None):
+        from .layers import conv_nd
+
         k1, k2 = jax.random.split(key if key is not None else jax.random.key(0))
-        self.conv1 = Conv2d(cin, cout, 3, 1, 1, bias=not batch_norm, key=k1)
-        self.conv2 = Conv2d(cout, cout, 3, 1, 1, bias=not batch_norm, key=k2)
+        Conv = conv_nd(dim)
+        self.conv1 = Conv(cin, cout, 3, 1, 1, bias=not batch_norm, key=k1)
+        self.conv2 = Conv(cout, cout, 3, 1, 1, bias=not batch_norm, key=k2)
         self.bn1 = BatchNorm2d(cout) if batch_norm else None
         self.bn2 = BatchNorm2d(cout) if batch_norm else None
 
@@ -46,29 +49,37 @@ class UNet(Denoiser):
         base: int = 64,
         residual: bool = True,
         batch_norm: bool = True,
+        dim=2,
         key=None,
     ):
+        from .layers import MaxPool3d, conv_nd, conv_transpose_nd, fix_dim
+
         key = key if key is not None else jax.random.key(0)
         ks = iter(jax.random.split(key, 32))
         self.scales = scales
         self.residual = residual
+        dim = fix_dim(dim)
+        self.dim = dim
+        Conv = conv_nd(dim)
+        ConvT = conv_transpose_nd(dim)
         chans = [base * (2**i) for i in range(scales)]
 
-        self.inc = _DoubleConv(in_channels, chans[0], batch_norm, next(ks))
+        self.inc = _DoubleConv(in_channels, chans[0], batch_norm, dim,
+                               next(ks))
         self.down = [
-            _DoubleConv(chans[i], chans[i + 1], batch_norm, next(ks))
+            _DoubleConv(chans[i], chans[i + 1], batch_norm, dim, next(ks))
             for i in range(scales - 1)
         ]
-        self.pool = MaxPool2d(2)
+        self.pool = MaxPool2d(2) if dim == 2 else MaxPool3d(2)
         self.upconv = [
-            ConvTranspose2d(chans[i + 1], chans[i], 2, 2, key=next(ks))
+            ConvT(chans[i + 1], chans[i], 2, 2, key=next(ks))
             for i in reversed(range(scales - 1))
         ]
         self.up = [
-            _DoubleConv(chans[i] * 2, chans[i], batch_norm, next(ks))
+            _DoubleConv(chans[i] * 2, chans[i], batch_norm, dim, next(ks))
             for i in reversed(range(scales - 1))
         ]
-        self.outc = Conv2d(chans[0], out_channels, 1, 1, 0, key=next(ks))
+        self.outc = Conv(chans[0], out_channels, 1, 1, 0, key=next(ks))
 
     def _forward(self, x):
         feats = [self.inc(x)]
@@ -82,8 +93,7 @@ class UNet(Denoiser):
 
     def __call__(self, x, sigma=None, **kwargs):
         mod = 2 ** (self.scales - 1)
-        H, W = x.shape[-2:]
-        if H % mod == 0 and W % mod == 0:
+        if all(s % mod == 0 for s in x.shape[2:]):
             out = self._forward(x)
         else:
             out = test_pad(self._forward, x, modulo=mod)

@@ -8,14 +8,13 @@ __all__ = ["test_pad", "test_onesplit"]
 
 
 def test_pad(model, x, modulo: int = 16):
-    """Pad spatial dims to a multiple of ``modulo``, run, crop back
-    (reference models/utils.py:49)."""
-    H, W = x.shape[-2:]
-    ph = (-H) % modulo
-    pw = (-W) % modulo
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)], mode="edge")
+    """Pad every spatial dim (all dims past channel — 2D or 3D input) to a
+    multiple of ``modulo``, run, crop back (reference models/utils.py:49)."""
+    spatial = x.shape[2:]
+    pads = [(-s) % modulo for s in spatial]
+    xp = jnp.pad(x, [(0, 0), (0, 0)] + [(0, p) for p in pads], mode="edge")
     out = model(xp)
-    return out[..., :H, :W]
+    return out[(Ellipsis,) + tuple(slice(0, s) for s in spatial)]
 
 
 def test_onesplit(model, x, refield: int = 64, sf: int = 1):

@@ -340,6 +340,54 @@ def test_dsccp_odd_sizes(key):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.parametrize("name", ["dncnn", "drunet", "unet"])
+def test_3d_denoisers(name, key):
+    """3D variants of DnCNN / DRUNet / UNet run on volumes, including odd
+    sizes via test_pad (reference test_3d_denoisers:608)."""
+    m = {
+        "dncnn": lambda: M.DnCNN(1, 1, depth=3, nf=4, dim=3),
+        "drunet": lambda: M.DRUNet(in_channels=1, out_channels=1,
+                                   nc=(4, 4, 4, 4), nb=1, dim=3),
+        "unet": lambda: M.UNet(in_channels=1, out_channels=1, scales=2,
+                               base=4, dim="3d"),
+    }[name]()
+    x = jax.random.uniform(key, (1, 1, 8, 16, 16))
+    o = m(x, 0.1)
+    assert o.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(o)))
+    x_odd = jax.random.uniform(key, (1, 1, 7, 13, 17))
+    o_odd = m(x_odd, 0.1)
+    assert o_odd.shape == x_odd.shape
+
+
+@pytest.mark.parametrize("isotropic", [False, True])
+def test_initialize_3d_from_2d(isotropic, key):
+    """2D -> 3D weight inflation (reference test_initialize_3d_from_2d:1736).
+    Axial init places the 2D kernel on the TRUE central depth slice, so a
+    depth-constant volume maps exactly to the per-slice 2D result — a
+    property the reference's off-by-one placement (utils.py:471 indexes
+    k//2 + 1) does not satisfy; the deviation is intentional."""
+    from deepinv_tpu.models import initialize_3d_from_2d
+
+    k2, k3, kx = jax.random.split(key, 3)
+    m2d = M.DnCNN(1, 1, depth=3, nf=4, dim=2, key=k2)
+    ckpt = {}
+    for name, conv in [("in_conv", m2d.in_conv),
+                       ("out_conv", m2d.out_conv)] + [
+            (f"conv_list.{i}", c) for i, c in enumerate(m2d.conv_list)]:
+        ckpt[f"{name}.weight"] = np.asarray(conv.weight)
+        ckpt[f"{name}.bias"] = np.asarray(conv.bias)
+    m3d = M.DnCNN(1, 1, depth=3, nf=4, dim=3, key=k3)
+    initialize_3d_from_2d(m3d, ckpt, isotropic=isotropic)
+    img = jax.random.uniform(kx, (1, 1, 16, 16))
+    vol = jnp.broadcast_to(img[:, :, None], (1, 1, 8, 16, 16))
+    out = m3d(vol, 0.1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    if not isotropic:
+        err = float(jnp.max(jnp.abs(out[:, :, 4] - m2d(img, 0.1))))
+        assert err < 1e-4, err
+
+
 def test_denoisers_under_jit_and_vmap(key):
     """Denoisers are pytrees: jit(model)(y) == model(y) and vmap over a
     stacked batch axis matches a Python loop — the JAX-native contract the
