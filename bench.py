@@ -89,6 +89,12 @@ CONFIGS = {
                 metric="pnp_pgd_dncnn_mri_256px_iters_per_sec_chip"),
     "ct": dict(torch_cpu_its=0.726,
                metric="pnp_pgd_dncnn_ct90_256px_iters_per_sec_chip"),
+    # Trainer hot loop (reference trainer.py:823-886): DnCNN denoising
+    # fwd+bwd+adam at 1x1x256x256. torch-CPU reference measured in-tree
+    # 2026-08-19 (8 threads, reference DnCNN, torch.optim.Adam, MSE):
+    # 3335.5 ms/step = 0.2998 steps/s.
+    "train": dict(torch_cpu_its=0.2998,
+                  metric="train_dncnn_denoise_256px_steps_per_sec_chip"),
 }
 
 
@@ -160,7 +166,94 @@ def _iter_cost(physics, y, denoiser, algo, params):
                 "pallas_bytes": 0.0}
 
 
+def _run_train_config(dtype=None):
+    """Training-step throughput (VERDICT r3 next-step #3): DnCNN denoising
+    fwd+bwd+adam, slope-timed over a `lax.scan` of whole train steps with
+    the (model, opt_state) pytree as carry — the Trainer's jitted hot loop
+    without dataloader overhead."""
+    import numpy as np
+    import optax
+
+    meta = CONFIGS["train"]
+    if dtype is not None:
+        os.environ["BENCH_DTYPE"] = dtype
+    dtype = os.environ.get("BENCH_DTYPE", "bf16")
+
+    den = DnCNN(1, 1, pretrained=None)
+    kx, kn = jax.random.split(jax.random.key(0))
+    x = jax.jit(lambda k: jax.random.uniform(k, (1, 1, 256, 256)))(kx)
+    y = x + 0.1 * jax.random.normal(kn, x.shape)
+    opt = optax.adam(1e-4)
+
+    def net(m, v):
+        if dtype == "bf16":
+            from deepinv_tpu.models import autocast
+
+            return autocast(m)(v, 0.1)
+        return m(v, 0.1)
+
+    def loss_fn(m, xv, yv):
+        out = net(m, yv)
+        return jnp.mean((out.astype(jnp.float32) - xv) ** 2)
+
+    def step(carry, _):
+        m, os_ = carry
+        _, grads = jax.value_and_grad(loss_fn)(m, x, y)
+        updates, os_ = opt.update(grads, os_, m)
+        m = optax.apply_updates(m, updates)
+        return (m, os_), None
+
+    def build(iters):
+        f = jax.jit(lambda m, s: jax.lax.scan(step, (m, s), None,
+                                              length=iters)[0])
+        s0 = opt.init(den)
+        out = f(den, s0)
+        _ = np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(out)[0])).ravel()[:1]
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            o = f(den, s0)
+            _ = np.asarray(jax.device_get(
+                jax.tree_util.tree_leaves(o)[0])).ravel()[:1]
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    n = max(N_ITER // 4, 8)
+    t_short = build(n)
+    t_long = build(4 * n)
+    dt = (t_long - t_short) / (3 * n)
+    its = 1.0 / dt
+    row = {
+        "metric": meta["metric"] + ("" if dtype == "bf16" else f"_{dtype}"),
+        "value": round(its, 2),
+        "unit": "step/s",
+        "vs_baseline": round(its / meta["torch_cpu_its"], 2),
+    }
+    from deepinv_tpu.utils.profiling import compiled_cost
+
+    try:
+        c = compiled_cost(
+            lambda m, s: step((m, s), None)[0], den, opt.init(den))
+        peaks = CHIP_PEAKS.get(jax.devices()[0].device_kind)
+        if c.get("flops", 0) > 0:
+            row["model_flops"] = round(c["flops"] / 1e9, 2)
+            row["bytes_per_iter"] = round(c.get("bytes accessed", 0) / 1e6, 1)
+            if c.get("pallas_flops", 0) > 0:
+                row["pallas_flops"] = round(c["pallas_flops"] / 1e9, 2)
+                row["pallas_bytes"] = round(c["pallas_bytes"] / 1e6, 1)
+            if peaks:
+                row["mfu"] = round(c["flops"] * its / peaks["bf16_flops"], 3)
+                row["hbm_util_bound"] = round(
+                    c.get("bytes accessed", 0) * its / peaks["hbm_gbps"], 3)
+    except Exception:
+        pass
+    return row
+
+
 def _run_config(config, dtype=None):
+    if config == "train":
+        return _run_train_config(dtype)
     meta = CONFIGS[config]
     if dtype is not None:
         os.environ["BENCH_DTYPE"] = dtype
@@ -224,7 +317,7 @@ def main():
     # f32 cross-check row for the headline config (BENCH_F32=0 to skip)
     # guards against bf16-only numerics drift going unnoticed on TPU.
     sel = os.environ.get("BENCH_CONFIG")
-    configs = [sel] if sel else ["mri", "ct", "deblur"]
+    configs = [sel] if sel else ["mri", "ct", "train", "deblur"]
     for config in configs:
         if (config == "deblur" and not sel
                 and os.environ.get("BENCH_F32", "1") == "1"):

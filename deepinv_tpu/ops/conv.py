@@ -152,9 +152,23 @@ def filter_fft_2d(filter: jax.Array, img_shape, real_fft: bool = True) -> jax.Ar
     """
     H, W = img_shape[-2:]
     h, w = filter.shape[-2:]
+    ch, cw = h // 2, w // 2  # PSF center in ORIGINAL coordinates
+    if h > H or w > W:
+        # a PSF larger than the grid wraps modulo the image size — the
+        # exact circulant embedding for circular convolution (arises e.g.
+        # for coarse scales of BlurFFTMultiScaler where the inherited
+        # kernel outgrows the downsampled image)
+        ph = (-h) % H
+        pw = (-w) % W
+        filter = jnp.pad(filter, [(0, 0)] * (filter.ndim - 2)
+                         + [(0, ph), (0, pw)])
+        hh, ww = filter.shape[-2:]
+        filter = filter.reshape(filter.shape[:-2]
+                                + (hh // H, H, ww // W, W)).sum((-4, -2))
+        h, w = H, W
     f = jnp.zeros(filter.shape[:-2] + (H, W), dtype=filter.dtype)
     f = f.at[..., :h, :w].set(filter)
-    f = jnp.roll(f, shift=(-(h // 2), -(w // 2)), axis=(-2, -1))
+    f = jnp.roll(f, shift=(-ch, -cw), axis=(-2, -1))
     return jnp.fft.rfft2(f) if real_fft else jnp.fft.fft2(f)
 
 

@@ -22,11 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite is compile-bound on the 1-CPU CI
 # host; a warm cache cuts wall time by ~x3 (cache lives in repo-root
-# .jax_cache/, shared with bench.py, gitignored)
+# .jax_cache/, shared with bench.py, gitignored). Override the location
+# with DEEPINV_TPU_JAX_CACHE (point it at an empty dir to measure the
+# cold-cache gate time — README "CI budget").
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
+    os.environ.get(
+        "DEEPINV_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
