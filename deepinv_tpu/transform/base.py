@@ -162,6 +162,9 @@ class Transform(Module, TimeMixin):
     def __add__(self, other: "Transform") -> "Transform":
         return _StackTransform(self, other)
 
+    def __or__(self, other: "Transform") -> "Transform":
+        return _EitherTransform(self, other)
+
     # helper: repeat batch for n_trans versions
     def _repeat(self, x):
         return jnp.tile(x, (self.n_trans,) + (1,) * (x.ndim - 1))
@@ -216,6 +219,44 @@ class _ChainTransform(Transform):
     def inverse(self, x, p1=None, p2=None):
         y = self.t1.inverse(x, **p1)
         return self.t2.inverse(y, **self._tile_p2(p2))
+
+
+class _EitherTransform(Transform):
+    """t1 | t2: randomly select ONE of the two per parameter draw
+    (reference base.py:401 EitherTransform). The choice is drawn into the
+    params dict (host-side, from the key) so transform/inverse agree on it
+    — the JAX analogue of the reference's ``recent_choice`` state."""
+
+    def __init__(self, t1: Transform, t2: Transform):
+        super().__init__(n_trans=t1.n_trans)
+        self.t1 = t1
+        self.t2 = t2
+
+    def get_params(self, x, key=None):
+        key = ensure_key(key, 0)
+        kc, k1, k2 = jax.random.split(key, 3)
+        # concrete (trace-time) choice, like the reference's host randint
+        choice = int(jax.random.bernoulli(kc))
+        return {
+            "choice": choice,
+            "p1": self.t1.get_params(x, k1),
+            "p2": self.t2.get_params(x, k2),
+        }
+
+    def invert_params(self, params):
+        return {
+            "choice": params["choice"],
+            "p1": self.t1.invert_params(params["p1"]),
+            "p2": self.t2.invert_params(params["p2"]),
+        }
+
+    def transform(self, x, choice=0, p1=None, p2=None):
+        t = self.t1 if choice else self.t2
+        return t.transform(x, **(p1 if choice else p2))
+
+    def inverse(self, x, choice=0, p1=None, p2=None):
+        t = self.t1 if choice else self.t2
+        return t.inverse(x, **(p1 if choice else p2))
 
 
 class _StackTransform(Transform):
