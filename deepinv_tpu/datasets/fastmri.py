@@ -115,13 +115,24 @@ class FastMRISliceDataset(ImageDataset, MRIMixin):
             if not metadata:
                 metadata.extend(self._scan(root))
 
-        # metadata: list of (filename, n_slices)
+        # metadata: list of (filename, n_slices). slice_index semantics
+        # mirror the reference (fastmri.py:380): "all" | int | list/tuple |
+        # "middle" / "middle+i" (a 2i+1 window) | "random" (per volume).
         self.samples = []
-        for fname, n_slices in metadata:
+        for vol_i, (fname, n_slices) in enumerate(metadata):
             if slice_index == "all":
                 idxs = range(n_slices)
-            elif slice_index == "middle":
-                idxs = [n_slices // 2]
+            elif isinstance(slice_index, (tuple, list)):
+                idxs = [int(i) for i in slice_index]
+            elif isinstance(slice_index, str) and "middle" in slice_index:
+                i = slice_index.split("+")[-1]
+                i = int(i) if "+" in slice_index and i.isdigit() else 0
+                mid = n_slices // 2
+                idxs = range(max(mid - i, 0), min(mid + i + 1, n_slices))
+            elif slice_index == "random":
+                import random as _random
+
+                idxs = [_random.Random(vol_i).randrange(n_slices)]
             else:
                 idxs = [int(slice_index)]
             self.samples += [(os.path.join(root, fname), i) for i in idxs]
