@@ -197,8 +197,13 @@ def _run_train_config(dtype=None):
         return jnp.mean((out.astype(jnp.float32) - xv) ** 2)
 
     def step(carry, _):
+        from deepinv_tpu.ops.pallas.conv_chain import fused_chains_disabled
+
         m, os_ = carry
-        _, grads = jax.value_and_grad(loss_fn)(m, x, y)
+        # like the Trainer: trace the pure-XLA path under grad (the fused
+        # inference kernels lose under autodiff — bench_train_chain.py)
+        with fused_chains_disabled():
+            _, grads = jax.value_and_grad(loss_fn)(m, x, y)
         updates, os_ = opt.update(grads, os_, m)
         m = optax.apply_updates(m, updates)
         return (m, os_), None

@@ -36,6 +36,7 @@ Reference parity: this accelerates ``deepinv.models.DnCNN``'s hidden layers
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -198,9 +199,36 @@ def _lax_chain_f32(h, ws, bs):
     return h
 
 
+# trace-time switch: training steps trace with fused chains disabled —
+# measured on the v5e (scripts/bench_train_chain.py, 2026-08-19): the fused
+# forward wins 2.6-3x for inference, but under grad the stash-based custom
+# backward runs 20.8 ms vs 8.7 ms for plain XLA bf16 autodiff (the
+# handwritten dW convs hit slow TPU paths), so the Trainer's jitted step
+# traces the pure-XLA chain instead.
+_FUSED_DISABLED = False
+
+
+@contextlib.contextmanager
+def fused_chains_disabled():
+    """Trace-time context: every ``can_fuse_*`` gate returns False inside
+    (used by the Trainer around its train step — see module note)."""
+    global _FUSED_DISABLED
+    prev, _FUSED_DISABLED = _FUSED_DISABLED, True
+    try:
+        yield
+    finally:
+        _FUSED_DISABLED = prev
+
+
+def fused_disabled() -> bool:
+    return _FUSED_DISABLED
+
+
 def can_fuse_chain(x, n_layers: int) -> bool:
     """Whether the fused kernel supports this (shape, chain) on the current
     backend — B=1, 64 channels, even W, >=2 layers, buffers fit in VMEM."""
+    if _FUSED_DISABLED:
+        return False
     if os.environ.get("DEEPINV_TPU_FUSED_DNCNN", "1") == "0":
         return False
     if jax.default_backend() == "cpu":

@@ -32,7 +32,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_chain import C, _chunk_rows, _dot, _layer, _pack_weights
+from .conv_chain import (C, _chunk_rows, _dot, _layer, _pack_weights,
+                         fused_disabled)
 
 __all__ = ["fused_resblock_chain_folded", "can_fuse_resblocks",
            "fused_up_resblock_chain_folded", "can_fuse_up_resblocks"]
@@ -152,6 +153,8 @@ def _lax_resblocks_f32(vf, w1s, w2s):
 def can_fuse_resblocks(vf, n_blocks: int) -> bool:
     """Whether the fused resblock kernel supports this (shape, chain) on
     the current backend — B=1, folded 128 lanes, >=1 block, VMEM fit."""
+    if fused_disabled():
+        return False
     if os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "1") == "0":
         return False
     if jax.default_backend() == "cpu":
@@ -253,6 +256,8 @@ def _lax_up_resblocks_f32(v, w_iohw, w1s, w2s):
 def can_fuse_up_resblocks(v, w_iohw, n_blocks: int) -> bool:
     """Gate for the fused up-projection chain: B=1, 64 output channels
     (128 folded lanes), even row count, VMEM fit."""
+    if fused_disabled():
+        return False
     if os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "1") == "0":
         return False
     if jax.default_backend() == "cpu":

@@ -401,9 +401,15 @@ class Trainer:
         optimizer = self.optimizer
 
         def train_step(model, opt_state, x, y, physics, key):
-            (loss, (x_net, terms)), grads = jax.value_and_grad(
-                self._differentiable_loss, has_aux=True
-            )(model, x, y, physics, key)
+            # trace the pure-XLA model path: fused Pallas inference kernels
+            # are slower under autodiff (bench_train_chain.py: 20.8 vs
+            # 8.7 ms DnCNN fwd+bwd), so training disables them at trace time
+            from ..ops.pallas.conv_chain import fused_chains_disabled
+
+            with fused_chains_disabled():
+                (loss, (x_net, terms)), grads = jax.value_and_grad(
+                    self._differentiable_loss, has_aux=True
+                )(model, x, y, physics, key)
             import optax
 
             gnorm = optax.global_norm(grads)
@@ -429,9 +435,12 @@ class Trainer:
         optimizer = self.optimizer
 
         def grad_step(model, x, y, physics, key):
-            (loss, (x_net, terms)), grads = jax.value_and_grad(
-                self._differentiable_loss, has_aux=True
-            )(model, x, y, physics, key)
+            from ..ops.pallas.conv_chain import fused_chains_disabled
+
+            with fused_chains_disabled():
+                (loss, (x_net, terms)), grads = jax.value_and_grad(
+                    self._differentiable_loss, has_aux=True
+                )(model, x, y, physics, key)
             return loss, x_net, terms, grads
 
         def apply_step(model, opt_state, grads):

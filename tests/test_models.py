@@ -723,6 +723,26 @@ def test_fused_up_resblock_chain_matches_lax(key):
     assert not can_fuse_up_resblocks(v, w, 2)  # CPU gate off
 
 
+def test_fused_chains_disabled_context(key):
+    """The trace-time training switch turns every fused gate off inside
+    the context and restores it after (Trainer traces its step inside —
+    bench_train_chain.py measured the fused path 2.4x slower under grad)."""
+    from deepinv_tpu.ops.pallas.conv_chain import (fused_chains_disabled,
+                                                   fused_disabled)
+    from deepinv_tpu.ops.pallas.resblock_chain import (
+        can_fuse_resblocks, can_fuse_up_resblocks)
+
+    vf = jax.random.normal(key, (1, 16, 8, 128), jnp.bfloat16)
+    v = jax.random.normal(key, (1, 8, 8, 16), jnp.bfloat16)
+    w_up = jnp.zeros((16, 64, 2, 2))
+    assert not fused_disabled()
+    with fused_chains_disabled():
+        assert fused_disabled()
+        assert not can_fuse_resblocks(vf, 2)
+        assert not can_fuse_up_resblocks(v, w_up, 2)
+    assert not fused_disabled()
+
+
 def test_dncnn_fused_gate_is_off_on_cpu(key):
     """can_fuse_chain must refuse on CPU so the quick gate never hits the
     Mosaic compiler; the env kill-switch must also disable it."""
