@@ -32,6 +32,7 @@ from .losses import (
     FNEJacobianSpectralNorm,
 )
 from .measplit import SplittingLoss, SplittingModel, Neighbor2Neighbor
+from .sure import exact_div, hutch_div, mc_div
 from .scheduler import (
     BaseLossScheduler,
     RandomLossScheduler,

@@ -100,6 +100,31 @@ def test_sure_poisson_runs(key):
     assert bool(jnp.all(jnp.isfinite(val)))
 
 
+def test_sure_divergence_estimators(key):
+    """exact_div / hutch_div / mc_div agree: single-draw estimators land
+    within 5e-2 of the exact pixel-normalized Jacobian trace on average
+    (reference test_sure_losses:428)."""
+    from deepinv_tpu.loss import exact_div, hutch_div, mc_div
+    from deepinv_tpu.models import ArtifactRemoval, MedianFilter
+
+    f = ArtifactRemoval(MedianFilter())
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    x = jnp.ones((1, 3, 16, 16)) * 0.5
+    y = physics(x, key=key)
+    model = lambda v, p: f(v, p)
+    exact = float(exact_div(y, physics, model))
+    y1 = physics.A(f(y, physics))
+    n = 60
+    eh = sum(abs(float(jnp.sum(hutch_div(y, physics, model,
+                                         key=jax.random.key(i)))) - exact)
+             for i in range(n)) / n
+    em = sum(abs(float(jnp.sum(mc_div(y1, y, model, physics, 1e-4,
+                                      key=jax.random.key(i)))) - exact)
+             for i in range(n)) / n
+    assert eh < 5e-2, eh
+    assert em < 5e-2, em
+
+
 def test_mc_and_sup(data, key):
     x = data
     physics = Inpainting(img_size=IMSIZE, mask=0.6, key=key)
