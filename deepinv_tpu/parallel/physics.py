@@ -248,12 +248,18 @@ class DistributedStackedLinearPhysics(DistributedStackedPhysics, LinearPhysics):
 
     def A_adjoint(self, y):
         """Sum of per-operator adjoints — psum over the op axis
-        (reference all_reduce, distrib_framework.py:450)."""
+        (reference all_reduce, distrib_framework.py:450).
+
+        Accepts the stacked ``(n_ops, ...)`` array convention or a
+        homogeneous :class:`TensorList` (what ``StackedPhysics.A``
+        returns), so serial and distributed stacks interchange."""
         mesh = self.ctx.mesh
+        if not isinstance(y, jax.Array):  # TensorList -> stacked array
+            y = jnp.stack(list(y))
         if self.n_pad:
             # pad operators see zero measurements -> zero adjoint (linear)
             y = jnp.concatenate(
-                [y, jnp.zeros((self.n_pad,) + y.shape[1:], y.dtype)])
+                [y, jnp.zeros((self.n_pad,) + tuple(y.shape[1:]), y.dtype)])
 
         def local(batched_local, y_local):
             s = self._local_At_sum(batched_local, y_local)

@@ -123,14 +123,34 @@ class DistributedProcessing(Module):
                 [(i, (i - 1) % n) for i in range(n)],
             )  # rows coming from the next shard
             idx = jax.lax.axis_index(axis)
-            # non-periodic boundaries: 'reflect' (edge-excluded) padding at the
-            # image ends, matching jnp.pad(mode="reflect") used by denoisers
-            top_pad = jnp.where(
-                idx == 0, x_local[..., 1 : ov + 1, :][..., ::-1, :], up
-            )
-            bot_pad = jnp.where(
-                idx == n - 1, x_local[..., -ov - 1 : -1, :][..., ::-1, :], down
-            )
+            # non-periodic boundaries: 'reflect' (edge-excluded) padding at
+            # the image ends, matching jnp.pad(mode="reflect") used by
+            # denoisers. Edge-excluded reflect only has S-1 rows available
+            # on an S-row shard; when ov == S the farthest row falls back
+            # to edge replication (caught by the overlap==shard-height
+            # sweep in tests/test_parallel.py).
+            S = x_local.shape[-2]
+            ovr = min(ov, S - 1)
+
+            def _reflect(block, flip_src):
+                r = flip_src[..., ::-1, :]
+                if ovr < ov:
+                    edge = jnp.repeat(block, ov - ovr, axis=-2)
+                    r = jnp.concatenate([edge, r], axis=-2)
+                return r
+
+            refl_top = _reflect(x_local[..., :1, :],
+                                x_local[..., 1:ovr + 1, :])
+            refl_bot = _reflect(x_local[..., -1:, :],
+                                x_local[..., -ovr - 1:-1, :])
+            if ovr < ov:
+                # deficit edge rows sit farthest from the shard: ABOVE the
+                # reflect at the top, BELOW it at the bottom
+                refl_bot = jnp.concatenate(
+                    [refl_bot[..., ov - ovr:, :],
+                     refl_bot[..., :ov - ovr, :]], axis=-2)
+            top_pad = jnp.where(idx == 0, refl_top, up)
+            bot_pad = jnp.where(idx == n - 1, refl_bot, down)
             padded = jnp.concatenate([top_pad, x_local, bot_pad], axis=-2)
             out = self._apply(padded, sigma)
             return out[..., ov:-ov, :]

@@ -453,3 +453,96 @@ def test_data_fidelity_per_operator_list(ctx, physics_list):
         for i, (f, p) in enumerate(zip(fids, plist))
     )
     assert abs(float(jnp.sum(val)) - val_seq) / abs(val_seq) < 1e-4
+
+
+def test_distributed_fidelity_autodiff_matches_serial(ctx, physics_list):
+    """jax.grad THROUGH the distributed fidelity value equals the serial
+    gradient — differentiability of the shard_map path (reference
+    test_distributed.py gradient-consistency family)."""
+    plist = _filters_same_size(physics_list)
+    sp = stack(*plist)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    dfid = DistributedDataFidelity(L2(), ctx)
+    x = jax.random.uniform(jax.random.key(3), (1,) + IMSIZE)
+    y = dphys.A(x) + 0.1
+
+    g_dist = jax.grad(lambda v: jnp.sum(dfid(v, y, dphys)))(x)
+    fid = L2()
+    g_serial = jax.grad(lambda v: sum(
+        jnp.sum(fid(v, y[i], p)) for i, p in enumerate(plist)))(x)
+    assert_close(g_dist, g_serial, atol=1e-4)
+
+
+@pytest.mark.parametrize("overlap", [2, 4, 8])
+def test_processing_overlap_equivalence_linear(overlap):
+    """DistributedProcessing on an ELEMENTWISE module is exact for every
+    overlap (halo rows are recomputed identically then trimmed), so
+    sharded == direct (reference DistributedProcessing equivalence
+    family)."""
+    ctx = DistributedContext(axis_names=("sp",))
+    lin = lambda v, sigma=None: 2.0 * v - 0.1
+    proc = DistributedProcessing(lin, ctx, overlap=overlap)
+    x = jax.random.uniform(jax.random.key(0), (1, 1, 64, 64))
+    out = proc(x)
+    assert_close(out, lin(x, None), atol=1e-5)
+
+
+@pytest.mark.parametrize("tiling_dims", [-1, -2])
+def test_processing_tiling_dims_variants(tiling_dims):
+    """Column / row / 2D grid sharding all reproduce the direct result for
+    a local (3x3-support) module when the halo covers the support
+    (reference tiling_dims option)."""
+    from deepinv_tpu.ops import conv2d, gaussian_blur
+
+    ctx = DistributedContext(axis_names=("sp",))
+    h = gaussian_blur(sigma=0.7)
+    blur = lambda v, sigma=None: conv2d(v, h, padding="circular")
+    proc = DistributedProcessing(blur, ctx, overlap=max(h.shape[-2:]),
+                                 tiling_dims=tiling_dims)
+    x = jax.random.uniform(jax.random.key(1), (1, 1, 64, 64))
+    out = proc(x)
+    direct = blur(x, None)
+    # circular padding differs from halo replication only at the global
+    # border; compare the interior
+    pad = max(h.shape[-2:])
+    assert_close(out[..., pad:-pad, pad:-pad],
+                 direct[..., pad:-pad, pad:-pad], atol=1e-4)
+
+
+def test_distributed_fidelity_in_pgd_matches_serial(ctx, physics_list):
+    """A full PGD reconstruction with the DISTRIBUTED fidelity + stacked
+    physics equals the serial run on the same measurements (reference
+    end-to-end consistency, test_distributed.py:789)."""
+    from deepinv_tpu.optim import Tikhonov, optim_builder
+
+    plist = _filters_same_size(physics_list[:4])
+    sp = stack(*plist)
+    dphys = DistributedStackedLinearPhysics(plist, ctx)
+    dfid = DistributedDataFidelity(L2(), ctx)
+    x = jax.random.uniform(jax.random.key(5), (1,) + IMSIZE)
+    y_s = sp.A(x)
+    y_d = dphys.A(x)
+
+    def recon(fid, y, physics):
+        m = optim_builder("PGD", data_fidelity=fid, prior=Tikhonov(),
+                          params_algo={"stepsize": 0.3, "lambda": 0.05},
+                          max_iter=30)
+        return m(y, physics)
+
+    serial = recon(L2(), y_s, sp)
+    dist = recon(dfid, y_d, dphys)
+    assert_close(serial, dist, atol=1e-4)
+
+
+def test_distribute_model_type(ctx):
+    """distribute() with a denoiser module spatially shards it
+    (type_object='model'/'auto' path) and matches direct application in
+    the interior (reference distribute surface)."""
+    den = MedianFilter()
+    proc = distribute(lambda v, sigma=None: den(v, 0.1),
+                      DistributedContext(axis_names=("sp",)),
+                      type_object="denoiser", overlap=8)
+    x = jax.random.uniform(jax.random.key(6), (1, 1, 64, 64))
+    out = proc(x)
+    want = den(x, 0.1)
+    assert_close(out[..., 4:-4, 4:-4], want[..., 4:-4, 4:-4], atol=1e-5)
