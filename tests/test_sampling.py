@@ -299,3 +299,39 @@ def test_noisy_data_fidelity(key):
                  else fid.grad(x, y, physics))
             assert g.shape == x.shape
             assert fid.precond(y, physics).shape == x.shape
+
+
+def test_builder_posterior_statistics_and_convergence(key):
+    """sampling_builder algos reproduce the analytic Gaussian posterior
+    through .sample() and report convergence via
+    mean_has_converged/var_has_converged (reference test_sampling_algo:69 /
+    test_build_algo:235)."""
+    sigma_noise = 0.3
+    mu, tau = 0.3, 0.5
+    physics = Denoising(noise_model=GaussianNoise(sigma_noise))
+    x = jnp.full((1, 1, 8, 8), 0.7)
+    y = physics(x, key=key)
+    post_mean = (mu / tau**2 + y / sigma_noise**2) / (
+        1 / tau**2 + 1 / sigma_noise**2)
+    post_var = 1.0 / (1 / tau**2 + 1 / sigma_noise**2)
+
+    for algo, params in [
+        ("ULA", {"step_size": 0.01, "alpha": 1.0, "sigma": 1e-3}),
+        ("SKRock", {"step_size": 0.03, "alpha": 1.0, "sigma": 1e-3,
+                    "inner_iter": 5}),
+    ]:
+        sampler = sampling_builder(
+            algo,
+            data_fidelity=L2(sigma=sigma_noise),
+            prior=ScorePrior(_GaussianScoreDenoiser(mu, tau)),
+            params_algo=params,
+            max_iter=3000,
+            burnin_ratio=0.3,
+            thresh_conv=0.1,
+        )
+        mean, var = sampler.sample(y, physics, key=jax.random.key(2))
+        err = float(jnp.max(jnp.abs(mean - post_mean)))
+        assert err < 0.15, (algo, err)
+        assert abs(float(jnp.mean(var)) - post_var) / post_var < 0.6, algo
+        assert sampler.mean_has_converged(), algo
+        assert sampler.var_has_converged(), algo
