@@ -170,20 +170,24 @@ def update(mod: Module, **params) -> Module:
 
 
 def partition_arrays(tree):
-    """Split a pytree into (arrays, static) where static leaves become None.
+    """Split a pytree into ``(arrays, static)``: ``arrays`` is a leaf list
+    (None where the leaf is not an array — a valid pytree optax can
+    update), ``static`` carries the treedef plus the non-array leaves.
 
-    Used for optimizer setup: ``optax`` updates only the array partition.
+    Flatten-based rather than tree_map-based: for :class:`Module` pytrees
+    a None attribute is *structural* (it lands in the treedef), so mapping
+    arrays to None changes the structure and the naive two-tree_map
+    version could never be recombined (caught by
+    tests/test_core.py::test_partition_and_combine_roundtrip).
     """
-    arrays = jax.tree_util.tree_map(lambda x: x if is_array(x) else None, tree)
-    static = jax.tree_util.tree_map(lambda x: None if is_array(x) else x, tree)
-    return arrays, static
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = [l if is_array(l) else None for l in leaves]
+    others = [None if is_array(l) else l for l in leaves]
+    return arrays, (treedef, others)
 
 
 def combine(arrays, static):
     """Inverse of :func:`partition_arrays`."""
-    return jax.tree_util.tree_map(
-        lambda a, s: a if a is not None else s,
-        arrays,
-        static,
-        is_leaf=lambda x: x is None,
-    )
+    treedef, others = static
+    leaves = [a if a is not None else s for a, s in zip(arrays, others)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

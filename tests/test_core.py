@@ -238,3 +238,77 @@ def test_deprecation_decorators():
     with _pytest.warns(DeprecationWarning):
         ho.field = 8
     assert ho._field == 8
+
+
+def test_partition_and_combine_roundtrip():
+    """partition_arrays/combine split a module into (arrays, static) and
+    reassemble it bit-identically — the pattern jitted optimizers use to
+    treat modules as parameter pytrees."""
+    from deepinv_tpu.core import combine, partition_arrays
+    from deepinv_tpu.models import DnCNN
+
+    m = DnCNN(1, 1, depth=3, nf=4)
+    arrays, static = partition_arrays(m)
+    leaves = jax.tree_util.tree_leaves(arrays)
+    assert all(hasattr(l, "dtype") for l in leaves)
+    m2 = combine(arrays, static)
+    x = jnp.ones((1, 1, 8, 8))
+    assert jnp.allclose(m(x, 0.1), m2(x, 0.1))
+
+
+def test_module_update_functional_semantics():
+    """Module.update returns a NEW module; the original is untouched —
+    functional parameter updates are the JAX-native replacement for the
+    reference's in-place mutation."""
+    from deepinv_tpu.models import Conv2d
+
+    c = Conv2d(2, 2, 3)
+    w0 = c.weight
+    c2 = c.update(weight=w0 * 0.0)
+    assert float(jnp.max(jnp.abs(c2.weight))) == 0.0
+    assert float(jnp.max(jnp.abs(c.weight - w0))) == 0.0
+
+
+def test_tree_helpers_complex_consistency():
+    """tree_vdot/tree_norm/tree_axpy on mixed real/complex pytrees follow
+    the inner-product conventions the Krylov solvers rely on."""
+    from deepinv_tpu.core import (tree_axpy, tree_norm, tree_real_vdot,
+                                  tree_vdot)
+
+    a = {"r": jnp.asarray([1.0, 2.0]), "c": jnp.asarray([1 + 1j, 0 + 2j])}
+    b = {"r": jnp.asarray([3.0, -1.0]), "c": jnp.asarray([2 - 1j, 1j])}
+    v = tree_vdot(a, b)
+    want = (1 * 3 + 2 * (-1)) + ((1 - 1j) * (2 - 1j) + (0 - 2j) * 1j)
+    assert abs(complex(v) - complex(want)) < 1e-6
+    assert abs(float(tree_real_vdot(a, b)) - complex(want).real) < 1e-6
+    n2 = float(tree_norm(a)) ** 2
+    assert abs(n2 - (1 + 4 + 2 + 4)) < 1e-5
+    s = tree_axpy(2.0, a, b)
+    assert jnp.allclose(s["r"], jnp.asarray([5.0, 3.0]))
+
+
+def test_epoch_key_streams_are_disjoint():
+    """epoch_key(seed, epoch) derives independent per-epoch streams —
+    reproducible per epoch, different across epochs."""
+    from deepinv_tpu.core import epoch_key
+
+    k1 = epoch_key(jax.random.key(0), 1)
+    k1b = epoch_key(jax.random.key(0), 1)
+    k2 = epoch_key(jax.random.key(0), 2)
+    a = jax.random.normal(k1, (4,))
+    assert jnp.allclose(a, jax.random.normal(k1b, (4,)))
+    assert not jnp.allclose(a, jax.random.normal(k2, (4,)))
+
+
+def test_power_method_matches_dense_eigenvalue():
+    """power_method on A^T A returns the dominant eigenvalue to 1e-3
+    relative against numpy's eigvalsh."""
+    from deepinv_tpu.core import power_method
+
+    rng = np.random.default_rng(0)
+    M = jnp.asarray(rng.standard_normal((12, 12)), jnp.float32)
+    A = M.T @ M
+    lam = float(power_method(lambda v: (v.reshape(1, -1) @ A.T).reshape(v.shape),
+                             jnp.ones((1, 12)), max_iter=500, tol=1e-9))
+    want = float(np.linalg.eigvalsh(np.asarray(A)).max())
+    assert abs(lam - want) / want < 1e-3
