@@ -187,3 +187,63 @@ def test_tiled_apply_matches_direct_on_linear(key):
     out = U.tiled_apply(fn, x, patch_size=16, overlap=8)
     assert out.shape == x.shape
     assert float(jnp.max(jnp.abs(out - fn(x)))) < 1e-5
+
+
+@pytest.mark.parametrize("rescale_mode", ["min_max", "clip"])
+@pytest.mark.parametrize("n_vids", [1, 2])
+def test_plot_videos_sweep(rescale_mode, n_vids, tmp_path, key):
+    """plot_videos animates (B, C, T, H, W) stacks for 1..n videos and
+    both rescale modes; save_videos writes a nonempty GIF (reference
+    test_plot_videos:347 / test_save_videos:356)."""
+    vids = [jax.random.uniform(jax.random.fold_in(key, i), (1, 1, 3, 8, 8))
+            for i in range(n_vids)]
+    fn = str(tmp_path / f"v{n_vids}_{rescale_mode}.gif")
+    out = U.save_videos(vids, rescale_mode=rescale_mode, save_fn=fn)
+    assert os.path.getsize(out) > 0
+
+
+def test_save_videos_appends_extension(tmp_path, key):
+    vid = jax.random.uniform(key, (1, 1, 2, 8, 8))
+    out = U.save_videos([vid], save_fn=str(tmp_path / "noext"))
+    assert out.endswith(".gif") and os.path.getsize(out) > 0
+
+
+@pytest.mark.parametrize("mode", ["min_max", "clip"])
+def test_rescale_img_modes(mode, key):
+    """rescale_img: min_max maps to the full [0,1] span; clip only
+    truncates (reference rescale_mode semantics)."""
+    x = 3.0 * jax.random.normal(key, (1, 1, 8, 8)) + 1.0
+    out = U.rescale_img(x, rescale_mode=mode)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    if mode == "min_max":
+        assert out.min() < 1e-6 and out.max() > 1 - 1e-6
+    else:
+        inside = (np.asarray(x) >= 0) & (np.asarray(x) <= 1)
+        assert np.allclose(out[inside], np.asarray(x)[inside])
+
+
+@pytest.mark.parametrize("nrow", [1, 2, 5])
+def test_make_grid_nrow_sweep(nrow, key):
+    imgs = jax.random.uniform(key, (5, 3, 6, 6))
+    grid = U.make_grid(imgs, nrow=nrow, padding=2)
+    import math
+
+    rows = math.ceil(5 / nrow)
+    assert grid.shape[1] == rows * 6 + (rows + 1) * 2
+    assert grid.shape[2] == nrow * 6 + (nrow + 1) * 2
+
+
+def test_load_image_resize_and_gray(tmp_path, key):
+    """load_image decodes, resizes and grayscales consistently with the
+    ImageFolder path (reference test_load_image:782)."""
+    from PIL import Image
+
+    arr = (np.asarray(jax.random.uniform(key, (12, 10, 3))) * 255
+           ).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(p)
+    x = U.load_image(p, size=(8, 8))
+    assert x.shape == (3, 8, 8)
+    g = U.load_image(p, size=(8, 8), grayscale=True)
+    assert g.shape == (1, 8, 8)
+    assert 0.0 <= float(np.min(g)) and float(np.max(g)) <= 1.0
