@@ -227,3 +227,60 @@ def test_tiled_blur_generator_tiles():
         p["filter"])
     assert filt.ndim >= 4
     assert np.isfinite(filt).all()
+
+
+@pytest.mark.parametrize("convention", ["noll", "ansi"])
+@pytest.mark.parametrize("apodize", [False, True])
+@pytest.mark.parametrize("random_rotate", [False, True])
+def test_diffraction_option_sweep(convention, apodize, random_rotate):
+    """Diffraction generator over index conventions x apodization x random
+    rotation (reference test_diffraction_generator:650): normalized PSFs
+    everywhere, conventions give genuinely different aberrations."""
+    gen = G.DiffractionBlurGenerator(
+        (9, 9), pupil_size=(32, 32), index_convention=convention,
+        apodize=apodize, random_rotate=random_rotate)
+    f = np.asarray(gen.step(batch_size=2, seed=0)["filter"], np.float64)
+    assert f.shape == (2, 1, 9, 9)
+    # random_rotate's bilinear resample can ring slightly negative; the
+    # 9x9 crop loses up to ~1% of apodized-pupil mass
+    assert (f >= -1e-3).all()
+    assert np.allclose(f.reshape(2, -1).sum(1), 1.0, atol=2e-2)
+
+
+def test_diffraction_conventions_differ():
+    """noll vs ansi orderings map the same coefficients to different
+    Zernike modes, so the same seed gives different PSFs."""
+    fs = {}
+    for conv in ("noll", "ansi"):
+        gen = G.DiffractionBlurGenerator((9, 9), pupil_size=(32, 32),
+                                         index_convention=conv)
+        fs[conv] = np.asarray(gen.step(batch_size=1, seed=0)["filter"])
+    assert not np.allclose(fs["noll"], fs["ansi"])
+
+
+def test_diffraction_3d_option_sweep():
+    """3D diffraction generator with apodization: normalized volumetric
+    PSF with energy spread across defocus planes (reference is_3d arm of
+    test_diffraction_generator:650)."""
+    gen = G.DiffractionBlurGenerator3D((5, 9, 9), pupil_size=(32, 32),
+                                       apodize=True)
+    f = np.asarray(gen.step(batch_size=1, seed=1)["filter"], np.float64)
+    assert f.shape == (1, 1, 5, 9, 9)
+    assert abs(f.sum() - 1.0) < 1e-3
+    planes = f[0, 0].reshape(5, -1).sum(1)
+    assert (planes > 0).all()  # every defocus plane carries energy
+
+
+def test_motion_blur_length_controls_support():
+    """MotionBlurGenerator: ``l`` is the Gaussian-process correlation
+    length — SMALLER l = rougher trajectory = wider PSF support
+    (reference motion-blur statistics family)."""
+    def spread(l):
+        gen = G.MotionBlurGenerator(psf_size=(15, 15), l=l)
+        f = np.asarray(gen.step(batch_size=4, seed=0)["filter"], np.float64)
+        yy, xx = np.mgrid[0:15, 0:15]
+        c = 7.0
+        m2 = (f[:, 0] * ((yy - c) ** 2 + (xx - c) ** 2)).sum(axis=(1, 2))
+        return m2.mean()
+
+    assert spread(0.1) > spread(0.9)
