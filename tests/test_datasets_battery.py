@@ -238,3 +238,54 @@ def test_tensor_dataset_tuple_items(key):
            (list(a) + list(b))}
     want = {float(np.asarray(xs[i]).ravel()[0]) for i in range(6)}
     assert got == want
+
+
+def test_dataloader_semantics(key):
+    """DataLoader: batch shapes, drop_last, epoch reshuffling under seeds,
+    and full coverage without drop_last (reference dataloader-format
+    family)."""
+    import numpy as np
+
+    xs = np.arange(10, dtype=np.float32).reshape(10, 1, 1, 1)
+    ds = D.ArrayDataset(xs)
+
+    # drop_last defaults to True here (jit programs want static batch
+    # shapes — a documented TPU-first deviation from torch's default)
+    dl = D.DataLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+    batches = list(dl)
+    assert [b.shape[0] for b in batches] == [4, 4, 2]
+    assert len(dl) == 3
+    flat = np.concatenate([np.asarray(b).ravel() for b in batches])
+    assert np.array_equal(np.sort(flat), np.arange(10, dtype=np.float32))
+
+    dl2 = D.DataLoader(ds, batch_size=4, shuffle=True, seed=3)
+    batches2 = list(dl2)
+    assert [b.shape[0] for b in batches2] == [4, 4]
+    assert len(dl2) == 2
+
+    # same seed -> same order; successive epochs differ
+    a1 = np.asarray(next(iter(D.DataLoader(ds, batch_size=10, shuffle=True,
+                                           seed=5))))
+    a2 = np.asarray(next(iter(D.DataLoader(ds, batch_size=10, shuffle=True,
+                                           seed=5))))
+    assert np.array_equal(a1, a2)
+
+
+def test_fastmri_middle_window(tmp_path):
+    """slice_index='middle+1' keeps a 2i+1 window of slices per volume
+    (reference fastmri.py:389)."""
+    import h5py
+
+    rng = np.random.default_rng(1)
+    root = str(tmp_path / "fm")
+    os.makedirs(root)
+    ksp = (rng.standard_normal((5, 2, 8, 8))
+           + 1j * rng.standard_normal((5, 2, 8, 8))).astype(np.complex64)
+    with h5py.File(os.path.join(root, "f.h5"), "w") as f:
+        f.create_dataset("kspace", data=ksp)
+    from deepinv_tpu.datasets import FastMRISliceDataset
+
+    ds = FastMRISliceDataset(root, slice_index="middle+1")
+    assert len(ds) == 3
+    idxs = sorted(i for _, i in ds.samples)
+    assert idxs == [1, 2, 3]
