@@ -188,3 +188,58 @@ def test_squared_vs_nonsquared_norm(key):
         v = v / jnp.linalg.norm(v)
     lam = float(jnp.vdot(v, p.A_adjoint(p.A(v))).real)
     assert abs(n2 - lam) / lam < 1e-2, (n2, lam)
+
+
+def test_inpainting_noise_domain(key):
+    """No noise outside the operator's support: in y = Ax + n, n = 0
+    wherever the mask zeroes Ax (reference test_noise_domain:1309)."""
+    from deepinv_tpu.physics import GaussianNoise, Inpainting
+
+    x = jnp.ones((1, 3, 12, 7))
+    mask = jnp.ones((3, 12, 7))
+    mask = mask.at[0, 0, 0].set(0).at[1, 1, 1].set(0).at[2, 2, 2].set(0)
+    physics = Inpainting(img_size=(3, 12, 7), mask=mask,
+                         noise_model=GaussianNoise(sigma=0.2))
+    y = physics(x, key=key)
+    assert y.shape == x.shape
+    assert float(y[0, 0, 0, 0]) == 0.0
+    assert float(y[0, 1, 1, 1]) == 0.0
+    assert float(y[0, 2, 2, 2]) == 0.0
+    # and noise IS present inside the support
+    assert float(jnp.std(y - x)) > 0.01
+
+
+@pytest.mark.parametrize("img_size,filter_size", [
+    ((1, 16, 16), (5, 5)), ((3, 17, 17), (6, 6)), ((1, 16, 17), (6, 5)),
+])
+def test_blur_shape_matrix(img_size, filter_size, key):
+    """Blur over even/odd image x even/odd filter combinations: valid-mode
+    output shapes follow H-h+1 and adjointness holds (reference
+    test_blur:1339)."""
+    from deepinv_tpu.physics import Blur
+
+    kf, kx = jax.random.split(key)
+    f = jnp.abs(jax.random.normal(kf, (1, 1) + filter_size))
+    f = f / jnp.sum(f)
+    physics = Blur(filter=f, padding="valid")
+    x = jax.random.uniform(kx, (1,) + img_size)
+    y = physics.A(x)
+    H, W = img_size[-2:]
+    h, w = filter_size
+    assert y.shape[-2:] == (H - h + 1, W - w + 1)
+    err = physics.adjointness_test(x, key=jax.random.key(1))
+    assert abs(complex(err)) < 1e-3
+
+
+def test_physics_noise_reset_reproducibility(key):
+    """The same key reproduces the same noisy measurement; different keys
+    differ (reference test_reset_noise:1380, key-based in JAX)."""
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+
+    p = Denoising(noise_model=GaussianNoise(sigma=0.1))
+    x = jnp.ones((1, 1, 8, 8)) * 0.5
+    y1 = p(x, key=key)
+    y2 = p(x, key=key)
+    y3 = p(x, key=jax.random.key(123))
+    assert np.allclose(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y3))
