@@ -243,3 +243,21 @@ def test_physics_noise_reset_reproducibility(key):
     y3 = p(x, key=jax.random.key(123))
     assert np.allclose(np.asarray(y1), np.asarray(y2))
     assert not np.allclose(np.asarray(y1), np.asarray(y3))
+
+
+@pytest.mark.parametrize("name", ["blur_circular", "inpainting", "mri"])
+def test_physics_pickle_state_roundtrip(name, key):
+    """Physics pytrees serialize and restore bit-identically (reference
+    test_physics_state_dict:1948 — pickle here, the JAX-native analogue of
+    the torch state_dict round-trip)."""
+    import pickle
+
+    physics, imsize = find_operator(name)
+    blob = pickle.dumps(physics)
+    restored = pickle.loads(blob)
+    x = rand_x(key, (1,) + imsize, name)
+    ya = physics.A(x)
+    yb = restored.A(x)
+    for a, b in zip(jax.tree_util.tree_leaves(ya),
+                    jax.tree_util.tree_leaves(yb)):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
