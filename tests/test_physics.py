@@ -759,6 +759,65 @@ def test_born_and_scattering():
     assert rel2 > rel
 
 
+@pytest.mark.slow
+def test_scattering_mie_validation():
+    """Lippmann-Schwinger solver vs the closed-form Mie cylinder solution
+    (reference deepinv/physics/scattering.py:1020 mie_theory; reference test
+    tests/test_physics.py uses the same oracle). Pixel-basis discretization
+    of the jump contrast converges at first order, so the residual must
+    roughly halve when the grid is refined."""
+    import numpy as np
+    from deepinv_tpu.physics import Scattering
+    from deepinv_tpu.physics.scattering import mie_theory, circular_sensors
+
+    L, k, a, contrast = 1.0, 20.0, 0.2, 0.6
+    tx, rx = circular_sensors(3, radius=1.0)
+    ang = np.arctan2(tx[1], tx[0])
+    rels = []
+    for n in (96, 192):
+        phys = Scattering(img_width=n, transmitters=tx, receivers=rx,
+                          background_wavenumber=k, box_length=L,
+                          wave_type="plane_wave")
+        grid = np.linspace(-L / 2, L / 2, n)
+        yy, xx = np.meshgrid(-grid, grid, indexing="ij")
+        c = jnp.array(((xx**2 + yy**2) < a**2).astype(np.float32)
+                      * contrast)[None, None]
+        u = phys.compute_total_field(c)
+        u_mie, _ = mie_theory(k, a, contrast, n, ang,
+                              wave_type="plane_wave", box_length=L)
+        rels.append(float(jnp.linalg.norm(u - u_mie)
+                          / jnp.linalg.norm(u_mie)))
+    assert rels[0] < 0.08, rels
+    assert rels[1] < 0.62 * rels[0], rels  # first-order convergence
+
+
+@pytest.mark.slow
+def test_scattering_implicit_gradients():
+    """Reverse-mode gradients through the lax.custom_linear_solve field solve
+    (the JAX equivalent of the reference's adjoint-state backward,
+    deepinv/physics/scattering.py:862) match central finite differences."""
+    from deepinv_tpu.physics import Scattering
+    from deepinv_tpu.physics.scattering import circular_sensors
+
+    n = 48
+    tx, rx = circular_sensors(3, radius=1.0)
+    phys = Scattering(img_width=n, transmitters=tx, receivers=rx,
+                      background_wavenumber=20.0, box_length=1.0,
+                      wave_type="plane_wave")
+    x = 0.3 * jax.random.uniform(jax.random.key(0), (1, 1, n, n))
+
+    def loss(c):
+        return jnp.sum(jnp.abs(phys.A(c)) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    eps = 1e-3
+    d = jnp.zeros_like(x).at[0, 0, n // 2, n // 2].set(1.0)
+    fd = float((loss(x + eps * d) - loss(x - eps * d)) / (2 * eps))
+    ad = float(jnp.vdot(g, d).real)
+    assert abs(fd - ad) / max(abs(fd), 1e-9) < 5e-2, (fd, ad)
+
+
 def test_pet():
     from deepinv_tpu.physics import PET
     from deepinv_tpu.datasets import shepp_logan
