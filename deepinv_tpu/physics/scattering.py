@@ -312,10 +312,11 @@ class BornOperator(LinearPhysics):
                          jnp.conj(self.green_operator))
         return jnp.sum(jnp.conj(self.total_field) * aux, axis=1, keepdims=True)
 
-    def A_dagger(self, y, init=None, solver: str = "BiCGStab",
+    def A_dagger(self, y, init=None, solver: str = "lsqr",
                  gamma: float = 1e3, max_iter: int = 100, tol: float = 5e-3,
                  **kwargs):
-        """Regularized least-squares inversion (reference scattering.py:600)."""
+        """Regularized least-squares inversion (reference scattering.py:600,
+        which also defaults to ``solver='lsqr'``)."""
         return least_squares(self.A, self.A_adjoint, y, solver=solver,
                              gamma=gamma, init=init, max_iter=max_iter,
                              tol=tol)
@@ -367,7 +368,8 @@ class Scattering(Physics):
     """
 
     def __init__(self, img_width: Optional[int] = None, receivers=None,
-                 transmitters=None, background_wavenumber: float = 10.0,
+                 transmitters=None,
+                 background_wavenumber: Optional[float] = None,
                  solver_config: Optional["Scattering.SolverConfig"] = None,
                  box_length: float = 1.0, wave_type: str = "circular_wave",
                  dtype=jnp.complex64, verbose: bool = False,
@@ -380,20 +382,29 @@ class Scattering(Physics):
             raise ValueError(
                 'Wave type not recognized, options are "circular_wave" or '
                 '"plane_wave"')
+        # ``background_wavenumber`` uses a None sentinel so the shorthand
+        # below cannot silently override an explicit user value (the
+        # reference default is 10.0, scattering.py:34).
+        kb_explicit = background_wavenumber is not None
         if k0 is not None:
             background_wavenumber = float(k0)
+            kb_explicit = True
+        elif background_wavenumber is None:
+            background_wavenumber = 10.0
         if img_width is None:
             img_width = (img_size[-1] if img_size is not None else 64)
         if transmitters is None:
-            # Shorthand: plane waves + shared circular receivers
-            # (legacy default wavenumber 2*pi, matching BornOperator).
+            # Shorthand: plane waves + circular sensor defaults (legacy
+            # wavenumber 2*pi, matching BornOperator) — but never replace
+            # values the user explicitly passed.
             wave_type = "plane_wave"
-            if k0 is None:
+            if not kb_explicit:
                 background_wavenumber = 2 * math.pi
             transmitters, _ = circular_sensors(int(n_sources or 8),
                                                radius=box_length)
-            receivers, _ = circular_sensors(int(n_receivers or 16),
-                                            radius=box_length)
+            if receivers is None:
+                receivers, _ = circular_sensors(int(n_receivers or 16),
+                                                radius=box_length)
         if receivers is None:
             raise ValueError("receivers positions are required")
         k = complex(background_wavenumber)
@@ -561,6 +572,10 @@ class Scattering(Physics):
 
         if init is not None:
             # Warm-started eager solve (used by the alternating A_dagger).
+            # The warm start may be the (1, T, H, W) incident field while b
+            # carries a batch: broadcast so x0 and b shapes agree for the
+            # Krylov solver.
+            init = jnp.broadcast_to(jnp.asarray(init, dtype), b.shape)
             return self._solve(matvec, b, init - u_inc) + u_inc
 
         def solve(mv, bb):

@@ -1159,3 +1159,36 @@ def test_multicoil_coil_map_estimation():
     assert res < 0.01, res
     magerr = np.abs(np.abs(v)[:, good] - np.abs(np.asarray(maps))[:, good])
     assert magerr.mean() < 0.01
+
+@pytest.mark.slow
+def test_scattering_advice_r4_regressions():
+    """Round-4 advisor findings (ADVICE.md): batched A_dagger warm start,
+    explicit-kwarg shorthand overrides, and the lsqr solver default."""
+    import numpy as np
+    from deepinv_tpu.physics import BornOperator, Scattering
+    from deepinv_tpu.physics.scattering import circular_sensors
+    import inspect
+
+    n = 24
+    # (1) batched measurements through the warm-started alternating dagger:
+    # previously init=(1,T,H,W) vs b=(B,T,H,W) crashed the Krylov solver.
+    scat = Scattering(img_size=(n, n), n_sources=3, n_receivers=6)
+    c = jnp.zeros((2, 1, n, n)).at[:, :, 8:16, 8:16].set(0.02)
+    y = scat.A(c)
+    xh = scat.A_dagger(y, max_iter=1, use_init=True)
+    assert xh.shape == (2, 1, n, n)
+    assert bool(jnp.all(jnp.isfinite(jnp.abs(xh))))
+
+    # (2) the transmitters-is-None shorthand must not override explicit
+    # user values: background_wavenumber sticks, custom receivers stick.
+    phys = Scattering(img_width=n, background_wavenumber=30.0)
+    assert abs(phys.wavenumber.real - 30.0) < 1e-6
+    rx, _ = circular_sensors(5, radius=1.0)
+    phys2 = Scattering(img_width=n, n_sources=3, receivers=rx)
+    assert phys2.receivers.shape[-1] == 5
+    # ...while the pure shorthand still uses the legacy 2*pi default
+    assert abs(Scattering(img_width=n).wavenumber.real - 2 * np.pi) < 1e-6
+
+    # (3) reference-matching default solver for the Born dagger
+    assert (inspect.signature(BornOperator.A_dagger)
+            .parameters["solver"].default == "lsqr")
