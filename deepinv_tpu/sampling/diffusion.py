@@ -290,12 +290,17 @@ class DPS(Reconstructor):
         self.guidance_scale = guidance_scale
         acp = _ddpm_schedule()
         self._acp = jnp.asarray(acp, jnp.float32)
+        # Precompute the (at, at_next) schedule HERE, while `acp` is still a
+        # concrete host array: `max_iter` is static pytree aux but `_acp` is
+        # a traced leaf when the sampler is passed as a jit argument, so
+        # doing this in __call__ would np.asarray() a tracer.
+        steps = np.linspace(len(acp) - 1, 1, max_iter).astype(np.int64)
+        at_list = np.asarray(acp)[steps]
+        at_next_list = np.concatenate([np.asarray(acp)[steps[1:]], [1.0]])
+        self._sched = jnp.asarray(np.stack([at_list, at_next_list], 1), jnp.float32)
 
     def __call__(self, y, physics, key=None, seed: int = 0, x_init=None, **kwargs):
         key = ensure_key(key, seed)
-        T = self._acp.shape[0]
-        steps = np.linspace(T - 1, 1, self.max_iter).astype(np.int64)
-        acp = np.asarray(self._acp)
 
         if x_init is None:
             k0, key = jax.random.split(key)
@@ -305,9 +310,7 @@ class DPS(Reconstructor):
             x = 2 * x_init - 1
 
         keys = jax.random.split(key, self.max_iter)
-        at_list = acp[steps]
-        at_next_list = np.concatenate([acp[steps[1:]], [1.0]])
-        sched = jnp.asarray(np.stack([at_list, at_next_list], 1), jnp.float32)
+        sched = self._sched
 
         def denoise_x0(xt, at):
             sigma_t = jnp.sqrt(jnp.clip(1 - at, 1e-8, None)) / jnp.sqrt(at)

@@ -4,7 +4,11 @@ from .mixins import (
     TimeMixin, TiledMixin2d, tiled_apply, image_to_patches, patches_to_image,
     patchify,
 )
-from .io import DownloadError, load_np, load_mat, load_tiff, load_url, load_example, get_cache_home, get_data_home
+from .io import (
+    DownloadError, load_np, load_mat, load_tiff, load_url, load_example,
+    load_dicom, load_nifti, load_ismrmd, load_raster,
+    get_cache_home, get_data_home,
+)
 from .profiling import trace, compiled_cost, timeit
 from .decorators import (
     deprecated_alias, deprecated_argument, deprecated_func, deprecated_class,
@@ -106,22 +110,6 @@ def load_torch(path, **kwargs):
     if isinstance(obj, dict):
         return {k: conv(v) for k, v in obj.items()}
     return conv(obj)
-
-
-def load_dicom(path, **kwargs):
-    raise ImportError("load_dicom requires pydicom (not in this image)")
-
-
-def load_nifti(path, **kwargs):
-    raise ImportError("load_nifti requires nibabel (not in this image)")
-
-
-def load_ismrmd(path, **kwargs):
-    raise ImportError("load_ismrmd requires ismrmrd (not in this image)")
-
-
-def load_raster(path, **kwargs):
-    raise ImportError("load_raster requires rasterio (not in this image)")
 
 
 def enable_tex():

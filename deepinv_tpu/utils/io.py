@@ -79,20 +79,120 @@ def load_tiff(path):
     return np.asarray(Image.open(path))
 
 
-def load_dicom(path):
-    try:
-        import pydicom
-    except ImportError as e:
-        raise ImportError("load_dicom requires pydicom") from e
-    return pydicom.dcmread(path).pixel_array
+def load_dicom(path, as_tensor: bool = False, apply_rescale: bool = False,
+               dtype=None):
+    """Read one DICOM slice (reference utils/io.py ``load_dicom``; pydicom
+    there). Native explicit-VR-little-endian parser — see
+    :mod:`deepinv_tpu.utils.dicom`; pydicom is used when installed. With
+    ``as_tensor`` the (H, W) array gains a leading channel dim, matching
+    the reference's ``(1, H, W)`` tensor output."""
+    from .dicom import load_dicom as _native
+
+    return _native(path, as_tensor=as_tensor, apply_rescale=apply_rescale,
+                   dtype=dtype)
 
 
-def load_nifti(path):
-    try:
-        import nibabel
-    except ImportError as e:
-        raise ImportError("load_nifti requires nibabel") from e
-    return np.asarray(nibabel.load(path).get_fdata())
+# NIfTI-1 datatype code -> numpy dtype (nifti1.h)
+_NIFTI_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 32: np.complex64,
+    64: np.float64, 256: np.int8, 512: np.uint16, 768: np.uint32,
+    1024: np.int64, 1280: np.uint64, 1792: np.complex128,
+}
+
+
+def load_nifti(path, as_memmap: bool = False, dtype=np.float32, **kwargs):
+    """Load a NIfTI-1 volume (reference utils/io.py:457, which wraps
+    nibabel). Native parser: the 348-byte header carries dims, datatype,
+    ``vox_offset`` and the ``scl_slope/scl_inter`` affine; voxel data is
+    Fortran-ordered from ``vox_offset``. Handles ``.nii`` and ``.nii.gz``
+    and both endiannesses. ``as_memmap`` returns a ``numpy.memmap`` over
+    the raw voxels (uncompressed files only)."""
+    import gzip
+    import struct
+
+    p = str(path)
+    opener = gzip.open if p.endswith(".gz") else open
+    with opener(p, "rb") as f:
+        hdr = f.read(352)
+        (size,) = struct.unpack("<i", hdr[:4])
+        bo = "<" if size == 348 else ">"
+        if struct.unpack(bo + "i", hdr[:4])[0] != 348:
+            raise ValueError(f"{path}: not a NIfTI-1 file (sizeof_hdr != 348)")
+        dim = struct.unpack(bo + "8h", hdr[40:56])
+        (dtcode,) = struct.unpack(bo + "h", hdr[70:72])
+        (vox_offset,) = struct.unpack(bo + "f", hdr[108:112])
+        scl_slope, scl_inter = struct.unpack(bo + "2f", hdr[112:120])
+        shape = tuple(int(d) for d in dim[1 : 1 + max(dim[0], 1)])
+        raw_dt = np.dtype(_NIFTI_DTYPES[dtcode]).newbyteorder(bo)
+        count = int(np.prod(shape))
+        off = int(vox_offset) if vox_offset else 352
+        if as_memmap and opener is open:
+            return np.memmap(p, dtype=raw_dt, mode="r", offset=off,
+                             shape=shape, order="F")
+        f.seek(off)
+        a = np.frombuffer(f.read(count * raw_dt.itemsize), dtype=raw_dt)
+    a = a.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        a = a * (scl_slope or 1.0) + scl_inter
+    return a.astype(dtype) if dtype is not None else a
+
+
+def load_ismrmd(path, data_name: str = "kspace", data_slice=None, **kwargs):
+    """Load complex MRI data from an ISMRMRD/fastMRI HDF5 file (reference
+    utils/io.py:262). Returns the real/imag parts stacked on a new leading
+    axis — shape ``(2, ...)`` — matching the reference; ``data_slice``
+    (int / slice / tuple) is applied to the dataset BEFORE reading so large
+    files stream only the requested slab."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if data_name in f:
+            ds = f[data_name]
+        else:  # ISMRMRD proper nests datasets under a group
+            found = []
+            f.visititems(lambda n, o: found.append(o)
+                         if isinstance(o, h5py.Dataset)
+                         and n.split("/")[-1] == data_name else None)
+            if not found:
+                raise KeyError(f"{data_name!r} not found in {path}")
+            ds = found[0]
+        a = np.asarray(ds[data_slice] if data_slice is not None else ds[()])
+    if np.iscomplexobj(a):
+        return np.stack([a.real, a.imag], 0)
+    return a
+
+
+def load_raster(path, patch=False, patch_start=(0, 0), transform=None,
+                **kwargs):
+    """Load a raster image as ``(C, H, W)`` or stream patches (reference
+    utils/io.py:330, which wraps rasterio). PIL-backed: covers plain and
+    tiled TIFF/GeoTIFF pixel data (no CRS metadata — the reference's
+    tensor output carries none either). ``patch=int | (h, w)`` yields
+    row-major ``(C, h, w)`` patches starting at ``patch_start``;
+    ``patch=True`` (internal block windows) needs rasterio and raises."""
+    from PIL import Image
+
+    a = np.asarray(Image.open(path))
+    if a.ndim == 2:
+        a = a[None]
+    else:
+        a = np.moveaxis(a, -1, 0)
+    if patch is False:
+        return a if transform is None else transform(a)
+    if patch is True:
+        raise NotImplementedError(
+            "patch=True streams the raster's internal block windows, which "
+            "requires rasterio; pass an explicit patch size instead")
+    ph, pw = (patch, patch) if isinstance(patch, int) else patch
+    h0, w0 = patch_start
+
+    def gen():
+        for i in range(h0, a.shape[1] - ph + 1, ph):
+            for j in range(w0, a.shape[2] - pw + 1, pw):
+                p = a[:, i : i + ph, j : j + pw]
+                yield p if transform is None else transform(p)
+
+    return gen()
 
 
 def load_url(url, **kwargs):
