@@ -101,24 +101,31 @@ CONFIGS = {
     # steps/s/chip; the whole sampler is ONE lax.scan program, slope-timed
     # by varying the schedule length. torch-CPU references measured in-tree
     # 2026-08-20 (scripts/bench_torch_cpu.py, 8 threads).
-    "sampling": dict(torch_cpu_its=None,  # filled from measurement below
+    "sampling": dict(torch_cpu_its=0.3918,
                      metric="ddrm_drunet_inpainting_256px_steps_per_sec_chip"),
-    "sampling_sr": dict(torch_cpu_its=None,
+    "sampling_sr": dict(torch_cpu_its=0.2045,
                         metric="dps_drunet_sr4_256px_steps_per_sec_chip"),
     # BASELINE.json config #5 — self-supervised EI + SURE training step
     # (reference loss/ei.py:13, loss/sure.py:122): DnCNN reconstructor on
     # 256px inpainting, loss = SURE(y) + EI(rotations), fwd+bwd+adam.
     "train_ssl": dict(
-        torch_cpu_its=None,
+        torch_cpu_its=0.1214,
         metric="train_ssl_ei_sure_dncnn_inpainting_256px_steps_per_sec_chip"),
 }
 
 # torch-CPU throughput at batch (images/s, 8 threads) for the batched rows'
-# vs_baseline: measured by scripts/bench_torch_cpu.py on this host. The CPU
-# is compute-bound on these workloads, so images/s is nearly flat in batch
-# (BASELINE.md cross-check: ~110 GF/s sustained at B=1); the measured B=8
-# numbers below confirm it. Keys: (config, batch) -> images/s.
-TORCH_CPU_IMGS = {}
+# vs_baseline: measured by scripts/bench_torch_cpu.py on this host
+# (2026-08-20). The CPU is compute-bound on these workloads, so images/s is
+# nearly flat in batch — deblur 0.333 img/s at B=8 vs 0.385 at B=1, train
+# 0.177 at B=16 vs 0.300 at B=1 (slightly WORSE per image at batch: the
+# 8-thread CPU gains nothing from batching and loses cache locality).
+# Keys: (config, batch) -> images/s.
+TORCH_CPU_IMGS = {
+    ("deblur", 8): 0.3326,
+    ("mri", 8): 1.0507,
+    ("ct", 8): 0.5912,
+    ("train", 16): 0.1772,
+}
 
 
 def _problem(config, key, batch=1):

@@ -1,4 +1,4 @@
-from .base import PhysicsGenerator, GeneratorMixture
+from .base import PhysicsGenerator, GeneratorMixture, seed_from_string
 from .blur import (
     MotionBlurGenerator,
     GaussianBlurGenerator,

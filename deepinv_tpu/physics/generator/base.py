@@ -14,7 +14,16 @@ import jax.numpy as jnp
 from ...core import Module
 from ...core.rng import ensure_key
 
-__all__ = ["PhysicsGenerator", "GeneratorMixture"]
+__all__ = ["PhysicsGenerator", "GeneratorMixture", "seed_from_string"]
+
+
+def seed_from_string(seed: str) -> int:
+    """64-bit integer seed hashed from a string (reference
+    generator/base.py:9) — e.g. a file path, for per-sample deterministic
+    physics in datasets."""
+    from hashlib import sha256
+
+    return int(sha256(seed.encode("utf-8")).hexdigest(), 16) % 0xFFFF_FFFF_FFFF_FFFF
 
 
 class PhysicsGenerator(Module):
@@ -54,9 +63,7 @@ class PhysicsGenerator(Module):
         """
         if seed is not None:
             if isinstance(seed, str):
-                import hashlib
-
-                seed = int(hashlib.sha256(seed.encode()).hexdigest()[:8], 16)
+                seed = seed_from_string(seed)
             self.seed = int(seed)
         return self
 
@@ -68,7 +75,11 @@ class PhysicsGenerator(Module):
         return self
 
     def step(self, batch_size: int = 1, key=None, seed=None, **kwargs) -> dict:
-        key = ensure_key(key, seed if seed is not None else self.seed)
+        seed = seed if seed is not None else self.seed
+        if isinstance(seed, str):
+            # jax.random.key needs an int64-representable seed
+            seed = seed_from_string(seed) % (1 << 63)
+        key = ensure_key(key, seed)
         return self.sample(batch_size, key, **kwargs)
 
     def average(self, n: int = 2000, batch_size: int = 1, key=None, **kwargs) -> dict:
@@ -120,22 +131,73 @@ class _JointGenerator(PhysicsGenerator):
 
 
 class GeneratorMixture(PhysicsGenerator):
-    """Pick one generator per step with given probabilities (base.py:185)."""
+    """Mix several generators (reference base.py:185).
 
-    def __init__(self, generators, probs=None):
+    With ``use_batch_sampling`` (default, reference base.py:221) each batch
+    ELEMENT gets its own generator drawn from ``probs`` — possible only
+    when all members emit the same parameter keys/shapes, checked once at
+    construction by a probe draw; otherwise (or when disabled) ONE
+    generator is drawn per step for the whole batch.
+    """
+
+    def __init__(self, generators, probs=None, use_batch_sampling: bool = True,
+                 verbose: bool = False):
         super().__init__()
         self.generators = list(generators)
         import numpy as np
 
         p = np.asarray(probs if probs is not None else [1 / len(generators)] * len(generators))
         self.probs = p / p.sum()
+        self.use_batch_sampling = bool(use_batch_sampling) and self._compatible(
+            self.generators, verbose
+        )
+
+    @staticmethod
+    def _compatible(generators, verbose=False):
+        """Probe each member once; batch sampling needs identical parameter
+        keys and per-sample shapes across members (reference base.py:241)."""
+        import warnings
+
+        import numpy as np
+
+        dicts = [g.step(batch_size=1, key=jax.random.key(0)) for g in generators]
+        keys0 = set(dicts[0])
+        for i, d in enumerate(dicts[1:], 1):
+            if set(d) != keys0:
+                if verbose:
+                    warnings.warn(
+                        f"Generators 0 and {i} have different keys "
+                        f"({sorted(keys0)} vs {sorted(d)}); a single "
+                        "generator will be sampled per batch.")
+                return False
+        for k in keys0:
+            shapes = {tuple(np.shape(d[k])) for d in dicts}
+            if () in shapes:  # scalar params (e.g. a static factor) cannot
+                return False  # be concatenated along a batch axis
+            if len(shapes) > 1:
+                if verbose:
+                    warnings.warn(
+                        f"Generators emit different shapes for {k!r} "
+                        f"({sorted(shapes)}); a single generator will be "
+                        "sampled per batch.")
+                return False
+        return True
 
     def sample(self, batch_size, key, **kwargs):
         kc, kg = jax.random.split(key)
         # host-side choice (parameter dict structure may differ per generator)
         import numpy as np
 
-        idx = int(np.random.RandomState(int(jax.random.randint(kc, (), 0, 2**31 - 1))).choice(
-            len(self.generators), p=self.probs
-        ))
+        rng = np.random.RandomState(
+            int(jax.random.randint(kc, (), 0, 2**31 - 1)))
+        if self.use_batch_sampling and batch_size > 1:
+            idx = rng.choice(len(self.generators), size=batch_size, p=self.probs)
+            keys = jax.random.split(kg, batch_size)
+            outs = [self.generators[int(i)].sample(1, k, **kwargs)
+                    for i, k in zip(idx, keys)]
+            return {
+                k: jnp.concatenate([jnp.asarray(o[k]) for o in outs], axis=0)
+                for k in outs[0]
+            }
+        idx = int(rng.choice(len(self.generators), p=self.probs))
         return self.generators[idx].sample(batch_size, kg, **kwargs)
