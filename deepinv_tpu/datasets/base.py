@@ -34,17 +34,20 @@ def check_dataset(dataset) -> None:
     """Validate that a dataset returns one of the supported item formats
     (reference datasets/base.py check_dataset)."""
     item = dataset[0]
-    ok_leaf = lambda v: isinstance(v, np.ndarray) or np.isscalar(v) or hasattr(v, "shape")
+    ok_leaf = lambda v: (isinstance(v, np.ndarray) or hasattr(v, "shape")
+                         or (np.isscalar(v) and not isinstance(v, str)))
+    ok_params = lambda d: isinstance(d, dict) and all(
+        isinstance(k, str) and ok_leaf(v) for k, v in d.items())
     if ok_leaf(item):
         return
     if isinstance(item, (tuple, list)):
-        if len(item) == 2 and ok_leaf(item[0]) and (ok_leaf(item[1]) or isinstance(item[1], dict)):
+        if len(item) == 2 and ok_leaf(item[0]) and (ok_leaf(item[1]) or ok_params(item[1])):
             return
         if (
             len(item) == 3
             and ok_leaf(item[0])
             and ok_leaf(item[1])
-            and isinstance(item[2], dict)
+            and ok_params(item[2])
         ):
             return
         raise RuntimeError(
@@ -272,6 +275,27 @@ class _Subset:
         return self.dataset[int(self.indices[i])]
 
 
+def _collate(items):
+    """Stack a list of per-sample items into one batch, recursing through
+    tuples and dicts (torch ``default_collate`` semantics: a batch of
+    ``(x, y, params)`` with ``params`` a dict becomes
+    ``(X, Y, {k: stacked})``). TensorLists collate per part."""
+    first = items[0]
+    if isinstance(first, tuple):
+        return tuple(_collate([it[k] for it in items])
+                     for k in range(len(first)))
+    if isinstance(first, dict):
+        return {k: _collate([it[k] for it in items]) for k in first}
+    from ..core.tensorlist import TensorList
+
+    if isinstance(first, TensorList):
+        return TensorList([
+            _collate([np.asarray(it.x[k]) for it in items])
+            for k in range(len(first.x))
+        ])
+    return np.stack(items)
+
+
 class DataLoader:
     """Minimal batching iterator over a dataset (numpy stacking).
 
@@ -300,7 +324,4 @@ class DataLoader:
         stop = n - (n % self.batch_size) if self.drop_last else n
         for o in range(0, stop, self.batch_size):
             items = [self.dataset[int(i)] for i in idx[o : o + self.batch_size]]
-            if isinstance(items[0], tuple):
-                yield tuple(np.stack([it[k] for it in items]) for k in range(len(items[0])))
-            else:
-                yield np.stack(items)
+            yield _collate(items)
