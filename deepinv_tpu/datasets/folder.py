@@ -37,6 +37,8 @@ def load_image(path, size=None, to_float: bool = True, grayscale: bool = False):
     img = Image.open(path)
     img = img.convert("L" if grayscale else "RGB")
     if size is not None:
+        if isinstance(size, int):  # reference accepts int or (h, w)
+            size = (size, size)
         # bilinear, matching the native C++ decoder's resampling so
         # backend='auto' gives consistent pixels with or without a toolchain
         img = img.resize((size[1], size[0]), Image.BILINEAR)

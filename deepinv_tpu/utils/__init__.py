@@ -1,5 +1,8 @@
 from .logger import AverageMeter, ProgressMeter, CSVLogger
-from .plotting import plot, plot_curves, plot_parameters, plot_inset, scatter_plot, rescale_img
+from .plotting import (
+    plot, plot_curves, plot_parameters, plot_inset, scatter_plot,
+    rescale_img, preprocess_img, prepare_images,
+)
 from .mixins import (
     TimeMixin, TiledMixin2d, tiled_apply, image_to_patches, patches_to_image,
     patchify,

@@ -43,6 +43,69 @@ def rescale_img(x, rescale_mode: str = "min_max"):
     return np.clip(a, 0, 1)
 
 
+def preprocess_img(im, rescale_mode: str = "min_max", *, vmin=None, vmax=None,
+                   return_scale: bool = False):
+    """Normalize a batch ``(B, C, *)`` to [0, 1] for display (reference
+    utils/plotting.py:191): complex or 2-channel (Cartesian complex) inputs
+    pass through the modulus first; ``min_max`` rescales per element,
+    ``clip`` clamps to [vmin, vmax]. ``return_scale`` also returns the
+    pre-normalization (min, max) per element."""
+    a = np.asarray(im)
+    if np.iscomplexobj(a) or (a.ndim > 1 and a.shape[1] == 2):
+        if np.iscomplexobj(a):
+            a = np.abs(a)
+        else:
+            a = np.sqrt(a[:, :1] ** 2 + a[:, 1:2] ** 2)
+    a = a.astype(np.float32)
+    axes = tuple(range(1, a.ndim))
+    if rescale_mode == "min_max":
+        lo = a.min(axis=axes, keepdims=True)
+        hi = a.max(axis=axes, keepdims=True)
+        out = (a - lo) / np.maximum(hi - lo, 1e-9)
+        scales = list(zip(np.ravel(lo).tolist(), np.ravel(hi).tolist()))
+    elif rescale_mode == "clip":
+        v0 = 0.0 if vmin is None else vmin
+        v1 = 1.0 if vmax is None else vmax
+        out = np.clip(a, v0, v1)
+        scales = [(v0, v1)] * a.shape[0]
+    else:
+        raise ValueError(f"unknown rescale_mode {rescale_mode!r}")
+    return (out, scales) if return_scale else out
+
+
+def prepare_images(x=None, y=None, x_net=None, x_nl=None,
+                   rescale_mode: str = "min_max"):
+    """Assemble (images, titles, grid, caption) for logging a
+    reconstruction (reference utils/plotting.py:138): ground truth,
+    measurement (only when y matches x's shape), no-learning estimate, and
+    network output, each normalized by :func:`preprocess_img`, plus one
+    tiled grid image."""
+    from . import make_grid
+
+    imgs, titles = [], []
+    caption = "From left to right: "
+    if x is not None:
+        imgs.append(x)
+        titles.append("Ground truth")
+        caption += "Ground truth, "
+    if y is not None and x is not None and np.shape(y) == np.shape(x):
+        imgs.append(y)
+        titles.append("Measurement")
+        caption += "Measurement, "
+    if x_nl is not None:
+        imgs.append(x_nl)
+        titles.append("No learning")
+        caption += "No learning, "
+    if x_net is not None:
+        imgs.append(x_net)
+        titles.append("Reconstruction")
+        caption += "Reconstruction"
+    vis = [preprocess_img(im, rescale_mode=rescale_mode) for im in imgs]
+    grid = (make_grid(np.concatenate(vis), nrow=np.shape(imgs[0])[0])
+            if vis else None)
+    return vis, titles, grid, caption
+
+
 def plot(img_list, titles=None, save_fn: Optional[str] = None, show: bool = False, figsize=None, rescale_mode="min_max", cmap="gray", suptitle=None):
     """Plot a row of images (reference plotting.py plot)."""
     plt = _mpl()
