@@ -66,8 +66,7 @@ class DnCNN(Denoiser):
         activations (the ``models.autocast`` inference path) it runs as one
         fused Pallas kernel — measured 2.9x over the XLA conv chain
         (ops/pallas/conv_chain.py); anywhere else, plain convs."""
-        from ..ops.pallas.conv_chain import (can_fuse_chain,
-                                             fused_conv3x3_relu_chain)
+        from ..ops.pallas.conv_chain import batched_fused_chain, can_fuse_chain
 
         convs = self.conv_list
         if (
@@ -78,7 +77,7 @@ class DnCNN(Denoiser):
         ):
             ws = jnp.stack([c.weight for c in convs])
             bs = jnp.stack([c.bias for c in convs])
-            return fused_conv3x3_relu_chain(h, ws, bs)
+            return batched_fused_chain(h, ws, bs)
         for conv in convs:
             h = jax.nn.relu(conv(h))
         return h

@@ -181,8 +181,8 @@ def forward_unet_folded(net, x0_nchw, act):
         DEEPINV_TPU_FUSED_DRUNET env var."""
         import os
 
-        from ..ops.pallas.resblock_chain import (can_fuse_resblocks,
-                                                 fused_resblock_chain_folded)
+        from ..ops.pallas.resblock_chain import (batched_fused_resblock_chain,
+                                                 can_fuse_resblocks)
 
         mode = os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "down")
         blocks = list(blocks)
@@ -190,7 +190,7 @@ def forward_unet_folded(net, x0_nchw, act):
                 and can_fuse_resblocks(v, len(blocks))):
             w1s = jnp.stack([b.conv1.weight for b in blocks])
             w2s = jnp.stack([b.conv2.weight for b in blocks])
-            return fused_resblock_chain_folded(v, w1s, w2s)
+            return batched_fused_resblock_chain(v, w1s, w2s)
         for blk in blocks:
             v = resblock_folded(v, blk)
         return v

@@ -226,20 +226,50 @@ def fused_disabled() -> bool:
 
 def can_fuse_chain(x, n_layers: int) -> bool:
     """Whether the fused kernel supports this (shape, chain) on the current
-    backend — B=1, 64 channels, even W, >=2 layers, buffers fit in VMEM."""
+    backend — 64 channels, even W, >=2 layers, per-image buffers fit in
+    VMEM. Any batch size: B>1 runs the per-image kernel under ``lax.map``
+    (the kernel already sustains ~66% MXU utilization on ONE image, so
+    sequential per-image calls lose almost nothing to batch parallelism)."""
     if _FUSED_DISABLED:
         return False
     if os.environ.get("DEEPINV_TPU_FUSED_DNCNN", "1") == "0":
         return False
     if jax.default_backend() == "cpu":
         return False
-    if x.ndim != 4 or x.shape[0] != 1 or x.shape[1] != C:
+    if x.ndim != 4 or x.shape[0] < 1 or x.shape[1] != C:
         return False
     _, _, H, W = x.shape
     if n_layers < 2 or W % 2 or H < 8:
         return False
     vmem = 2 * (H + 2) * (W // 2 + 2) * 128 * 2
     return vmem < 80 * 1024 * 1024
+
+
+def chain_cost(H: int, W: int, n_layers: int):
+    """Analytic (flops, HBM bytes) of ONE image through the fused chain —
+    the numbers ``_fused_fwd_impl`` records via ``record_pallas_cost``.
+    Callers that wrap the kernel in a ``lax.map`` over batch record the
+    extra ``(B-1)x`` themselves (XLA's cost analysis counts a scan body
+    once, so the in-map trace only records one image's worth)."""
+    Le = n_layers - (n_layers % 2)
+    G = W // 2
+    flops = Le * 2 * H * W * C * C * 9
+    bytes_ = (((H + 2) * (G + 2) + H * G) * 128 * 2
+              + Le * 3 * 2 * 128 * 128 * 2 + Le * 128 * 4)
+    return flops, bytes_
+
+
+def batched_fused_chain(h, ws, bs):
+    """Apply :func:`fused_conv3x3_relu_chain` to a batch: direct call at
+    B=1, sequential per-image kernel calls (``lax.map``) otherwise."""
+    if h.shape[0] == 1:
+        return fused_conv3x3_relu_chain(h, ws, bs)
+    from ...utils.profiling import record_pallas_cost
+
+    f1, b1 = chain_cost(h.shape[2], h.shape[3], int(ws.shape[0]))
+    record_pallas_cost((h.shape[0] - 1) * f1, (h.shape[0] - 1) * b1)
+    return jax.lax.map(
+        lambda hi: fused_conv3x3_relu_chain(hi[None], ws, bs)[0], h)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -152,20 +152,46 @@ def _lax_resblocks_f32(vf, w1s, w2s):
 
 def can_fuse_resblocks(vf, n_blocks: int) -> bool:
     """Whether the fused resblock kernel supports this (shape, chain) on
-    the current backend — B=1, folded 128 lanes, >=1 block, VMEM fit."""
+    the current backend — folded 128 lanes, >=1 block, per-image VMEM fit.
+    Any batch: B>1 runs the per-image kernel under ``lax.map`` (the kernel
+    is already MXU-saturating on one image)."""
     if fused_disabled():
         return False
     if os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "1") == "0":
         return False
     if jax.default_backend() == "cpu":
         return False
-    if vf.ndim != 4 or vf.shape[0] != 1 or vf.shape[-1] != 2 * C:
+    if vf.ndim != 4 or vf.shape[0] < 1 or vf.shape[-1] != 2 * C:
         return False
     _, H, G, _ = vf.shape
     if n_blocks < 1 or H < 8:
         return False
     vmem = 2 * (H + 2) * (G + 2) * 128 * 2
     return vmem < 80 * 1024 * 1024
+
+
+def resblock_chain_cost(H: int, G: int, n_blocks: int):
+    """Analytic (flops, HBM bytes) of ONE folded image through the fused
+    resblock chain — the numbers ``_fused_fwd_impl`` records."""
+    flops = n_blocks * 2 * (2 * H * (2 * G) * C * C * 9)
+    bytes_ = (((H + 2) * (G + 2) + H * G) * 128 * 2
+              + 2 * n_blocks * 3 * 2 * 128 * 128 * 2)
+    return flops, bytes_
+
+
+def batched_fused_resblock_chain(vf, w1s, w2s):
+    """Apply :func:`fused_resblock_chain_folded` to a batch: direct call
+    at B=1, sequential per-image kernel calls (``lax.map``) otherwise —
+    the extra ``(B-1)x`` analytic cost is recorded here because XLA's
+    cost analysis counts the map body once."""
+    if vf.shape[0] == 1:
+        return fused_resblock_chain_folded(vf, w1s, w2s)
+    from ...utils.profiling import record_pallas_cost
+
+    f1, b1 = resblock_chain_cost(vf.shape[1], vf.shape[2], int(w1s.shape[0]))
+    record_pallas_cost((vf.shape[0] - 1) * f1, (vf.shape[0] - 1) * b1)
+    return jax.lax.map(
+        lambda vi: fused_resblock_chain_folded(vi[None], w1s, w2s)[0], vf)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -756,3 +756,57 @@ def test_dncnn_fused_gate_is_off_on_cpu(key):
         assert not can_fuse_chain(h, 18)
     finally:
         del os.environ["DEEPINV_TPU_FUSED_DNCNN"]
+
+
+def test_fused_chain_under_lax_map_matches_batch(key):
+    """B>1 runs the per-image kernel under lax.map (what
+    batched_fused_chain builds, r5): per-element outputs match the XLA
+    chain on the full batch."""
+    from deepinv_tpu.ops.pallas.conv_chain import (_lax_chain, chain_cost,
+                                                   fused_conv3x3_relu_chain)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    L, B = 4, 3
+    ws = jax.random.normal(k1, (L, 64, 64, 3, 3)) * 0.08
+    bs = jax.random.normal(k2, (L, 64)) * 0.02
+    h = jax.random.normal(k3, (B, 64, 16, 16), jnp.bfloat16)
+    got = jax.lax.map(
+        lambda hi: fused_conv3x3_relu_chain(hi[None], ws, bs, True)[0], h)
+    want = _lax_chain(h, ws, bs)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32)))) + 1e-9
+    assert err / scale < 2e-2
+
+    # the analytic per-image cost helper matches what one forward records
+    from deepinv_tpu.utils import profiling
+
+    rec = {"flops": 0.0, "bytes": 0.0}
+    prev, profiling._pallas_record = profiling._pallas_record, rec
+    try:
+        _ = fused_conv3x3_relu_chain(h[:1], ws, bs, True)
+    finally:
+        profiling._pallas_record = prev
+    f1, b1 = chain_cost(16, 16, L)
+    assert rec["flops"] == f1 and rec["bytes"] == b1
+
+
+def test_fused_resblock_chain_under_lax_map_matches_batch(key):
+    """Same contract for the DRUNet folded resblock kernel."""
+    from deepinv_tpu.ops.pallas.resblock_chain import (
+        _lax_resblocks_f32, fused_resblock_chain_folded)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    R, B = 2, 3
+    w1s = jax.random.normal(k1, (R, 64, 64, 3, 3)) * 0.08
+    w2s = jax.random.normal(k2, (R, 64, 64, 3, 3)) * 0.08
+    vf = jax.random.normal(k3, (B, 16, 8, 128), jnp.bfloat16)
+    got = jax.lax.map(
+        lambda vi: fused_resblock_chain_folded(vi[None], w1s, w2s, True)[0],
+        vf)
+    want = jnp.concatenate([
+        _lax_resblocks_f32(vf[i:i + 1].astype(jnp.float32), w1s, w2s)
+        for i in range(B)])
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert err / scale < 3e-2
