@@ -178,7 +178,17 @@ class IndicatorL2(DataFidelity):
         the ball projection is not positively homogeneous (center y != 0),
         so the scaling matters for optimality, not just feasibility."""
         radius = self.radius if radius is None else radius
-        norm_AtA = physics.compute_norm(x, max_iter=30)
+        from ..physics import Denoising
+
+        if isinstance(physics, Denoising):
+            # A = I: the projection is the closed-form ball projection —
+            # exact, and reverse-differentiable (the CP iterator with an
+            # explicit K=A lands here)
+            return self.d.prox(x, y, radius=radius)
+        # the step size is a solver hyperparameter: keep the power method
+        # out of the autodiff graph (its while_loop is not reverse-
+        # differentiable, and d stepsize/d x is not wanted anyway)
+        norm_AtA = jax.lax.stop_gradient(physics.compute_norm(x, max_iter=30))
         stepsize_val = 1.0 / norm_AtA if stepsize is None else stepsize
 
         def body(_, u):
