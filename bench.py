@@ -229,7 +229,11 @@ def _iter_cost(physics, y, denoiser, algo, params):
         c0 = compiled_cost(lambda mm, yv, p: mm(yv, p), m0, y, physics)
         flops, bytes_ = c0.get("flops", 0.0), c0.get("bytes accessed", 0.0)
         if getattr(physics, "fast_normal", False):
-            df, db = _toeplitz_normal_correction(physics, physics.A_adjoint(y))
+            # shape-only probe (eager A_adjoint would run FFTs outside jit,
+            # which the axon TPU path does not support)
+            w = physics.img_width
+            x_like = jnp.zeros(y.shape[:2] + (w, w), y.dtype)
+            df, db = _toeplitz_normal_correction(physics, x_like)
             flops, bytes_ = flops + df, bytes_ + db
         return {"flops": flops,
                 "bytes": bytes_,

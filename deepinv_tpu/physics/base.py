@@ -157,6 +157,21 @@ class Physics(Module):
         )
 
     # -- functional setters (the reference mutates; these return a copy) ---
+    def update(self, **params) -> "Physics":
+        """Update operator AND noise-model parameters (reference
+        forward.py:239 routes kwargs into both): keys the physics knows
+        update the physics, keys the noise model knows (``sigma``,
+        ``gain``, ...) update the noise model; unknown keys are ignored
+        like the reference's generator protocol expects. Returns a NEW
+        physics (pytrees are immutable)."""
+        new = super().update(**params)
+        nm = getattr(self, "noise_model", None)
+        if nm is not None and hasattr(nm, "update"):
+            nm2 = nm.update(**params)
+            if nm2 is not nm:
+                new = new.replace(noise_model=nm2)
+        return new
+
     def update_parameters(self, **params) -> "Physics":
         """Reference-named alias of :meth:`update` (forward.py
         ``update_parameters``); returns a NEW physics (pytrees are

@@ -206,6 +206,7 @@ class Trainer:
 
         self.opt_state = self.optimizer.init(self.model)
         self.epoch_start = 0
+        self.epochs_run = 0
         # optional MLOps logging (reference trainer.py:43-44,604): gated on
         # package availability (neither ships in this environment)
         self._wandb = None
@@ -644,6 +645,7 @@ class Trainer:
                 )
 
             self.loss_history.append(self.logs_total_loss_train.avg)
+            self.epochs_run = epoch + 1  # epochs completed (early stop visible)
 
             # eval + best tracking + early stop
             if self.eval_dataloader and (epoch + 1) % self.eval_interval == 0:
