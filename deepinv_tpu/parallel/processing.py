@@ -155,10 +155,15 @@ class DistributedProcessing(Module):
             out = self._apply(padded, sigma)
             return out[..., ov:-ov, :]
 
-        local = local_basic if self.tiling_strategy == "basic" else local_overlap
-        f = shard_map(
-            local, mesh=mesh, in_specs=P(None, None, axis, None),
-            out_specs=P(None, None, axis, None),
-        )
+        # overlap == 0 degenerates to independent tiles (the reference's
+        # OverlapTilingStrategy with overlap 0 trims nothing); routing it
+        # through local_overlap would ppermute 0-row halos, which XLA
+        # rejects at broadcast time.
+        local = (local_basic if self.tiling_strategy == "basic" or ov == 0
+                 else local_overlap)
+        # the tile axis is -2 after the optional swap above; build the spec
+        # by rank so volumetric (B, C, D, H, W) inputs shard H, not D
+        spec = P(*([None] * (x.ndim - 2) + [axis, None]))
+        f = shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)
         out = f(x)
         return jnp.swapaxes(out, -1, -2) if ta == -1 else out
