@@ -342,19 +342,26 @@ def _run_train_config(dtype=None, batch=1):
     return row
 
 
-def _timed_slope(make_and_run, n_short, n_long, repeats=6):
+def _timed_slope(make_runner, n_short, n_long, repeats=6):
     """min-of-repeats wall time for an n-step program at two sizes; returns
-    marginal seconds/step (the slope cancels dispatch noise + fixed phases)."""
+    marginal seconds/step (the slope cancels dispatch noise + fixed phases).
+
+    ``make_runner(n)`` must return a ZERO-ARG callable that runs the
+    n-step program; construction (model build + ``jax.jit`` wrapper) happens
+    once outside the timed region. (The r5 first cut rebuilt the jit
+    wrapper per repeat, so every 'timing' paid trace+lowering — the DDRM
+    row came out NEGATIVE. Never time through a fresh ``jax.jit``.)"""
     import numpy as np
 
     def t(n):
-        out = make_and_run(n)  # warm-up/compile
+        run = make_runner(n)
+        out = run()  # warm-up/compile
         _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0])
                        ).ravel()[:1]
         ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            o = make_and_run(n)
+            o = run()
             _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(o)[0])
                            ).ravel()[:1]
             ts.append(time.perf_counter() - t0)
@@ -400,22 +407,22 @@ def _run_sampling_config(config, dtype=None):
                              noise_model=GaussianNoise(0.05))
         y = jax.jit(lambda p, v, k: p(v, key=k))(physics, x, jax.random.key(1))
 
-        def make_and_run(n):
+        def make_runner(n):
             m = DDRM(den, sigmas=np.linspace(1, 0, n + 1))
             f = jax.jit(lambda mm, yv, p, k: mm(yv, p, key=k))
-            return f(m, y, physics, jax.random.key(2))
+            return lambda: f(m, y, physics, jax.random.key(2))
     else:
         physics = Downsampling(img_size=shape[1:], filter="bicubic", factor=4,
                                noise_model=GaussianNoise(0.05))
         y = jax.jit(lambda p, v, k: p(v, key=k))(physics, x, jax.random.key(1))
 
-        def make_and_run(n):
+        def make_runner(n):
             m = DPS(den, max_iter=n)
             f = jax.jit(lambda mm, yv, p, k: mm(yv, p, key=k))
-            return f(m, y, physics, jax.random.key(2))
+            return lambda: f(m, y, physics, jax.random.key(2))
 
     n_short = max(N_ITER // 4, 8)
-    dt = _timed_slope(make_and_run, n_short, 4 * n_short)
+    dt = _timed_slope(make_runner, n_short, 4 * n_short)
     its = 1.0 / dt
     row = {
         "metric": meta["metric"] + ("" if dtype == "bf16" else f"_{dtype}"),
@@ -511,12 +518,14 @@ def _run_train_ssl_config(dtype=None, batch=1):
         m = optax.apply_updates(m, updates)
         return (m, os_), None
 
-    def make_and_run(n):
+    def make_runner(n):
         f = jax.jit(lambda m, s, ks: jax.lax.scan(step, (m, s), ks)[0])
-        return f(den, opt0.init(den), jax.random.split(jax.random.key(3), n))
+        s0 = opt0.init(den)
+        ks = jax.random.split(jax.random.key(3), n)
+        return lambda: f(den, s0, ks)
 
     n_short = max(N_ITER // 4, 8)
-    dt = _timed_slope(make_and_run, n_short, 4 * n_short)
+    dt = _timed_slope(make_runner, n_short, 4 * n_short)
     its = 1.0 / dt
     row = {
         "metric": meta["metric"] + ("" if dtype == "bf16" else f"_{dtype}"),

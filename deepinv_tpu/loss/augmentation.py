@@ -157,7 +157,7 @@ class ReducedResolutionLoss(Loss):
         return self.ReducedResolutionModel(model, self.physics)
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
-        p = self.physics if self.physics is not None else physics
-        y_lr = p.A(y)
-        x_lr_net = model(y_lr, p)
-        return self.metric(x_lr_net, y)
+        # the adapted model already reconstructed from the re-degraded
+        # measurement, so the loss is just metric(x_net, y) (reference
+        # sup.py:94 — re-degrading here again would double-degrade)
+        return self.metric(x_net, y)

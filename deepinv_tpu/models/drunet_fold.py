@@ -165,8 +165,13 @@ def forward_unet_folded(net, x0_nchw, act):
         # scale-1 conv outputs feed it (three kernel variants measured,
         # scripts/bench_fused_bisect.py + dump_up_hlo.py; BASELINE.md
         # "DRUNet fused scale-0 resblocks").
+        # "sandwich" implies the down chain fuses too: the sandwich kernel
+        # consumes the down-chain output as a Pallas-produced operand (the
+        # whole point of moving the boundary).
+        ok_mode = (mode in ("1", "both", tag)
+                   or (mode == "sandwich" and tag in ("down", "sandwich")))
         return (
-            mode in ("1", "both", tag)
+            ok_mode
             and v.dtype == jnp.bfloat16
             and all(b.act_mode == "R" and b.conv1.bias is None
                     and b.conv2.bias is None for b in blocks)
@@ -224,8 +229,8 @@ def forward_unet_folded(net, x0_nchw, act):
     # head + scale0 down (folded)
     xf = _fold_w(x0_nchw)
     x1 = _conv3_folded(xf, net.m_head.weight)
-    v = resblock_chain_folded(x1, net.m_down1[:-1], 'down')
-    x2 = _down_from_fold(v, net.m_down1[-1].weight)  # (B, H/2, J, nc1) NHWC
+    d0 = resblock_chain_folded(x1, net.m_down1[:-1], 'down')
+    x2 = _down_from_fold(d0, net.m_down1[-1].weight)  # (B, H/2, J, nc1) NHWC
 
     # scale1..2 down (plain NHWC)
     v = x2
@@ -246,11 +251,38 @@ def forward_unet_folded(net, x0_nchw, act):
     v = _up_nhwc(v + x4, net.m_up3[0].weight)
     for blk in net.m_up3[1:]:
         v = resblock_nhwc(v, blk)
-    v = _up_nhwc(v + x3, net.m_up2[0].weight)
-    for blk in net.m_up2[1:]:
-        v = resblock_nhwc(v, blk)
-    # scale0 up: emit directly into the folded layout
-    v = up_resblock_chain(v + x2, net.m_up1[0].weight, net.m_up1[1:])
+
+    import os as _os
+
+    from ..ops.pallas.resblock_chain import (can_fuse_sandwich,
+                                             fused_up_sandwich_folded)
+
+    _mode = _os.environ.get("DEEPINV_TPU_FUSED_DRUNET", "down")
+    s2 = v + x3
+    up1_blocks = list(net.m_up1[1:])
+    up2_blocks = list(net.m_up2[1:])
+    if (_mode == "sandwich"
+            and _fusible("sandwich", "sandwich", s2, up1_blocks + up2_blocks)
+            and can_fuse_sandwich(s2, d0, net.m_up2[0].weight,
+                                  len(up2_blocks), len(up1_blocks))):
+        # the whole up tail (up2 projection, scale-1 chain, skip
+        # down-projection recomputed from the Pallas-produced d0, up1
+        # projection, scale-0 chain) as ONE kernel: the only conv-produced
+        # operand is the 2 MB s2 tensor, sidestepping the r4 relayout wall
+        # (BASELINE.md "DRUNet fused scale-0 resblocks").
+        v = fused_up_sandwich_folded(
+            s2, d0, net.m_up2[0].weight,
+            jnp.stack([b.conv1.weight for b in up2_blocks]),
+            jnp.stack([b.conv2.weight for b in up2_blocks]),
+            net.m_down1[-1].weight, net.m_up1[0].weight,
+            jnp.stack([b.conv1.weight for b in up1_blocks]),
+            jnp.stack([b.conv2.weight for b in up1_blocks]))
+    else:
+        v = _up_nhwc(s2, net.m_up2[0].weight)
+        for blk in up2_blocks:
+            v = resblock_nhwc(v, blk)
+        # scale0 up: emit directly into the folded layout
+        v = up_resblock_chain(v + x2, net.m_up1[0].weight, net.m_up1[1:])
 
     out = _conv3_folded(v + x1, net.m_tail.weight)
     return _unfold_w(out)

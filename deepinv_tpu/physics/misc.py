@@ -194,6 +194,10 @@ class CompressiveSpectralImaging(LinearPhysics):
     def __init__(self, img_size, mask=None, mode: str = "ss", shear_dir: str = "h", key=None, seed: int = 0, **kwargs):
         super().__init__(**kwargs)
         self.img_size = tuple(img_size)
+        if mode not in ("sd", "ss"):
+            raise ValueError("mode must be 'sd' or 'ss' (reference cassi.py)")
+        if shear_dir not in ("h", "w"):
+            raise ValueError("shear_dir must be 'h' or 'w'")
         self.mode = mode
         self.shear_dir = shear_dir
         C, H, W = self.img_size

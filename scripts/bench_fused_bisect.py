@@ -43,10 +43,11 @@ def main():
     den = DRUNet(pretrained=None)
     net = autocast(den)
     x = jax.random.uniform(jax.random.key(1), (1, 3, 256, 256))
-    for mode in ("0", "down", "up", "1"):
+    modes = os.environ.get("BISECT_MODES", "0,down,up,1,sandwich").split(",")
+    for mode in modes:
         os.environ["DEEPINV_TPU_FUSED_DRUNET"] = mode
         dt = slope_time(lambda v: net(v, 0.02), x)
-        print(f"mode={mode:5s}  {dt*1e3:8.3f} ms/forward")
+        print(f"mode={mode:8s}  {dt*1e3:8.3f} ms/forward", flush=True)
 
 
 if __name__ == "__main__":

@@ -16,16 +16,38 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PRETTY = {
     "pnp_hqs_drunet_deblur_256px_iters_per_sec_chip":
-        "Deblur — PnP-HQS, BlurFFT + DRUNet, 1×3×256×256",
+        "Deblur — PnP-HQS, BlurFFT + DRUNet, 3×256×256",
     "pnp_pgd_dncnn_mri_256px_iters_per_sec_chip":
-        "MRI — PnP-PGD, masked FFT (30%) + DnCNN, 1×2×256×256",
+        "MRI — PnP-PGD, masked FFT (30%) + DnCNN, 2×256×256",
     "pnp_pgd_dncnn_ct90_256px_iters_per_sec_chip":
-        "CT — PnP-PGD, Tomography 90 views + DnCNN, 1×1×256×256",
+        "CT — PnP-PGD, Tomography 90 views + DnCNN, 1×256×256",
+    "train_dncnn_denoise_256px_steps_per_sec_chip":
+        "Train — DnCNN denoising fwd+bwd+adam, 1×256×256 (steps/s)",
+    "ddrm_drunet_inpainting_256px_steps_per_sec_chip":
+        "Sampling — DDRM + DRUNet, 70% inpainting, 3×256×256 (steps/s)",
+    "dps_drunet_sr4_256px_steps_per_sec_chip":
+        "Sampling — DPS + DRUNet, 4× SR, 3×256×256 (steps/s)",
+    "train_ssl_ei_sure_dncnn_inpainting_256px_steps_per_sec_chip":
+        "Self-supervised train — EI+SURE, DnCNN, inpainting (steps/s)",
 }
+
+
+def _pretty(metric):
+    """Resolve a metric name with optional _f32 / _b<batch> suffixes."""
+    note = ""
+    m = re.match(r"(.*?)_b(\d+)$", metric)
+    if m:
+        metric, note = m.group(1), f" **B={m.group(2)}**"
+    if metric.endswith("_f32"):
+        metric, note = metric[:-4], note + " *(f32 cross-check)*"
+    return PRETTY.get(metric, metric) + note
 
 
 def _rows():
     rows = []
+    # driver artifacts plus the builder-recorded current-round file
+    # (BENCH_r05_builder.json: the in-round run of the full suite; the
+    # driver's own end-of-round BENCH_r05.json supersedes it next round)
     for path in sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json"))):
         rnd = re.search(r"BENCH_r(\d+)", path).group(1)
         try:
@@ -62,13 +84,15 @@ def main():
         "config sustains ~92% of the chip's HBM-bandwidth roofline (see the",
         "per-phase speed-of-light analysis in BASELINE.md).",
         "",
-        "| Round | Workload | iter/s | × torch-CPU | model GF/iter | MFU | HBM util |",
-        "|---|---|---|---|---|---|---|",
+        "Batched rows (**B=...**) report `images/s` and compare against the",
+        "torch-CPU reference at the SAME batch (scripts/bench_torch_cpu.py);",
+        "`iter/s` stays per-iteration for roofline math.",
+        "",
+        "| Round | Workload | iter/s | images/s | × torch-CPU | model GF/iter | MFU | HBM util |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
-        name = PRETTY.get(r["metric"], r["metric"])
-        if r["metric"].endswith("_f32"):
-            name = PRETTY.get(r["metric"][:-4], r["metric"]) + " *(f32 cross-check)*"
+        name = _pretty(r["metric"])
         # r3 Pallas rows predate the analytic-cost injection: XLA's cost
         # model can't see into pallas_call, so their mfu/flops fields are
         # artifacts — annotate instead of printing misleading numbers
@@ -78,9 +102,10 @@ def main():
         mfu = "†" if stale else r.get("mfu", "—")
         gf = "†" if stale else r.get("model_flops", "—")
         hbm = "†" if stale else r.get("hbm_util_bound", r.get("hbm_util", "—"))
+        imgs = r.get("images_per_sec", "—")
         lines.append(
-            f"| r{r['round']:02d} | {name} | {r['value']} | {r['vs_baseline']} | "
-            f"{gf} | {mfu} | {hbm} |")
+            f"| r{r['round']:02d} | {name} | {r['value']} | {imgs} | "
+            f"{r['vs_baseline']} | {gf} | {mfu} | {hbm} |")
     lines += [
         "",
         "The r02 CT figure (689.8) is a slope-noise artifact of the short",

@@ -1,0 +1,206 @@
+"""Optim battery wave 3 — reference test_optim.py matrices not yet ported:
+the algorithm x Anderson sweep on one shared problem (test_optim_algo),
+the scalar-or-list per-iteration parameter convention
+(optimizers.py:136-138), custom_init dict/array contracts, early-stop
+while_loop vs fixed scan agreement, and named-class presets.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinv_tpu.optim import (
+    L2,
+    PnP,
+    Tikhonov,
+    optim_builder,
+)
+from deepinv_tpu.physics import BlurFFT, Denoising, GaussianNoise
+from deepinv_tpu.ops import gaussian_blur
+
+from conftest import assert_close
+
+
+IMG = (1, 16, 16)
+
+
+def _problem(key):
+    physics = BlurFFT(img_size=IMG, filter=gaussian_blur(sigma=0.8),
+                      noise_model=GaussianNoise(0.02))
+    x = jax.random.uniform(key, (1, *IMG))
+    y = physics(x, key=jax.random.key(1))
+    return physics, x, y
+
+
+def _solve(algo, y, physics, anderson=False, **kw):
+    params = dict({"stepsize": 0.8, "lambda": 0.1, "g_param": 0.05,
+                   "beta": 1.0}, **kw.pop("params", {}))
+    m = optim_builder(algo, data_fidelity=L2(), prior=Tikhonov(),
+                      params_algo=params, max_iter=kw.pop("max_iter", 150),
+                      anderson_acceleration=anderson, **kw)
+    return m(y, physics)
+
+
+def _tikhonov_solution(y, physics, lam):
+    """argmin 1/2||Ax-y||^2 + lam/2 ||x||^2 via the normal equations."""
+    return physics.prox_l2(jnp.zeros_like(physics.A_adjoint(y)), y,
+                           gamma=1.0 / lam)
+
+
+# ----------------------------------------------------- algorithm x Anderson --
+# HQS is excluded from the exact-minimizer check: with a FIXED beta the
+# half-quadratic splitting fixed point is biased away from the true
+# minimizer (the reference's DPIR uses an increasing schedule for exactly
+# this reason); it gets its own objective-decrease test below. Anderson
+# over FISTA is skipped: accelerating an already-accelerated iteration is
+# documented unstable.
+@pytest.mark.parametrize("anderson", [False, True])
+@pytest.mark.parametrize("algo", ["GD", "PGD", "FISTA", "ADMM", "DRS"])
+def test_optim_algo_matrix(algo, anderson, key):
+    """Reference test_optim_algo: every algorithm, with and without
+    Anderson acceleration, reaches the same Tikhonov minimizer."""
+    if algo == "FISTA" and anderson:
+        pytest.skip("Anderson over the inertial FISTA iteration diverges")
+    physics, _, y = _problem(key)
+    lam = 0.1
+    want = _tikhonov_solution(y, physics, lam)
+    got = _solve(algo, y, physics, anderson=anderson,
+                 params={"lambda": lam})
+    err = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert err < 5e-2, f"{algo} anderson={anderson}: rel err {err}"
+
+
+def test_hqs_fixed_point_bias_shrinks_with_stepsize(key):
+    """HQS with a fixed stepsize converges near (but not at) the
+    minimizer; the splitting bias shrinks as the stepsize decreases
+    (tighter quadratic coupling — the reference's DPIR varies the
+    schedule for exactly this reason). Measured: 0.8 -> 6.7% err,
+    0.1 -> 1.1%."""
+    physics, _, y = _problem(key)
+    lam = 0.1
+    want = _tikhonov_solution(y, physics, lam)
+
+    def err(params):
+        got = _solve("HQS", y, physics, params=params, max_iter=200)
+        return float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+
+    e_large = err({"lambda": lam, "stepsize": 0.8})
+    e_small = err({"lambda": lam, "stepsize": 0.1})
+    assert e_small < e_large
+    assert e_small < 2e-2
+
+
+# --------------------------------------------------- per-iteration schedules --
+def test_per_iteration_stepsize_list(key):
+    """params_algo values may be per-iteration lists, cycled by iteration
+    index (reference optimizers.py:136-138): a 2-element schedule on GD
+    equals the hand-rolled alternating-stepsize loop."""
+    physics, _, y = _problem(key)
+    steps = [0.9, 0.3]
+    lam = 0.2
+    n_iter = 6
+    m = optim_builder("GD", data_fidelity=L2(), prior=Tikhonov(),
+                      params_algo={"stepsize": steps, "lambda": lam},
+                      max_iter=n_iter)
+    got = m(y, physics)
+
+    x = physics.A_adjoint(y)
+    for it in range(n_iter):
+        g = physics.A_adjoint(physics.A(x) - y) + lam * x
+        x = x - steps[it % 2] * g
+    assert_close(got, x, rtol=1e-4, atol=1e-5)
+
+
+def test_per_iteration_g_param_list_in_pnp(key):
+    """A per-iteration denoiser strength schedule changes the trajectory
+    (and runs under jit: the schedule is a static tuple)."""
+    physics, _, y = _problem(key)
+
+    den = lambda v, s, **kw: v / (1.0 + s)
+    m1 = optim_builder("PGD", data_fidelity=L2(), prior=PnP(den),
+                       params_algo={"stepsize": 0.8,
+                                    "g_param": [0.5, 0.05]},
+                       max_iter=8)
+    m2 = optim_builder("PGD", data_fidelity=L2(), prior=PnP(den),
+                       params_algo={"stepsize": 0.8, "g_param": 0.05},
+                       max_iter=8)
+    o1 = jax.jit(lambda mm, yv, p: mm(yv, p))(m1, y, physics)
+    o2 = jax.jit(lambda mm, yv, p: mm(yv, p))(m2, y, physics)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+# ------------------------------------------------------------- custom init --
+def test_custom_init_array_and_dict(key):
+    """custom_init may return a bare array or the full iterate dict
+    (reference optimizers.py custom_init)."""
+    physics, _, y = _problem(key)
+
+    marker = jnp.full((1, *IMG), 0.123)
+    m_arr = optim_builder("GD", data_fidelity=L2(), prior=Tikhonov(),
+                          params_algo={"stepsize": 0.0, "lambda": 0.1},
+                          max_iter=1, custom_init=lambda yv, p: marker)
+    assert_close(m_arr(y, physics), marker)
+
+    # dict form must match the iterator's carry structure (GD carries a
+    # 2-tuple est)
+    m_dict = optim_builder("GD", data_fidelity=L2(), prior=Tikhonov(),
+                           params_algo={"stepsize": 0.0, "lambda": 0.1},
+                           max_iter=1,
+                           custom_init=lambda yv, p: {"est": (marker, marker)})
+    assert_close(m_dict(y, physics), marker)
+
+
+# ---------------------------------------------------------- early stopping --
+def test_early_stop_matches_full_run_when_converged(key):
+    """early_stop=True (while_loop) and the fixed-length scan agree once
+    both have converged below thres_conv."""
+    physics, _, y = _problem(key)
+    kw = dict(data_fidelity=L2(), prior=Tikhonov(),
+              params_algo={"stepsize": 0.8, "lambda": 0.1})
+    full = optim_builder("PGD", max_iter=300, **kw)(y, physics)
+    early = optim_builder("PGD", max_iter=300, early_stop=True,
+                          thres_conv=1e-7, **kw)(y, physics)
+    assert_close(early, full, rtol=1e-3, atol=1e-4)
+
+
+def test_early_stop_under_jit(key):
+    physics, _, y = _problem(key)
+    m = optim_builder("PGD", data_fidelity=L2(), prior=Tikhonov(),
+                      params_algo={"stepsize": 0.8, "lambda": 0.1},
+                      max_iter=200, early_stop=True, thres_conv=1e-6)
+    o_eager = m(y, physics)
+    o_jit = jax.jit(lambda mm, yv, p: mm(yv, p))(m, y, physics)
+    assert_close(o_jit, o_eager, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------ named classes --
+def test_named_classes_match_builder(key):
+    """The reference's named entry points (optimizers.py:1058-2363) are
+    classes equivalent to optim_builder with the same iterator."""
+    import deepinv_tpu.optim as optim
+
+    physics, _, y = _problem(key)
+    for name in ("ADMM", "HQS", "PGD", "FISTA", "GD", "DRS"):
+        cls = getattr(optim, name)
+        m = cls(data_fidelity=L2(), prior=Tikhonov(),
+                params_algo={"stepsize": 0.5, "lambda": 0.1}, max_iter=10)
+        b = optim_builder(name, data_fidelity=L2(), prior=Tikhonov(),
+                          params_algo={"stepsize": 0.5, "lambda": 0.1},
+                          max_iter=10)
+        assert_close(m(y, physics), b(y, physics), rtol=1e-5, atol=1e-6)
+
+
+def test_pnp_identity_denoiser_reduces_to_projected_gd(key):
+    """PnP-PGD with an identity denoiser IS gradient descent on the data
+    fidelity — pins the f-step/g-step split (optim_iterator.py:87)."""
+    physics, _, y = _problem(key)
+    ident = lambda v, s, **kw: v
+    m = optim_builder("PGD", data_fidelity=L2(), prior=PnP(ident),
+                      params_algo={"stepsize": 0.7, "g_param": 0.1},
+                      max_iter=5)
+    got = m(y, physics)
+    x = physics.A_adjoint(y)
+    for _ in range(5):
+        x = x - 0.7 * physics.A_adjoint(physics.A(x) - y)
+    assert_close(got, x, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,297 @@
+"""Physics battery wave 3 — the reference's remaining per-operator test
+matrices, ported as invariants: the up/downsampling kernel x padding sweep
+(reference test_physics.py:754,1479,1521,1557), the MRI family matrix
+(:993,1090), CASSI/decolorize/unmixing option sweeps (:1653,1672,1697),
+operator concatenation (:1148), and the update()-routing contracts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepinv_tpu.physics import (
+    Blur,
+    BlurFFT,
+    CompressiveSpectralImaging,
+    Decolorize,
+    Denoising,
+    Downsampling,
+    DynamicMRI,
+    GaussianNoise,
+    HyperSpectralUnmixing,
+    Inpainting,
+    MRI,
+    SequentialMRI,
+    Upsampling,
+)
+from deepinv_tpu.ops import gaussian_blur
+
+from conftest import assert_close
+
+
+def _adjointness(physics, x_shape, key, atol=1e-4):
+    ku, kv = jax.random.split(key)
+    u = jax.random.normal(ku, x_shape)
+    Au = physics.A(u)
+    v = jax.random.normal(kv, Au.shape)
+    lhs = jnp.vdot(Au, v)
+    rhs = jnp.vdot(u, physics.A_adjoint(v))
+    assert abs(float(lhs - rhs)) < atol * max(1.0, abs(float(lhs)))
+
+
+# ---------------------------------------------------------- downsampling --
+@pytest.mark.parametrize("padding", ["circular", "reflect", "replicate",
+                                     "constant", "valid"])
+@pytest.mark.parametrize("factor", [2, 3])
+def test_downsampling_adjointness_padding_matrix(padding, factor, key):
+    """Reference test_physics.py:1479: every padding mode keeps the
+    filter-then-decimate operator exactly adjoint, including on odd sizes
+    where the decimation grid doesn't divide the image."""
+    img_size = (1, 37, 31)
+    p = Downsampling(img_size=img_size, filter="gaussian", factor=factor,
+                     padding=padding)
+    _adjointness(p, (2, *img_size), key)
+
+
+def test_downsampling_prox_l2_closed_form_matches_solver(key):
+    """Reference test_physics.py:1521: the FFT-polyphase closed-form prox
+    (circular padding) solves the same normal equations as the generic
+    Krylov prox."""
+    img_size = (1, 32, 32)
+    p = Downsampling(img_size=img_size, filter="bilinear", factor=2,
+                     padding="circular")
+    kz, kx = jax.random.split(key)
+    x = jax.random.uniform(kx, (1, *img_size))
+    y = p.A(x)
+    z = jax.random.uniform(kz, x.shape)
+    gamma = 7.0
+    fast = p.prox_l2(z, y, gamma)
+    slow = p.prox_l2(z, y, gamma, use_fft=False)
+    assert_close(fast, slow, rtol=1e-3, atol=1e-4)
+    # optimality: gamma A'(Ax* - y) + (x* - z) ~ 0
+    r = gamma * p.A_adjoint(p.A(fast) - y) + (fast - z)
+    assert float(jnp.max(jnp.abs(r))) < 1e-3
+
+
+@pytest.mark.parametrize("imsize", [(1, 32, 32), (3, 37, 31), (2, 17, 24)])
+@pytest.mark.parametrize("factor", [2, 3])
+def test_downsampling_shape_contract(imsize, factor, key):
+    """Reference test_physics.py:1557: output is ceil(H/f) x ceil(W/f) for
+    every channel count and odd size, and A_adjoint restores the input
+    shape exactly."""
+    p = Downsampling(img_size=imsize, filter=None, factor=factor)
+    x = jax.random.uniform(key, (2, *imsize))
+    y = p.A(x)
+    C, H, W = imsize
+    assert y.shape == (2, C, -(-H // factor), -(-W // factor))
+    assert p.A_adjoint(y).shape == x.shape
+
+
+@pytest.mark.parametrize("filt", ["gaussian", "bilinear", "bicubic", "sinc"])
+def test_upsampling_swaps_roles(filt, key):
+    """Upsampling.A == Downsampling.A_adjoint and vice versa (reference
+    blur.py:392) for every named kernel, and the swapped operator is still
+    exactly adjoint."""
+    img_size = (1, 24, 20)
+    down = Downsampling(img_size=img_size, filter=filt, factor=2)
+    up = Upsampling(img_size=img_size, filter=filt, factor=2)
+    lo = jax.random.uniform(key, (1, 1, 12, 10))
+    assert_close(up.A(lo), down.A_adjoint(lo))
+    hi = jax.random.uniform(key, (1, *img_size))
+    assert_close(up.A_adjoint(hi), down.A(hi))
+    _adjointness(up, lo.shape, key)
+
+
+def test_upsampling_prox_is_generic(key):
+    """Upsampling.prox_l2 routes through the generic least-squares path
+    (the polyphase trick only diagonalizes the downsampling direction);
+    verify optimality of the result."""
+    up = Upsampling(img_size=(1, 16, 16), filter="gaussian", factor=2)
+    z = jax.random.uniform(key, (1, 1, 8, 8))
+    y = up.A(z)
+    gamma = 3.0
+    xs = up.prox_l2(z, y, gamma)
+    r = gamma * up.A_adjoint(up.A(xs) - y) + (xs - z)
+    assert float(jnp.max(jnp.abs(r))) < 1e-3
+
+
+# ------------------------------------------------------------ MRI family --
+@pytest.mark.parametrize("mask_shape", ["hw", "chw", "bchw"])
+def test_mri_mask_shape_matrix(mask_shape, key):
+    """Reference test_physics.py:993: masks broadcast from (H,W), (C,H,W)
+    and (B,C,H,W); the masked FFT stays decomposable (A_adjoint(A(x))
+    equals the mask-projected x in k-space)."""
+    H, W = 18, 14
+    km, kx = jax.random.split(key)
+    base = (jax.random.uniform(km, (H, W)) < 0.5).astype(jnp.float32)
+    mask = {"hw": base, "chw": jnp.stack([base, base]),
+            "bchw": jnp.stack([base, base])[None]}[mask_shape]
+    p = MRI(mask=mask, img_size=(H, W))
+    x = jax.random.normal(kx, (2, 2, H, W))
+    y = p.A(x)
+    assert y.shape == x.shape
+    # projection: A A' A == A (M is idempotent in k-space)
+    assert_close(p.A(p.A_adjoint(y)), y, rtol=1e-4, atol=1e-5)
+    _adjointness(p, x.shape, key)
+
+
+def test_mri_update_mask_routes(key):
+    p = MRI(mask=jnp.ones((10, 10)), img_size=(10, 10))
+    m2 = (jax.random.uniform(key, (10, 10)) < 0.3).astype(jnp.float32)
+    p2 = p.update(mask=m2)
+    assert_close(p2.mask[0, 0], m2)
+    # original untouched (pytrees are immutable); the (10,10) mask
+    # broadcasts to (1, 2, 10, 10) for the real/imag channel pair
+    assert float(jnp.sum(p.mask)) == 200.0
+
+
+def test_mri_adjoint_mag_and_crop(key):
+    p = MRI(mask=jnp.ones((16, 16)), img_size=(16, 16))
+    x = jax.random.normal(key, (1, 2, 16, 16))
+    y = p.A(x)
+    mag = p.A_adjoint(y, mag=True)
+    assert mag.shape == (1, 1, 16, 16)
+    assert float(jnp.min(mag)) >= 0.0
+    crop = p.A_adjoint(y, crop=(8, 8))
+    assert crop.shape[-2:] == (8, 8)
+
+
+def test_mri_noise_lives_in_masked_kspace(key):
+    """Reference test_physics.py:1090 (noise domain): measurement noise is
+    multiplied by the mask, so unsampled k-space stays exactly zero."""
+    H = W = 12
+    mask = jnp.zeros((H, W)).at[:, ::3].set(1.0)
+    p = MRI(mask=mask, img_size=(H, W), noise_model=GaussianNoise(0.5))
+    x = jax.random.normal(key, (1, 2, H, W))
+    y = p(x, key=jax.random.key(7))
+    unsampled = np.asarray(y)[..., np.asarray(mask) == 0.0]
+    assert np.abs(unsampled).max() == 0.0
+
+
+def test_dynamic_mri_to_static_union(key):
+    """DynamicMRI.to_static collapses the time axis to the mask union
+    (reference mri.py:612)."""
+    T, H, W = 3, 10, 8
+    km, kx = jax.random.split(key)
+    mask = (jax.random.uniform(km, (1, 2, T, H, W)) < 0.3).astype(jnp.float32)
+    p = DynamicMRI(mask=mask, img_size=(T, H, W))
+    x = jax.random.normal(kx, (1, 2, T, H, W))
+    assert p.A(x).shape == x.shape
+    static = p.to_static()
+    union = np.clip(np.asarray(mask).sum(axis=-3), 0, 1)
+    assert_close(static.mask, union)
+    assert isinstance(static, MRI) and not isinstance(static, DynamicMRI)
+
+
+def test_sequential_mri_average_recovers_static_image(key):
+    """SequentialMRI: when per-frame masks tile k-space, averaging the
+    frame-wise zero-filled recons weighted by the mask equals the fully
+    sampled image (reference test: sequential sampling aggregates)."""
+    T, H, W = 2, 12, 12
+    rows = jnp.arange(H) % T
+    frames = jnp.stack([(rows == t).astype(jnp.float32)[:, None]
+                        * jnp.ones((1, W)) for t in range(T)])
+    mask = jnp.broadcast_to(frames[None, None], (1, 1, T, H, W))
+    p = SequentialMRI(mask=mask, img_size=(T, H, W))
+    x0 = jax.random.normal(key, (1, 2, H, W))
+    x = jnp.broadcast_to(x0[:, :, None], (1, 2, T, H, W))
+    y = p.A(x)
+    xt = p.A_adjoint(y)
+    avg = p.average(y)  # average measurements over time -> static k-space
+    full = MRI(mask=jnp.ones((H, W)), img_size=(H, W))
+    assert_close(full.A_adjoint(avg), x0, rtol=1e-4, atol=1e-5)
+    assert xt.shape == x.shape
+
+
+# ----------------------------------------------------------------- CASSI --
+@pytest.mark.parametrize("mode", ["sd", "ss"])
+@pytest.mark.parametrize("shear_dir", ["h", "w"])
+def test_cassi_matrix(mode, shear_dir, key):
+    """Reference test_physics.py:1672: both CASSI modes and both shear
+    directions are exactly adjoint and shape-correct on odd sizes."""
+    img_size = (4, 19, 17)
+    p = CompressiveSpectralImaging(img_size=img_size, mode=mode,
+                                   shear_dir=shear_dir, key=key)
+    x = jax.random.uniform(key, (2, *img_size))
+    y = p.A(x)
+    assert y.shape[1] == 1  # flattened over channels
+    _adjointness(p, x.shape, key)
+
+
+def test_cassi_shear_pad_roundtrips(key):
+    p = CompressiveSpectralImaging(img_size=(3, 10, 8), key=key)
+    x = jax.random.uniform(key, (1, 3, 10, 8))
+    assert_close(p.crop(p.pad(x)), x)
+    xp = p.pad(x)
+    assert_close(p.shear(p.shear(xp), un=True), xp)
+    # flatten/unflatten are adjoint up to the 1/C scaling convention
+    u = jax.random.uniform(key, (1, 3, 10, 8))
+    v = jax.random.uniform(key, (1, 1, 10, 8))
+    lhs = jnp.vdot(p.flatten(u), v)
+    rhs = jnp.vdot(u, p.unflatten(v) * p.C / p.C)
+    assert abs(float(lhs - rhs)) < 1e-4 * abs(float(lhs))
+
+
+def test_cassi_invalid_args_raise(key):
+    with pytest.raises(ValueError):
+        CompressiveSpectralImaging(img_size=(3, 8, 8), mode="xx", key=key)
+    with pytest.raises(ValueError):
+        CompressiveSpectralImaging(img_size=(3, 8, 8), shear_dir="z", key=key)
+
+
+# --------------------------------------------------- decolorize/unmixing --
+@pytest.mark.parametrize("srf", ["rec601", "flat", (0.5, 0.25, 0.25)])
+def test_decolorize_matrix(srf, key):
+    """Reference test_physics.py:1653: every SRF yields a decomposable
+    rank-1 channel reduction whose dagger is exact on its range."""
+    p = Decolorize(srf=srf)
+    x = jax.random.uniform(key, (2, 3, 9, 7))
+    y = p.A(x)
+    assert y.shape == (2, 1, 9, 7)
+    _adjointness(p, x.shape, key)
+    # dagger reproduces measurements exactly: A A^+ y == y
+    assert_close(p.A(p.A_dagger(y)), y, rtol=1e-4, atol=1e-5)
+
+
+def test_unmixing_dagger_is_pinv(key):
+    E, C = 3, 6
+    p = HyperSpectralUnmixing(E=E, C=C, key=key)
+    x = jax.random.uniform(key, (1, E, 5, 4))
+    y = p.A(x)
+    assert y.shape == (1, C, 5, 4)
+    _adjointness(p, x.shape, key)
+    # M has full column rank (E < C): pinv dagger inverts exactly
+    assert_close(p.A_dagger(y), x, rtol=1e-3, atol=1e-4)
+
+
+# ----------------------------------------------------------- composition --
+def test_concatenation_pairs(key):
+    """Reference test_physics.py:1148: composed pairs of heterogeneous
+    operators stay adjoint and their dagger reproduces the measurement."""
+    img_size = (1, 16, 16)
+    blur = BlurFFT(img_size=img_size, filter=gaussian_blur(sigma=1.0))
+    down = Downsampling(img_size=img_size, filter="bilinear", factor=2)
+    inp = Inpainting(img_size=img_size, mask=0.7, key=key)
+    for comp in (down * blur, inp * blur):
+        x = jax.random.uniform(key, (1, *img_size))
+        y = comp.A(x)
+        _adjointness(comp, x.shape, key)
+        xd = comp.A_dagger(y)
+        assert_close(comp.A(xd), y, rtol=5e-2, atol=5e-3)
+
+
+def test_update_routes_physics_and_noise_keys(key):
+    """Physics.update routes known keys to the operator, noise keys to the
+    noise model, and silently ignores generator extras (the reference's
+    generator .step() protocol sends everything at once)."""
+    p = Denoising(noise_model=GaussianNoise(0.1))
+    p2 = p.update(sigma=0.5, not_a_param=123)
+    assert float(p2.noise_model.sigma) == pytest.approx(0.5)
+    assert float(p.noise_model.sigma) == pytest.approx(0.1)
+    p3 = MRI(mask=jnp.ones((8, 8)), img_size=(8, 8),
+             noise_model=GaussianNoise(0.2))
+    m2 = jnp.zeros((8, 8)).at[::2].set(1.0)
+    p4 = p3.update(mask=m2, sigma=0.9)
+    assert float(p4.noise_model.sigma) == pytest.approx(0.9)
+    assert_close(p4.mask[0, 0], m2)
