@@ -204,3 +204,36 @@ def test_pnp_identity_denoiser_reduces_to_projected_gd(key):
     for _ in range(5):
         x = x - 0.7 * physics.A_adjoint(physics.A(x) - y)
     assert_close(got, x, rtol=1e-4, atol=1e-5)
+
+
+def test_thres_conv_controls_stopping_iteration(key):
+    """Tighter thres_conv runs strictly more iterations before the
+    while_loop exits (observable through closeness to the converged
+    solution)."""
+    physics, _, y = _problem(key)
+    kw = dict(data_fidelity=L2(), prior=Tikhonov(),
+              params_algo={"stepsize": 0.5, "lambda": 0.1})
+    ref = optim_builder("PGD", max_iter=500, **kw)(y, physics)
+
+    def gap(thres):
+        out = optim_builder("PGD", max_iter=500, early_stop=True,
+                            thres_conv=thres, **kw)(y, physics)
+        return float(jnp.linalg.norm(out - ref))
+
+    g_loose, g_tight = gap(1e-2), gap(1e-6)
+    assert g_tight < g_loose
+
+
+def test_fista_accelerates_over_pgd(key):
+    """After few iterations FISTA is closer to the minimizer than PGD at
+    the same stepsize (the point of acceleration)."""
+    physics, _, y = _problem(key)
+    lam = 0.1
+    want = _tikhonov_solution(y, physics, lam)
+    kw = dict(data_fidelity=L2(), prior=Tikhonov(),
+              params_algo={"stepsize": 0.4, "lambda": lam}, max_iter=12)
+    e_pgd = float(jnp.linalg.norm(
+        optim_builder("PGD", **kw)(y, physics) - want))
+    e_fista = float(jnp.linalg.norm(
+        optim_builder("FISTA", **kw)(y, physics) - want))
+    assert e_fista < e_pgd

@@ -172,3 +172,27 @@ def test_edm_reverse_sde_gaussianity(key):
     # score=0: d(var)/dt = g^2 along reverse time; integrating from T to 0
     # doubles the variance: std = sqrt(2) * sigma(T) up to discretization
     assert float(jnp.std(out)) == pytest.approx(np.sqrt(2) * 2.0, rel=0.15)
+
+
+# ---------------------------------------------------- posterior samplers --
+def test_ddrm_key_determinism(key):
+    """DDRM sampling is a pure function of its key (reference samplers use
+    resettable torch.Generators; here the key IS the state)."""
+    import numpy as np
+
+    from deepinv_tpu.physics import GaussianNoise, Inpainting
+    from deepinv_tpu.sampling import DDRM
+
+    physics = Inpainting(img_size=(1, 16, 16), mask=0.6,
+                         key=jax.random.key(1),
+                         noise_model=GaussianNoise(0.05))
+    x = jax.random.uniform(key, (1, 1, 16, 16))
+    y = physics(x, key=jax.random.key(2))
+    den = lambda v, s, **kw: v
+    m = DDRM(den, sigmas=np.linspace(1, 0, 8))
+    o1 = m(y, physics, key=jax.random.key(3))
+    o2 = m(y, physics, key=jax.random.key(3))
+    o3 = m(y, physics, key=jax.random.key(4))
+    assert_close(o1, o2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    assert o1.shape == x.shape
