@@ -535,15 +535,23 @@ def _run_train_ssl_config(dtype=None, batch=1):
         ks = jax.random.split(jax.random.key(3), n)
         return lambda: f(den, s0, ks)
 
-    n_short = max(N_ITER // 4, 8)
+    n_short = max(max(N_ITER // 4, 8) // max(1, batch // 4), 6)
     dt = _timed_slope(make_runner, n_short, 4 * n_short)
     its = 1.0 / dt
     row = {
-        "metric": meta["metric"] + ("" if dtype == "bf16" else f"_{dtype}"),
+        "metric": meta["metric"]
+        + ("" if dtype == "bf16" else f"_{dtype}")
+        + (f"_b{batch}" if batch > 1 else ""),
         "value": round(its, 2),
         "unit": "step/s",
     }
-    if meta["torch_cpu_its"]:
+    if batch > 1:
+        # per-image comparison vs the B=1 CPU figure (the 8-thread CPU
+        # gains nothing from batching — TORCH_CPU_IMGS measurements)
+        row["batch"] = batch
+        row["images_per_sec"] = round(its * batch, 2)
+        row["vs_baseline"] = round(its * batch / meta["torch_cpu_its"], 2)
+    elif meta["torch_cpu_its"]:
         row["vs_baseline"] = round(its / meta["torch_cpu_its"], 2)
     try:
         from deepinv_tpu.utils.profiling import compiled_cost
@@ -570,7 +578,7 @@ def _run_config(config, dtype=None, batch=1):
     if config in ("sampling", "sampling_sr"):
         return _run_sampling_config(config, dtype)
     if config == "train_ssl":
-        return _run_train_ssl_config(dtype)
+        return _run_train_ssl_config(dtype, batch=batch)
     meta = CONFIGS[config]
     if dtype is not None:
         os.environ["BENCH_DTYPE"] = dtype

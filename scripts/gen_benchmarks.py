@@ -80,9 +80,11 @@ def main():
         "`vs_baseline` divides by the PyTorch reference running the",
         "identical workload on this host's CPU (8 threads). BASELINE.md",
         "derives the A100 conversion: the bandwidth-bound configs (MRI, CT)",
-        "clear the ≥5× A100 bar with 2–4× margin; the compute-bound deblur",
-        "config sustains ~92% of the chip's HBM-bandwidth roofline (see the",
-        "per-phase speed-of-light analysis in BASELINE.md).",
+        "clear the ≥5× A100 bar with 2–4× margin at batch 1 and widen it at",
+        "batch; the compute-bound deblur config is HBM-bound at B=1 (~92% of",
+        "the roofline, XLA-bound — see the sandwich post-mortem) and",
+        "MXU-bound at batch (B=8: MFU 0.693, B=16: 0.710 — 1.7–2.9× a",
+        "batched A100 per chip by the honest derivation in BASELINE.md).",
         "",
         "Batched rows (**B=...**) report `images/s` and compare against the",
         "torch-CPU reference at the SAME batch (scripts/bench_torch_cpu.py);",
