@@ -381,7 +381,7 @@ def _timed_slope(make_runner, n_short, n_long, repeats=6):
     return (t(n_long) - t(n_short)) / (n_long - n_short)
 
 
-def _run_sampling_config(config, dtype=None):
+def _run_sampling_config(config, dtype=None, batch=1):
     """BASELINE.json config #4 — diffusion posterior sampling throughput.
 
     ``sampling``: DDRM (reference sampling/diffusion.py:83) on 256px RGB
@@ -404,7 +404,7 @@ def _run_sampling_config(config, dtype=None):
     from deepinv_tpu.physics import Downsampling, Inpainting
     from deepinv_tpu.sampling import DDRM, DPS
 
-    shape = (1, 3, 256, 256)
+    shape = (batch, 3, 256, 256)
     x = jax.jit(lambda k: jax.random.uniform(k, shape))(jax.random.key(0))
     den = DRUNet(pretrained=None)
     if dtype == "bf16":
@@ -432,15 +432,21 @@ def _run_sampling_config(config, dtype=None):
             f = jax.jit(lambda mm, yv, p, k: mm(yv, p, key=k))
             return lambda: f(m, y, physics, jax.random.key(2))
 
-    n_short = max(N_ITER // 4, 8)
+    n_short = max(max(N_ITER // 4, 8) // max(1, batch // 2), 6)
     dt = _timed_slope(make_runner, n_short, 4 * n_short)
     its = 1.0 / dt
     row = {
-        "metric": meta["metric"] + ("" if dtype == "bf16" else f"_{dtype}"),
+        "metric": meta["metric"]
+        + ("" if dtype == "bf16" else f"_{dtype}")
+        + (f"_b{batch}" if batch > 1 else ""),
         "value": round(its, 2),
         "unit": "step/s",
     }
-    if meta["torch_cpu_its"]:
+    if batch > 1:
+        row["batch"] = batch
+        row["images_per_sec"] = round(its * batch, 2)
+        row["vs_baseline"] = round(its * batch / meta["torch_cpu_its"], 2)
+    elif meta["torch_cpu_its"]:
         row["vs_baseline"] = round(its / meta["torch_cpu_its"], 2)
     # analytic per-step cost: one scan body (DDRM: 1 denoiser fwd; DPS: fwd
     # + vjp through denoiser and physics)
@@ -576,7 +582,7 @@ def _run_config(config, dtype=None, batch=1):
     if config == "train":
         return _run_train_config(dtype, batch=batch)
     if config in ("sampling", "sampling_sr"):
-        return _run_sampling_config(config, dtype)
+        return _run_sampling_config(config, dtype, batch=batch)
     if config == "train_ssl":
         return _run_train_ssl_config(dtype, batch=batch)
     meta = CONFIGS[config]
