@@ -673,8 +673,9 @@ def main():
         ("mri", None, 1), ("mri", None, 8),
         ("ct", None, 1), ("ct", None, 8),
         ("train", None, 1), ("train", None, 16),
-        ("sampling", None, 1), ("sampling_sr", None, 1),
-        ("train_ssl", None, 1),
+        ("sampling", None, 1), ("sampling", None, 8),
+        ("sampling_sr", None, 1),
+        ("train_ssl", None, 1), ("train_ssl", None, 16),
         ("deblur", "bf16", 8),
     ]
     if os.environ.get("BENCH_F32", "1") == "1":
