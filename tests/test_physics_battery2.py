@@ -295,3 +295,15 @@ def test_update_routes_physics_and_noise_keys(key):
     p4 = p3.update(mask=m2, sigma=0.9)
     assert float(p4.noise_model.sigma) == pytest.approx(0.9)
     assert_close(p4.mask[0, 0], m2)
+
+
+def test_downsampling_check_factor_contract():
+    """Reference blur.py:366: scalar and constant-1D factors cast to int;
+    non-constant or 2D factor tensors are rejected."""
+    assert Downsampling.check_factor(3) == 3
+    assert Downsampling.check_factor(2.0) == 2
+    assert Downsampling.check_factor(jnp.array([4, 4, 4])) == 4
+    with pytest.raises(ValueError):
+        Downsampling.check_factor(jnp.ones((2, 2)))
+    with pytest.raises(ValueError):
+        Downsampling.check_factor(jnp.array([2, 3]))
