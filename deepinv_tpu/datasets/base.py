@@ -281,7 +281,10 @@ def _collate(items):
     ``(x, y, params)`` with ``params`` a dict becomes
     ``(X, Y, {k: stacked})``). TensorLists collate per part."""
     first = items[0]
-    if isinstance(first, tuple):
+    if isinstance(first, (tuple, list)):
+        # torch default_collate treats lists like tuples (a dataset
+        # returning [x, y] — accepted by check_dataset — must yield an
+        # (X, Y) pair, not one stacked array)
         return tuple(_collate([it[k] for it in items])
                      for k in range(len(first)))
     if isinstance(first, dict):

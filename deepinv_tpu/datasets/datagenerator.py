@@ -2,9 +2,11 @@
 deepinv/datasets/datagenerator.py:486 generate_dataset, :25 HDF5Dataset).
 
 File layout matches the reference: per-operator files ``dinv_dataset{i}.h5``
-with datasets ``x_train / y_train / x_test / y_test`` (+ ``params_*`` groups
-for physics-generator parameters), so datasets generated by either framework
-are interchangeable.
+with datasets ``x_train / y_train / x_test / y_test`` plus flat
+``{param}_{split}`` datasets for physics-generator parameters (the
+reference's current convention; the repo's historical ``params_*`` group
+layout is still READ for backward compatibility), so datasets generated
+by either framework are interchangeable.
 """
 
 from __future__ import annotations
@@ -184,10 +186,18 @@ class HDF5Dataset(ImageDataset):
             elif prefix == "y" and not stacked:
                 self.y = member
                 sizes["y"] = len(member)
-            elif (stacked and re.fullmatch(r"y(0|[1-9]\d*)", prefix)
-                  and int(prefix[1:]) < stacked):
-                self.y[int(prefix[1:])] = member
-                sizes[prefix] = len(member)
+            elif stacked and re.fullmatch(r"y(0|[1-9]\d*)", prefix):
+                if int(prefix[1:]) < stacked:
+                    self.y[int(prefix[1:])] = member
+                    sizes[prefix] = len(member)
+                else:
+                    # reference datagenerator warns on out-of-range
+                    # stacking indices instead of silently reinterpreting
+                    # them as physics parameters (likely file corruption)
+                    warnings.warn(
+                        f"member {name!r} has stacking index outside "
+                        f"[0, {stacked}) — probably an error; ignored",
+                        UserWarning)
             elif prefix == "params" and isinstance(member, h5py.Group):
                 # repo's historical group layout
                 for k in member:
@@ -200,6 +210,13 @@ class HDF5Dataset(ImageDataset):
             raise ValueError(
                 f"split {self.split!r} of {path} has no (complete) "
                 "measurements")
+        if not load_physics_generator_params:
+            # parameter members only constrain the dataset length when
+            # they are actually loaded (reference update_split_size
+            # semantics): a short auxiliary member must not collapse
+            # len(dataset) for plain (x, y) iteration
+            sizes = {k: v for k, v in sizes.items()
+                     if not k.startswith("params.")}
         if len(set(sizes.values())) > 1:
             warnings.warn(
                 f"fields of split {self.split!r} have different sizes "

@@ -165,7 +165,10 @@ class Physics(Module):
         like the reference's generator protocol expects. Returns a NEW
         physics (pytrees are immutable)."""
         new = super().update(**params)
-        nm = getattr(self, "noise_model", None)
+        # route noise keys into the noise model of NEW (an explicitly
+        # passed noise_model= must not be clobbered by re-deriving from
+        # self's old model)
+        nm = getattr(new, "noise_model", None)
         if nm is not None and hasattr(nm, "update"):
             nm2 = nm.update(**params)
             if nm2 is not nm:

@@ -63,7 +63,10 @@ class PhysicsGenerator(Module):
         """
         if seed is not None:
             if isinstance(seed, str):
-                seed = seed_from_string(seed)
+                # reduce like step() does: jax.random.key needs an
+                # int64-representable seed, and set_seed('s');step() must
+                # derive the same key as step(seed='s')
+                seed = seed_from_string(seed) % (1 << 63)
             self.seed = int(seed)
         return self
 
@@ -172,8 +175,14 @@ class GeneratorMixture(PhysicsGenerator):
                 return False
         for k in keys0:
             shapes = {tuple(np.shape(d[k])) for d in dicts}
-            if () in shapes:  # scalar params (e.g. a static factor) cannot
-                return False  # be concatenated along a batch axis
+            if () in shapes:
+                # scalar params (e.g. a static factor) cannot be
+                # concatenated along a batch axis
+                if verbose:
+                    warnings.warn(
+                        f"Param {k!r} is scalar-shaped; a single generator "
+                        "will be sampled per batch.")
+                return False
             if len(shapes) > 1:
                 if verbose:
                     warnings.warn(

@@ -132,6 +132,15 @@ def load_nifti(path, as_memmap: bool = False, dtype=np.float32, **kwargs):
         f.seek(off)
         a = np.frombuffer(f.read(count * raw_dt.itemsize), dtype=raw_dt)
     a = a.reshape(shape, order="F")
+    import math
+
+    # NaN slope/intercept mean "no scaling" per the NIfTI spec (nibabel
+    # treats NaN as unset); without this check a NaN slope would turn the
+    # whole volume into NaN
+    if math.isnan(scl_slope):
+        scl_slope = 0.0
+    if math.isnan(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         a = a * (scl_slope or 1.0) + scl_inter
     return a.astype(dtype) if dtype is not None else a

@@ -260,3 +260,64 @@ def test_check_dataset_rejects():
                      (x, x, x, params), (x, params, y)):
         with pytest.raises(RuntimeError):
             check_dataset(_MyDataset(bad_item))
+
+
+def test_hdf5_short_aux_member_does_not_collapse_len(tmp_path):
+    """r5 review: a short auxiliary member must not shrink len(dataset)
+    when params are not being loaded (reference update_split_size)."""
+    import h5py
+
+    from deepinv_tpu.datasets import HDF5Dataset
+
+    path = str(tmp_path / "d.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("x_train", data=np.zeros((10, 1, 4, 4), np.float32))
+        f.create_dataset("y_train", data=np.zeros((10, 1, 4, 4), np.float32))
+        f.create_dataset("norm_train", data=np.zeros((1,), np.float32))
+    ds = HDF5Dataset(path, train=True)
+    assert len(ds) == 10
+    # when params ARE loaded the short member constrains the length
+    with pytest.warns(UserWarning):
+        dsp = HDF5Dataset(path, train=True,
+                          load_physics_generator_params=True)
+    assert len(dsp) == 1
+
+
+def test_hdf5_out_of_range_stack_index_warns(tmp_path):
+    """r5 review: a y{i} member beyond the stacked count is a file error —
+    warn and ignore instead of reinterpreting it as a parameter."""
+    import h5py
+
+    from deepinv_tpu.datasets import HDF5Dataset
+
+    path = str(tmp_path / "d.h5")
+    with h5py.File(path, "w") as f:
+        f.attrs["stacked"] = 2
+        f.create_dataset("x_train", data=np.zeros((4, 1, 4, 4), np.float32))
+        for i in range(3):
+            f.create_dataset(f"y{i}_train",
+                             data=np.zeros((4, 1, 4, 4), np.float32))
+    with pytest.warns(UserWarning, match="stacking index"):
+        ds = HDF5Dataset(path, train=True,
+                         load_physics_generator_params=True)
+    assert len(ds) == 4
+    x, y, params = ds[0]
+    assert params == {}
+
+
+def test_dataloader_collates_list_items(tmp_path):
+    """r5 review: list-returning datasets collate like tuples (torch
+    default_collate semantics)."""
+    from deepinv_tpu.datasets import DataLoader
+
+    class ListDS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return [np.full((1, 2, 2), float(i)), np.full((3,), float(i))]
+
+    batch = next(iter(DataLoader(ListDS(), batch_size=4)))
+    assert isinstance(batch, tuple) and len(batch) == 2
+    assert batch[0].shape == (4, 1, 2, 2)
+    assert batch[1].shape == (4, 3)

@@ -307,3 +307,14 @@ def test_downsampling_check_factor_contract():
         Downsampling.check_factor(jnp.ones((2, 2)))
     with pytest.raises(ValueError):
         Downsampling.check_factor(jnp.array([2, 3]))
+
+
+def test_update_respects_explicit_noise_model(key):
+    """r5 review: update(noise_model=..., sigma=...) must install the NEW
+    noise model and route sigma into IT — not resurrect the old model."""
+    from deepinv_tpu.physics import PoissonNoise
+
+    p = Denoising(noise_model=GaussianNoise(0.1))
+    p2 = p.update(noise_model=PoissonNoise(gain=2.0), sigma=0.3)
+    assert type(p2.noise_model).__name__ == "PoissonNoise"
+    assert float(p2.noise_model.gain) == pytest.approx(2.0)
