@@ -67,7 +67,12 @@ class BaseSampling(Module):
         burnin = int(self.max_iter * self.burnin_ratio)
 
         zeros = jnp.zeros_like(x_init)
-        hsize = max(int(self.history_size or 0), 0)
+        if self.history_size is True:
+            # reference semantics (sampling.py history_size: int | bool):
+            # True stores EVERY included sample
+            hsize = max((self.max_iter - burnin - 1) // self.thinning + 1, 1)
+        else:
+            hsize = max(int(self.history_size or 0), 0)
         ring0 = jnp.zeros((max(hsize, 1),) + x_init.shape, x_init.dtype)
         carry0 = (X0, zeros, zeros, jnp.asarray(0.0), ring0,
                   jnp.asarray(jnp.inf), jnp.asarray(jnp.inf))
@@ -121,7 +126,14 @@ class BaseSampling(Module):
 
     # -- reference chain/diagnostics API (sampling.py:300-348) -------------
     def get_chain(self):
-        """Last ``history_size`` included samples, oldest first."""
+        """Last ``history_size`` included samples, oldest first (all of
+        them when ``history_size=True``)."""
+        if self.history_size is False or self.history_size == 0:
+            # reference sampling.py:331 raises instead of returning an
+            # empty chain the caller might silently average over
+            raise RuntimeError(
+                "Samples have not been saved: set history_size to True or "
+                "an int when constructing the sampler")
         return list(self.history)
 
     def mean_has_converged(self) -> bool:
@@ -226,4 +238,6 @@ class DiffusionSampler(BaseSampling):
             thinning=1,
             thresh_conv=thres_conv,
             verbose=verbose,
+            # reference diffusion sampler: save_chain gates chain storage
+            history_size=True if save_chain else False,
         )

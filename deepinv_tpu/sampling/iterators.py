@@ -59,12 +59,6 @@ class ULAIterator(SamplingIterator):
         return {"x": self._clip(x_t)}
 
 
-def _cheb(s, w0):
-    """Chebyshev polynomial T_s(w0) and derivative (SKRock parameters)."""
-    th = jnp.arccosh(jnp.asarray(w0))
-    return jnp.cosh(s * th)
-
-
 class SKRockIterator(SamplingIterator):
     r"""SK-ROCK step (reference SKRock.py:80): stabilized Runge-Kutta-
     Chebyshev Langevin with ``inner_iter`` internal stages.

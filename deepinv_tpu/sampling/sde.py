@@ -85,7 +85,15 @@ class BaseSDESolver(Module):
 
     def randn_like(self, x, key=None):
         """Standard normal shaped like ``x`` (reference sde_solver.py
-        ``randn_like``), keyed by the solver's seed when no key is given."""
+        ``randn_like``), keyed by the solver's seed when no key is given.
+        Like the reference's stateful generator, seed-keyed draws ADVANCE:
+        successive calls return fresh noise (an eager-mode utility — inside
+        jit pass explicit keys instead)."""
+        if key is None:
+            draw = self._draw_counter = getattr(self, "_draw_counter", 0)
+            key = jax.random.fold_in(ensure_key(None, self.rng_seed), draw)
+            self._draw_counter = draw + 1
+            return jax.random.normal(key, x.shape, x.dtype)
         return jax.random.normal(ensure_key(key, self.rng_seed), x.shape,
                                  x.dtype)
 
@@ -103,6 +111,7 @@ class BaseSDESolver(Module):
     def reset_rng(self):
         """Restore the construction-time seed (reference ``reset_rng``)."""
         self.rng_seed = self.initial_rng_seed
+        self._draw_counter = 0
         return self
 
     def step(self, sde, x, t, dt, key):

@@ -110,9 +110,12 @@ class Transform(Module, TimeMixin):
         return self.transform(x, **params)
 
     def inverse(self, x, key=None, **params):
-        """Apply the inverse action (reference base.py:175)."""
+        """Apply the inverse action (reference base.py:175). With no
+        params given, fresh ones are drawn from ``key`` like the
+        reference — this also makes parameter-free transforms (whose
+        get_params returns ``{}``) invertible."""
         if not params:
-            raise ValueError("inverse requires the params of the forward transform")
+            params = self.get_params(x, key)
         return self.transform(x, **self.invert_params(params))
 
     def identity(self, x):
@@ -235,8 +238,12 @@ class _EitherTransform(Transform):
     def get_params(self, x, key=None):
         key = ensure_key(key, 0)
         kc, k1, k2 = jax.random.split(key, 3)
-        # concrete (trace-time) choice, like the reference's host randint
-        choice = int(jax.random.bernoulli(kc))
+        choice = jax.random.bernoulli(kc)
+        if not isinstance(choice, jax.core.Tracer):
+            # concrete (trace-time) choice, like the reference's host
+            # randint; under jit the traced bool selects via lax.cond in
+            # transform/inverse instead
+            choice = int(choice)
         return {
             "choice": choice,
             "p1": self.t1.get_params(x, k1),
@@ -251,10 +258,22 @@ class _EitherTransform(Transform):
         }
 
     def transform(self, x, choice=0, p1=None, p2=None):
+        if isinstance(choice, jax.core.Tracer):
+            # jit-safe branch: both transforms produce the same output
+            # shape (same n_trans), so a traced bool can select
+            return jax.lax.cond(
+                choice,
+                lambda v: self.t1.transform(v, **p1),
+                lambda v: self.t2.transform(v, **p2), x)
         t = self.t1 if choice else self.t2
         return t.transform(x, **(p1 if choice else p2))
 
     def inverse(self, x, choice=0, p1=None, p2=None):
+        if isinstance(choice, jax.core.Tracer):
+            return jax.lax.cond(
+                choice,
+                lambda v: self.t1.inverse(v, **p1),
+                lambda v: self.t2.inverse(v, **p2), x)
         t = self.t1 if choice else self.t2
         return t.inverse(x, **(p1 if choice else p2))
 

@@ -56,10 +56,12 @@ class Shift(Transform):
         H, W = x.shape[-2:]
         kx, ky = jax.random.split(key)
         n = self.n_trans * x.shape[0]
+        # reference shift.py:34 draws from [-int(shift_max*H),
+        # int(shift_max*H)) — the full range, not half of it
         amount_h = int(self.shift_max * H)
         amount_w = int(self.shift_max * W)
-        sy = jax.random.randint(ky, (n,), -amount_h // 2, max(amount_h // 2, 1))
-        sx = jax.random.randint(kx, (n,), -amount_w // 2, max(amount_w // 2, 1))
+        sy = jax.random.randint(ky, (n,), -amount_h, max(amount_h, 1))
+        sx = jax.random.randint(kx, (n,), -amount_w, max(amount_w, 1))
         return {"y_shift": sy, "x_shift": sx}
 
     def transform(self, x, y_shift=None, x_shift=None):

@@ -113,7 +113,10 @@ class RandomPhaseError(Transform):
         # x: (B, 2, ..., H, W) real/imag channels
         c = x[:, 0:1] + 1j * x[:, 1:2]
         ph = jnp.exp(1j * phase)[:, None, ...]
+        # the per-line phase indexes the LAST (readout, W) axis; new axes
+        # must be inserted before it so 5D (B, 2, T, H, W) data broadcasts
+        # the phase over T and H, not onto them
         while ph.ndim < c.ndim:
-            ph = ph[..., None, :] if ph.ndim == c.ndim - 1 else ph[..., None]
+            ph = ph[..., None, :]
         c = c * ph
         return jnp.concatenate([jnp.real(c), jnp.imag(c)], axis=1)

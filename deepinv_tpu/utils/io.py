@@ -141,8 +141,10 @@ def load_nifti(path, as_memmap: bool = False, dtype=np.float32, **kwargs):
         scl_slope = 0.0
     if math.isnan(scl_inter):
         scl_inter = 0.0
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        a = a * (scl_slope or 1.0) + scl_inter
+    # slope 0 means "no scaling at all" (NIfTI-1 spec; nibabel behavior):
+    # the intercept must be ignored too, not applied on its own
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        a = a * scl_slope + scl_inter
     return a.astype(dtype) if dtype is not None else a
 
 

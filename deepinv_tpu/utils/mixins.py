@@ -206,6 +206,10 @@ def tiled_apply(fn, x, patch_size=256, overlap: int = 64):
     """
     B, C, H, W = x.shape
     ph, pw = _as_pair(patch_size)
+    # clamp per-dimension so images smaller than the patch in ONE
+    # dimension (panoramas, sinograms) tile full-height/width strips
+    # instead of crashing the (N*B, C, ph, pw) reshape
+    ph, pw = min(ph, H), min(pw, W)
     ov = overlap
     if H <= ph and W <= pw:
         return fn(x)

@@ -71,19 +71,24 @@ def test_heun_beats_euler_on_coarse_grid(key):
 
 
 def test_solver_rng_contracts(key):
-    """randn_like is keyed by the solver seed; rng_manual_seed accepts
-    string seeds; reset_rng restores construction state (reference
-    sde_solver.py rng semantics)."""
+    """randn_like advances like the reference's stateful generator
+    (successive draws differ); rng_manual_seed accepts string seeds;
+    reset_rng restores construction state so the stream replays
+    (reference sde_solver.py rng semantics)."""
     s = EulerSolver(jnp.linspace(0, 1, 4), rng_seed=3)
     x = jnp.zeros((1, 1, 4, 4))
     a = s.randn_like(x)
     b = s.randn_like(x)
-    assert_close(a, b)  # same seed, same draw
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # stream advances
     s.rng_manual_seed("some-string-seed")
     c = s.randn_like(x)
     assert not np.allclose(np.asarray(a), np.asarray(c))
     s.reset_rng()
-    assert_close(s.randn_like(x), a)
+    assert_close(s.randn_like(x), a)  # replay from the construction seed
+    # explicit keys bypass the stream (pure-function mode, jit-safe)
+    e1 = s.randn_like(x, key=jax.random.key(9))
+    e2 = s.randn_like(x, key=jax.random.key(9))
+    assert_close(e1, e2)
 
 
 def test_same_key_same_chain_different_key_differs(key):
@@ -196,3 +201,25 @@ def test_ddrm_key_determinism(key):
     assert_close(o1, o2)
     assert not np.allclose(np.asarray(o1), np.asarray(o3))
     assert o1.shape == x.shape
+
+
+def test_history_size_true_stores_all_and_false_raises(key):
+    """r5 review: history_size=True keeps EVERY included sample;
+    history_size=False raises on get_chain (reference sampling.py)."""
+    from deepinv_tpu.optim import L2, Tikhonov
+    from deepinv_tpu.physics import Denoising, GaussianNoise
+    from deepinv_tpu.sampling import sampling_builder
+
+    physics = Denoising(noise_model=GaussianNoise(0.1))
+    y = physics(jnp.zeros((1, 1, 6, 6)), key=key)
+    kw = dict(data_fidelity=L2(), prior=Tikhonov(),
+              params_algo={"step_size": 0.01, "alpha": 1.0, "sigma": 0.1},
+              max_iter=20, burnin_ratio=0.5, thinning=1)
+    s_all = sampling_builder("ULA", history_size=True, **kw)
+    s_all.sample(y, physics, key=jax.random.key(1))
+    assert len(s_all.get_chain()) == 10  # every post-burn-in sample
+
+    s_none = sampling_builder("ULA", history_size=False, **kw)
+    s_none.sample(y, physics, key=jax.random.key(1))
+    with pytest.raises(RuntimeError):
+        s_none.get_chain()

@@ -135,3 +135,49 @@ def test_transform_inverse_roundtrip_combined(key):
     y = t.transform(x, **params)
     back = t.inverse(y, **params)
     assert float(jnp.max(jnp.abs(back - x))) < 1e-3
+
+
+# ------------------------------------------------ r5 review regressions --
+def test_random_phase_error_5d_broadcast(key):
+    """r5 review: on (B, 2, T, H, W) data the per-line phase must act on
+    the readout (W) axis, not on T."""
+    from deepinv_tpu.transform import RandomPhaseError
+
+    t = RandomPhaseError(scale=0.1)
+    x = jax.random.normal(key, (1, 2, 3, 6, 5))  # T=3 != W=5
+    p = t.get_params(x, key)
+    out = t.transform(x, **p)
+    assert out.shape == x.shape
+    back = t.inverse(out, **p)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_either_transform_inside_jit(key):
+    """r5 review: t1 | t2 must trace (lax.cond on the drawn branch)."""
+    from deepinv_tpu.transform import Reflect, Rotate
+
+    t = Rotate(multiples=90) | Reflect(dim=(-1,))
+    x = jax.random.normal(key, (1, 1, 8, 8))
+
+    @jax.jit
+    def f(v, k):
+        p = t.get_params(v, k)
+        return t.inverse(t.transform(v, **p), **p)
+
+    out = f(x, jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_shift_uses_full_reference_range(key):
+    """r5 review: shifts draw from [-int(f*H), int(f*H)) like reference
+    shift.py:34, not half of it."""
+    from deepinv_tpu.transform import Shift
+
+    t = Shift(shift_max=0.5, n_trans=1)
+    x = jnp.zeros((1, 1, 16, 16))
+    draws = np.array([
+        np.asarray(t.get_params(x, jax.random.key(i))["y_shift"])
+        for i in range(300)
+    ]).ravel()
+    assert draws.min() <= -5 and draws.max() >= 5  # beyond the old +-4 band
+    assert draws.min() >= -8 and draws.max() < 8

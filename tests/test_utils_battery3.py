@@ -244,3 +244,15 @@ def test_deprecated_func_replaced_by():
 
     with pytest.warns(DeprecationWarning):
         assert old(4) == 5
+
+
+def test_tiled_apply_one_small_dimension(key):
+    """r5 review: images smaller than the patch in ONE dimension
+    (panoramas/sinograms) tile as full-height strips instead of crashing."""
+    from deepinv_tpu.utils.mixins import tiled_apply
+
+    x = jax.random.uniform(key, (1, 1, 10, 64))
+    out = tiled_apply(lambda v: v * 2.0, x, patch_size=16, overlap=4)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(x),
+                               atol=1e-5)
