@@ -106,8 +106,12 @@ class MOILoss(Loss):
     """Multi-operator imaging loss (reference moi.py:16): re-measure the
     reconstruction through a random *other* operator from the list."""
 
-    def __init__(self, physics_list=None, metric=None, apply_noise: bool = True, weight: float = 1.0):
+    def __init__(self, physics_list=None, physics_generator=None, metric=None,
+                 apply_noise: bool = True, weight: float = 1.0):
         self.physics_list = physics_list
+        # reference moi.py:16 alternative mode: draw fresh operator
+        # parameters from a PhysicsGenerator every forward
+        self.physics_generator = physics_generator
         self.metric = metric if metric is not None else MSE()
         self.apply_noise = apply_noise
         self.weight = weight
@@ -128,6 +132,17 @@ class MOILoss(Loss):
     def __call__(self, x_net=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 4)
         kidx, knoise = jax.random.split(key)
+        if self.physics_generator is not None:
+            # generator mode (reference moi.py:86): resample operator
+            # parameters every forward — traceable, so this works under
+            # jit too (the generator draws with the traced key)
+            base = (self.physics_list[0] if self.physics_list
+                    else physics)
+            p2 = base.update(**self.physics_generator.step(
+                batch_size=x_net.shape[0], key=kidx))
+            y2 = p2(x_net, key=knoise) if self.apply_noise else p2.A(x_net)
+            x2 = model(y2, p2)
+            return self.weight * self.metric(x2, x_net)
         physics_list = self.physics_list if self.physics_list is not None else [physics]
         # jit-safe random operator choice: lax.switch over the list (the
         # reference indexes a ModuleList eagerly, moi.py:16)

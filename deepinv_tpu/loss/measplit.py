@@ -70,7 +70,10 @@ def split(mask, y, physics=None):
         from ..physics.inpainting import Inpainting
         from ..physics.base import compose
 
-        inp = Inpainting(img_size=y.shape[1:], mask=mask[0])
+        # keep the FULL batched mask: mask[0] would apply sample 0's
+        # splitting pattern to every batch element (reference
+        # measplit.py:133 passes the batched mask)
+        inp = Inpainting(img_size=y.shape[1:], mask=mask)
         p1 = compose(physics, inp)  # (inp ∘ physics): A1 = M A
         p1 = p1.replace(noise_model=getattr(physics, "noise_model", None)) \
             if hasattr(p1, "replace") else p1
@@ -215,8 +218,10 @@ class SplittingLoss(Loss):
             x1 = model(y1, p1)
         base = _base_mask(physics)
         mask2 = (base if base is not None else 1.0) - mask
-        resid = mask2 * (physics.A(x1) - y)
-        loss = jnp.mean(jnp.abs(resid).reshape(y.shape[0], -1) ** 2, axis=1)
+        # evaluate through the USER metric (reference measplit.py:170:
+        # metric(physics2.A(x_net), y2)); hardcoding squared error here
+        # silently ignored a custom metric
+        loss = self.metric(mask2 * physics.A(x1), mask2 * y)
         if self.normalize_loss:
             loss = loss / jnp.clip(jnp.mean(mask2), 1e-6, None)
         return loss
@@ -305,19 +310,25 @@ class Neighbor2Neighbor(Loss):
         key = ensure_key(key, 13)
         B, C, H, W = y.shape
         H2, W2 = H // 2, W // 2
-        kc, ko = jax.random.split(key)
-        choice = jax.random.randint(kc, (B, 1, H2, W2), 0, 4)
-        # neighbor offset in {1,2,3} => a different pixel of the same cell
-        offset = jax.random.randint(ko, (B, 1, H2, W2), 1, 4)
-        g1 = self._subsample(y, choice, jnp.zeros_like(choice))
-        g2 = self._subsample(y, choice, offset)
+        # draw ADJACENT neighbor pairs from the reference's idx_pair table
+        # (measplit.py:438) — the old (choice+offset)%4 scheme produced
+        # diagonal cell-mates the N2N noise-independence argument excludes
+        idx_pair = jnp.asarray(
+            [[0, 1], [0, 2], [1, 3], [2, 3], [1, 0], [2, 0], [3, 1], [3, 2]],
+            jnp.int32)
+        rd = jax.random.randint(key, (B, 1, H2, W2), 0, 8)
+        pair = idx_pair[rd]  # (..., 2)
+        c1, c2 = pair[..., 0], pair[..., 1]
+        zero = jnp.zeros_like(c1)
+        g1 = self._subsample(y, c1, zero)
+        g2 = self._subsample(y, c2, zero)
         f_g1 = model(g1, physics)
-        # consistency: denoise full image then subsample
-        f_y = model(y, physics)
-        f_y1 = self._subsample(f_y, choice, jnp.zeros_like(choice))
-        f_y2 = self._subsample(f_y, choice, offset)
-        l_rec = jnp.mean((f_g1 - g2).reshape(B, -1) ** 2, axis=1)
-        l_reg = jnp.mean(
-            ((f_g1 - g2) - (f_y1 - f_y2)).reshape(B, -1) ** 2, axis=1
-        )
+        # consistency: denoise full image then subsample — detached like
+        # the reference (measplit.py:511) so gradients only flow through
+        # the subsampled branch
+        f_y = jax.lax.stop_gradient(model(y, physics))
+        f_y1 = self._subsample(f_y, c1, zero)
+        f_y2 = self._subsample(f_y, c2, zero)
+        l_rec = self.metric(f_g1, g2)
+        l_reg = self.metric(f_g1 - f_y1, g2 - f_y2)
         return l_rec + self.gamma * l_reg

@@ -144,9 +144,12 @@ class Metric(Module):
         return v
 
     def __call__(self, x_net=None, x=None, *args, **kwargs):
+        # unwrap stacked (TensorList-style) inputs INDEPENDENTLY: indexing
+        # a plain array here would silently take batch sample 0
         if isinstance(x_net, (list, tuple)):
-            x_net = x_net[0] if x_net is not None else None
-            x = x[0] if x is not None else None
+            x_net = x_net[0]
+        if isinstance(x, (list, tuple)):
+            x = x[0]
         x_net = self._center_crop(self._complex_abs(x_net))
         x = self._center_crop(self._complex_abs(x))
         if self.norm_inputs == "standardize":
@@ -307,9 +310,12 @@ class SSIM(Metric):
     def metric(self, x_net, x, *args, **kwargs):
         from jax import lax
 
-        L = self._data_range(x)
+        # keep the per-image data range (B,1,1,1)-shaped so C1/C2
+        # broadcast against the (B,C,H,W) ssim maps (squeezing to (B,)
+        # broadcast along W and crashed for B>1 with max_pixel=None)
+        L = jnp.asarray(self._data_range(x))
         if not self.multiscale:
-            return self._ssim_cs(x_net, x, jnp.squeeze(jnp.asarray(L)))[0]
+            return self._ssim_cs(x_net, x, L)[0]
 
         min_size = 11 * 2 ** (len(self._MS_WEIGHTS) - 1)
         if x.shape[-2] < min_size or x.shape[-1] < min_size:
@@ -325,7 +331,7 @@ class SSIM(Metric):
         a, b = x_net, x
         n = len(self._MS_WEIGHTS)
         for i in range(n):
-            ssim_i, cs_i = self._ssim_cs(a, b, jnp.squeeze(jnp.asarray(L)))
+            ssim_i, cs_i = self._ssim_cs(a, b, L)
             vals.append(ssim_i if i == n - 1 else cs_i)
             if i < n - 1:
                 a, b = pool(a), pool(b)

@@ -85,8 +85,10 @@ class WeightedSplittingLoss(Loss):
         base_mask = getattr(physics, "mask", None)
         base = base_mask if base_mask is not None else 1.0
         mask2 = base - mask1 * base
-        resid = self.weight * mask2 * (physics.A(x1) - y)
-        return jnp.mean(jnp.abs(resid).reshape(y.shape[0], -1) ** 2, axis=1)
+        # route through the user metric like the reference's WeightedMetric
+        # wrapper (mri/measplit.py:100): weight both inputs, then metric
+        w = self.weight * mask2
+        return self.metric(w * physics.A(x1), w * y)
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 14)
@@ -178,8 +180,8 @@ class Phase2PhaseLoss(Loss):
             m1 = split * base_mask
             m2 = (1 - split) * base_mask
             x1 = model(m1 * y, physics.update(mask=m1))
-        resid = m2 * (physics.update(mask=m2).A(x1) - y)
-        return jnp.mean(jnp.abs(resid).reshape(y.shape[0], -1) ** 2, axis=1)
+        # user metric, like the reference (mri/measplit.py metric arg)
+        return self.metric(m2 * physics.update(mask=m2).A(x1), m2 * y)
 
     def adapt_model(self, model):
         """Phase/chunk-splitting input wrapper; full input at evaluation
@@ -207,12 +209,20 @@ class Artifact2ArtifactLoss(Phase2PhaseLoss):
 
 class ENSURELoss(Loss):
     r"""ENSURE (reference mri/sure.py:17): SURE corrected for undersampled
-    MRI with density-compensated projection."""
+    MRI/inpainting with varying masks — the residual is weighted by
+    ``W^{-1/2}`` where ``W = E[mask]`` over the physics generator (the
+    density compensation that defines ENSURE; without it the loss is just
+    Gaussian SURE and its estimate is biased under undersampling)."""
 
     def __init__(self, sigma: float, physics_generator=None, tau: float = 1e-2):
         self.sigma = sigma
         self.physics_generator = physics_generator
         self.tau = tau
+        if physics_generator is not None:
+            d = jnp.asarray(physics_generator.average()["mask"])
+            self.dsqrti = 1.0 / jnp.sqrt(jnp.clip(d, 1e-8, None))
+        else:
+            self.dsqrti = None
 
     def __call__(self, x_net=None, y=None, physics=None, model=None, key=None, **kwargs):
         key = ensure_key(key, 16)
@@ -225,5 +235,12 @@ class ENSURELoss(Loss):
         div = 2 * self.sigma**2 * jnp.mean(
             (b * jvp_b).reshape(y.shape[0], -1), axis=1
         )
-        mse = jnp.mean(((y1 - y) ** 2).reshape(y.shape[0], -1), axis=1)
+        resid = y1 - y
+        if self.dsqrti is not None:
+            # reference mri/sure.py:90: density-compensated residual
+            # (k-space weighting; for MRI the reference additionally maps
+            # to image domain with an orthonormal FFT, which leaves the
+            # squared norm unchanged — Parseval)
+            resid = resid * self.dsqrti
+        mse = jnp.mean((resid ** 2).reshape(y.shape[0], -1), axis=1)
         return mse + div - self.sigma**2

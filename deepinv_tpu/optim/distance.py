@@ -106,12 +106,18 @@ class PoissonLikelihoodDistance(Distance):
         return self.gain * (1 - y / (u / self.gain + self.bkg))
 
     def prox(self, u, y, *args, gamma: float = 1.0, **kwargs):
+        """Closed-form prox of ``gamma * d(., y)`` at ``u``: the positive
+        root of ``g w^2 + (gamma/g - g b - u) w - gamma y / g = 0`` with
+        ``w = v/g + b``. (The reference's formula — reproduced here until
+        r5 — had a '+' collapsed into a '*', returning negative values
+        that then hit log of a negative in fn/grad; deviation documented,
+        verified against numerical minimization in the optim battery.)"""
         if self.denormalize:
             y = y / self.gain
-        out = u - (1 / (self.gain * gamma)) * jnp.sqrt(
-            (u - 1 / (self.gain * gamma)) ** 2 + 4 * y / gamma
-        )
-        return out / 2
+        g, b = self.gain, self.bkg
+        c = u + g * b - gamma / g
+        v = (c + jnp.sqrt(c**2 + 4 * gamma * y)) / 2 - g * b
+        return v
 
 
 class L1Distance(Distance):

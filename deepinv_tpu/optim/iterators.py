@@ -108,8 +108,10 @@ class PGDIteration(OptimIterator):
                 z, params.get("g_param"), gamma=params["lambda"] * params["stepsize"]
             )
         else:
-            z = prior.prox(
-                x, params.get("g_param"), gamma=params["lambda"] * params["stepsize"]
+            # reference pgd.py gStepPGD(g_first=True): GRADIENT step on g,
+            # then prox of f — not a prox-prox (HQS-like) splitting
+            z = x - params["lambda"] * params["stepsize"] * prior.grad(
+                x, params.get("g_param")
             )
             x_new = data_fidelity.prox(z, y, physics, gamma=params["stepsize"])
         x_new = self.relaxation(x_new, x, params.get("beta", 1.0))
@@ -133,8 +135,9 @@ class FISTAIteration(OptimIterator):
                 u, params.get("g_param"), gamma=params["lambda"] * params["stepsize"]
             )
         else:
-            u = prior.prox(
-                z_prev, params.get("g_param"), gamma=params["lambda"] * params["stepsize"]
+            # gradient step on g then prox of f (reference pgd.py:35)
+            u = z_prev - params["lambda"] * params["stepsize"] * prior.grad(
+                z_prev, params.get("g_param")
             )
             x = data_fidelity.prox(u, y, physics, gamma=params["stepsize"])
         z = x + alpha * (x - x_prev)
@@ -263,15 +266,35 @@ class CPIteration(OptimIterator):
         sigma = params.get("stepsize_dual", 1.0)
         tau = params["stepsize"]
         lam = params.get("lambda", 1.0)
-        # dual ascent on f*(u): u = prox_{sigma f*}(u + sigma K xbar);
-        # f is the FULL fidelity d(A., y) (reference fStepCP:129)
-        u = data_fidelity.prox_conjugate(
-            u + sigma * Kf(xbar), y, physics, gamma=sigma
-        )
-        # primal descent on g: x = prox_{tau lambda g}(x - tau K^T u)
-        x_new = prior.prox(
-            x - tau * Kt(u), params.get("g_param"), gamma=tau * lam
-        )
+        if self.g_first:
+            # minimize d(Ax, y) + lambda g(Kx): roles swap — dual ascent
+            # on (lambda g)*, primal prox of the full fidelity (reference
+            # primal_dual_CP.py:161 gStepCP/fStepCP g_first branches).
+            # Documented deviation: the reference passes gamma =
+            # lambda*stepsize_dual into the dual prox while incrementing
+            # with stepsize_dual alone, which fixes the dual at
+            # u* in d(lambda g)(K x*/lambda) — a lambda-rescaled problem
+            # (untested upstream: its own CP tests use g_first=False).
+            # Using gamma = stepsize_dual with lamb=lambda makes both
+            # splittings solve the SAME objective (verified by the
+            # Tikhonov fixed-point battery).
+            u = prior.prox_conjugate(
+                u + sigma * Kf(xbar), params.get("g_param"),
+                gamma=sigma, lamb=lam,
+            )
+            x_new = data_fidelity.prox(
+                x - tau * Kt(u), y, physics, gamma=tau
+            )
+        else:
+            # dual ascent on f*(u): u = prox_{sigma f*}(u + sigma K xbar);
+            # f is the FULL fidelity d(A., y) (reference fStepCP:129)
+            u = data_fidelity.prox_conjugate(
+                u + sigma * Kf(xbar), y, physics, gamma=sigma
+            )
+            # primal descent on g: x = prox_{tau lambda g}(x - tau K^T u)
+            x_new = prior.prox(
+                x - tau * Kt(u), params.get("g_param"), gamma=tau * lam
+            )
         xbar = x_new + params.get("beta", 1.0) * (x_new - x)
         return {"est": (x_new, xbar, u), "it": X["it"] + 1}
 

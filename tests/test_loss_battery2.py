@@ -215,3 +215,104 @@ def test_sup_and_mc_zero_at_truth(key):
         SupLoss()(x_net=x, x=x, y=y, physics=p, model=None)))) == 0.0
     assert float(np.mean(np.asarray(
         MCLoss()(x_net=x, y=y, physics=p, model=None)))) == 0.0
+
+
+# ------------------------------------------------- r5 review regressions --
+def test_pgd_g_first_is_gradient_step_on_prior(key):
+    """r5 review: g_first=True runs a GRADIENT step on g then prox of f
+    (reference pgd.py gStepPGD), not a prox-prox splitting."""
+    from deepinv_tpu.optim import Tikhonov, L2, optim_builder
+    from deepinv_tpu.physics import BlurFFT
+    from deepinv_tpu.ops import gaussian_blur
+
+    img = (1, 16, 16)
+    physics = BlurFFT(img_size=img, filter=gaussian_blur(sigma=0.8))
+    y = physics.A(jax.random.uniform(key, (1, *img)))
+    lam, tau = 0.1, 0.5
+    m = optim_builder("PGD", data_fidelity=L2(), prior=Tikhonov(),
+                      params_algo={"stepsize": tau, "lambda": lam},
+                      max_iter=1, g_first=True,
+                      custom_init=lambda yv, p: physics.A_adjoint(yv))
+    got = m(y, physics)
+    x0 = physics.A_adjoint(y)
+    z = x0 - lam * tau * x0                      # gradient step on g
+    want = physics.prox_l2(z, y, tau)            # prox of f
+    assert_close(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ensure_weights_residual_by_density(key):
+    """r5 review: ENSURE weights the residual by W^{-1/2} from the
+    physics generator (its defining correction)."""
+    from deepinv_tpu.loss import ENSURELoss
+    from deepinv_tpu.physics.generator import BernoulliSplittingMaskGenerator
+
+    gen = BernoulliSplittingMaskGenerator(img_size=(1, 8, 8),
+                                          split_ratio=0.5, seed=0)
+    l_w = ENSURELoss(sigma=0.1, physics_generator=gen)
+    l_plain = ENSURELoss(sigma=0.1)
+    assert l_w.dsqrti is not None and l_plain.dsqrti is None
+    # density ~0.5 -> weights ~sqrt(2)
+    assert float(jnp.mean(l_w.dsqrti)) == pytest.approx(np.sqrt(2), rel=0.1)
+
+    p = Denoising(noise_model=GaussianNoise(0.1))
+    y = p(jax.random.uniform(key, (1, 1, 8, 8)), key=jax.random.key(1))
+    model = lambda yv, pp, **kw: yv * 0.9
+    a = float(np.mean(np.asarray(l_w(y=y, physics=p, model=model, key=key))))
+    b = float(np.mean(np.asarray(l_plain(y=y, physics=p, model=model,
+                                         key=key))))
+    assert np.isfinite(a) and np.isfinite(b) and a != b
+
+
+def test_splitting_loss_respects_metric(key):
+    """r5 review: the user metric must change the loss value (it was
+    silently ignored in favor of hardcoded MSE)."""
+    from deepinv_tpu.loss.metric import MAE
+
+    p = Denoising(noise_model=GaussianNoise(0.05))
+    y = p(jax.random.uniform(key, (1, 1, 16, 16)), key=jax.random.key(1))
+    model = lambda yv, pp, **kw: yv * 0.5
+    k = jax.random.key(2)
+    l_mse = SplittingLoss(split_ratio=0.6)(
+        x_net=None, y=y, physics=p, model=model, key=k)
+    l_mae = SplittingLoss(split_ratio=0.6, metric=MAE())(
+        x_net=None, y=y, physics=p, model=model, key=k)
+    assert not np.allclose(np.asarray(l_mse), np.asarray(l_mae))
+
+
+def test_n2n_pairs_are_adjacent(key):
+    """r5 review: Neighbor2Neighbor draws adjacent (non-diagonal) cell
+    pairs from the reference's idx_pair table."""
+    from deepinv_tpu.loss import Neighbor2Neighbor
+
+    idx_pair = np.asarray(
+        [[0, 1], [0, 2], [1, 3], [2, 3], [1, 0], [2, 0], [3, 1], [3, 2]])
+    diffs = {tuple(sorted(p)) for p in idx_pair}
+    assert (0, 3) not in diffs and (1, 2) not in diffs  # no diagonals
+    # loss is finite and gradient flows only through the subsampled branch
+    p = Denoising(noise_model=GaussianNoise(0.05))
+    y = p(jax.random.uniform(key, (1, 1, 16, 16)), key=jax.random.key(1))
+    n2n = Neighbor2Neighbor()
+    model = lambda yv, pp, **kw: yv * 0.9
+    val = n2n(y=y, physics=p, model=model, key=key)
+    assert np.isfinite(np.asarray(val)).all()
+
+
+def test_moi_loss_generator_mode(key):
+    """r5 review: MOILoss(physics_generator=...) resamples operator
+    parameters every forward (reference moi.py:86)."""
+    from deepinv_tpu.loss import MOILoss
+    from deepinv_tpu.physics import Inpainting
+    from deepinv_tpu.physics.generator import BernoulliSplittingMaskGenerator
+
+    base = Inpainting(img_size=(1, 8, 8), mask=0.5, key=jax.random.key(0))
+    gen = BernoulliSplittingMaskGenerator(img_size=(1, 8, 8),
+                                          split_ratio=0.5, seed=1)
+    loss = MOILoss(physics_list=[base], physics_generator=gen)
+    x_net = jax.random.uniform(key, (2, 1, 8, 8))
+    model = lambda yv, pp, **kw: pp.A_adjoint(yv)
+    a = np.asarray(loss(x_net=x_net, physics=base, model=model,
+                        key=jax.random.key(5)))
+    b = np.asarray(loss(x_net=x_net, physics=base, model=model,
+                        key=jax.random.key(6)))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert not np.allclose(a, b)  # different key -> different operator
