@@ -101,15 +101,28 @@ def _xla_impl(x, gamma, n_iter):
     return x - gamma * _div_op(p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def chambolle_prox(x, gamma, n_iter: int = 100):
-    """Isotropic-TV prox ``argmin 0.5||u-x||^2 + gamma*TV(u)`` — VMEM-resident
-    Pallas loop on TPU (interpret mode elsewhere)."""
+def _dispatch(x, gamma, n_iter):
+    import numpy as _np
+
+    if jnp.ndim(gamma) > 0 and int(_np.prod(jnp.shape(gamma))) > 1:
+        # per-sample gamma (the batched (B,1,1,1) convention): the Pallas
+        # kernel takes ONE SMEM scalar per call and would silently prox
+        # every sample with gamma[0] while the custom_vjp backward used
+        # the full gamma — shape-static fallback to the XLA loop
+        return _xla_impl(x, gamma, n_iter)
     return _pallas_impl(x, gamma, n_iter)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def chambolle_prox(x, gamma, n_iter: int = 100):
+    """Isotropic-TV prox ``argmin 0.5||u-x||^2 + gamma*TV(u)`` — VMEM-resident
+    Pallas loop on TPU (interpret mode elsewhere); per-sample gamma arrays
+    run the XLA loop."""
+    return _dispatch(x, gamma, n_iter)
+
+
 def _fwd(x, gamma, n_iter):
-    return _pallas_impl(x, gamma, n_iter), (x, gamma)
+    return _dispatch(x, gamma, n_iter), (x, gamma)
 
 
 def _bwd(n_iter, res, ct):

@@ -275,25 +275,31 @@ class Downsampling(LinearPhysics):
             out["factor"] = f
         return out
 
-    def A(self, x, filter=None, **params):
-        f = self.filter if filter is None else _resolve_filter(filter, self.factor)
+    def A(self, x, filter=None, factor=None, **params):
+        # honor a factor override like the reference (blur.py:366 via
+        # update/generator params — DownsamplingGenerator emits both
+        # 'filter' and 'factor'); it must be a static int (it changes the
+        # output shape)
+        fac = self.factor if factor is None else self.check_factor(factor)
+        f = self.filter if filter is None else _resolve_filter(filter, fac)
         if f is not None:
             x = conv2d(x, f, padding=self.padding)
-        return x[:, :, :: self.factor, :: self.factor]
+        return x[:, :, ::fac, ::fac]
 
-    def A_adjoint(self, y, filter=None, **params):
-        f = self.filter if filter is None else _resolve_filter(filter, self.factor)
+    def A_adjoint(self, y, filter=None, factor=None, **params):
+        fac = self.factor if factor is None else self.check_factor(factor)
+        f = self.filter if filter is None else _resolve_filter(filter, fac)
         if self.imsize is not None:
             C, H, W = self.imsize
         else:
             C = y.shape[1]
-            H, W = y.shape[-2] * self.factor, y.shape[-1] * self.factor
+            H, W = y.shape[-2] * fac, y.shape[-1] * fac
         if f is not None and self.padding == "valid":
             Hc, Wc = H - f.shape[-2] + 1, W - f.shape[-1] + 1
         else:
             Hc, Wc = H, W
         x = jnp.zeros((y.shape[0], C, Hc, Wc), dtype=y.dtype)
-        x = x.at[:, :, :: self.factor, :: self.factor].set(y)
+        x = x.at[:, :, ::fac, ::fac].set(y)
         if f is not None:
             x = conv_transpose2d(x, f, padding=self.padding)
         return x
@@ -505,9 +511,13 @@ class TiledSpaceVaryingBlur(TiledMixin2d, LinearPhysics):
         kh, kw = h.shape[-2:]
 
         def conv_one(zk, hk):  # (B, C, Hp, Wp), (B, C, kh, kw) -> valid conv
-            # depthwise: each (b, c) channel with its own filter
+            # depthwise: each (b, c) channel with its own filter. Flip the
+            # kernel: lax conv is CORRELATION, but SpaceVaryingBlur /
+            # conv2d implement true convolution — without the flip an
+            # asymmetric PSF was applied mirrored relative to the same
+            # PSF in the untiled operator.
             flat = zk.reshape(1, B * C, Hp, Wp)
-            filt = hk.reshape(B * C, 1, kh, kw)
+            filt = hk.reshape(B * C, 1, kh, kw)[..., ::-1, ::-1]
             out = jax.lax.conv_general_dilated(
                 flat, filt, (1, 1), "VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -908,7 +908,7 @@ class ConfocalBlurGenerator3D(PSFGenerator):
 
         common = dict(
             psf_size=psf_size, zernike_index=zernike_index,
-            stepz_pixel=int(pixelsize_Z / pixelsize_XY),
+            stepz_pixel=pixelsize_Z / pixelsize_XY,  # float: int() truncated 1.5 -> 1, compressing the defocus axis
             max_zernike_amplitude=max_zernike_amplitude,
             zernike_perturbation_amplitude=zernike_perturbation_amplitude,
             pupil_size=pupil_size, index_convention=index_convention,

@@ -318,7 +318,12 @@ class GaussianSplittingMaskGenerator(BernoulliSplittingMaskGenerator):
                 # Gumbel top-k == weighted draw without replacement
                 g = jax.random.gumbel(keys[c, t], (nx * ny,))
                 scores = jnp.where(p > 0, jnp.log(p) + g, -jnp.inf)
-                ind = jax.lax.top_k(scores, n_remove)[1]
+                # never remove more than the removable (p > 0) support —
+                # top_k past it returns -inf-scored (protected or already
+                # zero) positions, and subtracting those produced -1
+                # entries in the mask
+                n_avail = int(np.count_nonzero(np.asarray(p) > 0))
+                ind = jax.lax.top_k(scores, min(n_remove, n_avail))[1]
                 removed = removed.at[c, t, ind].set(1)
 
         mask_out = input_mask - removed.reshape(input_mask.shape)

@@ -304,6 +304,10 @@ class MultiCoilMRI(MRIMixin, LinearPhysics):
     def noise(self, y, key=None):
         if self.noise_model is None:
             return y
+        if self.kspace_trajectory is not None:
+            # non-Cartesian: y is (B, 2, N, M) NUFFT samples — there is no
+            # Cartesian mask to zero; noise applies to every sample
+            return self.noise_model(y, key=key)
         return self.noise_model(y, key=key) * self.mask[:, :, None]
 
     # -- coil-map utilities (reference mri.py:399,419 — via sigpy there;

@@ -139,24 +139,33 @@ class StructuredRandomPhaseRetrieval(PhaseRetrieval):
                 super().__init__()
                 self.diagonals = diagonals
 
+            @staticmethod
+            def _crop_or_pad(v, hw):
+                """Center-crop to (h, w) when smaller, zero-pad when
+                larger — supports both under- and OVERsampled
+                configurations (the reference zero-pads for
+                output_size > img_size; negative-index crops silently
+                returned wrong shapes before r5)."""
+                H, W = v.shape[-2:]
+                h, w = hw
+                if h <= H and w <= W:
+                    top, left = (H - h) // 2, (W - w) // 2
+                    return v[..., top:top + h, left:left + w]
+                pad = [(0, 0)] * (v.ndim - 2) + [
+                    ((h - H) // 2, h - H - (h - H) // 2),
+                    ((w - W) // 2, w - W - (w - W) // 2),
+                ]
+                return jnp.pad(v, pad)
+
             def A(self, x, **p):
                 out = x.astype(jnp.complex64)
                 for d in self.diagonals:
                     out = jnp.fft.fft2(out * d, norm="ortho")
-                H, W = out.shape[-2:]
-                h, w = output_size[-2:]
-                top, left = (H - h) // 2, (W - w) // 2
-                return out[..., top : top + h, left : left + w]
+                return self._crop_or_pad(out, output_size[-2:])
 
             def A_adjoint(self, y, **p):
-                out = y
-                H, W = img_size[-2:]
-                h, w = output_size[-2:]
-                pad = [(0, 0)] * (y.ndim - 2) + [
-                    ((H - h) // 2, H - h - (H - h) // 2),
-                    ((W - w) // 2, W - w - (W - w) // 2),
-                ]
-                out = jnp.pad(out, pad)
+                # adjoint of crop is pad and vice versa
+                out = self._crop_or_pad(y, img_size[-2:])
                 for d in reversed(self.diagonals):
                     out = jnp.fft.ifft2(out, norm="ortho") * jnp.conj(d)
                 return out
@@ -216,12 +225,26 @@ class PtychographyLinearOperator(LinearPhysics):
             shifts = np.array([(y, x) for y in ys for x in xs])
         self.shifts = jnp.asarray(np.asarray(shifts), jnp.int32)
 
+    def _shifted_probe(self, shift):
+        """Probe shifted by ``(dy, dx)`` with the wrapped-in region ZEROED
+        (vmap-safe arithmetic mask). A plain jnp.roll wrapped probe pixels
+        around the image edge, so boundary measurements included
+        illumination that :meth:`get_overlap_img`'s coverage map (which
+        zeroes those regions) did not account for."""
+        p = jnp.roll(self.probe, (shift[0], shift[1]), axis=(-2, -1))
+        H, W = p.shape[-2:]
+        ii = jnp.arange(H)[:, None]
+        jj = jnp.arange(W)[None, :]
+        sy, sx = shift[0], shift[1]
+        keep = (jnp.where(sy >= 0, ii >= sy, ii < H + sy)
+                & jnp.where(sx >= 0, jj >= sx, jj < W + sx))
+        return p * keep
+
     def A(self, x, **params):
         xc = x.astype(jnp.complex64)
 
         def one(shift):
-            probe_s = jnp.roll(self.probe, (shift[0], shift[1]), axis=(-2, -1))
-            return jnp.fft.fft2(xc * probe_s, norm="ortho")
+            return jnp.fft.fft2(xc * self._shifted_probe(shift), norm="ortho")
 
         out = jax.vmap(one)(self.shifts)  # (n_img, B, C, H, W)
         return jnp.moveaxis(out, 0, 1)  # (B, n_img, C, H, W)
@@ -230,8 +253,8 @@ class PtychographyLinearOperator(LinearPhysics):
         yc = jnp.moveaxis(y, 1, 0)
 
         def one(shift, yi):
-            probe_s = jnp.roll(self.probe, (shift[0], shift[1]), axis=(-2, -1))
-            return jnp.fft.ifft2(yi, norm="ortho") * jnp.conj(probe_s)
+            return jnp.fft.ifft2(yi, norm="ortho") * jnp.conj(
+                self._shifted_probe(shift))
 
         outs = jax.vmap(one)(self.shifts, yc)
         return jnp.sum(outs, axis=0)

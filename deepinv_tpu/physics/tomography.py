@@ -194,6 +194,11 @@ class Tomography(LinearPhysics):
             # approximate fan-beam FBP: ramp filter + adjoint (weighted BP)
             from ..ops.radon import ramp_filter
 
+            if self.normalize:
+                # undo the 1/W forward scaling AND the adjoint's own 1/W
+                # (the non-fan branch does the former before inversion;
+                # without both the FBP came out img_width^2 too small)
+                y = y * self.img_width**2
             yf = ramp_filter(y)
             xt = self.A_adjoint(yf)
             return xt * jnp.pi / (2 * self.angles.shape[0])

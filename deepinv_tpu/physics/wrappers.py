@@ -97,7 +97,13 @@ class PhysicsMultiScaler(Physics):
         )
 
     def update(self, **params):
-        return self.replace(base=self.base.update(**params))
+        new = self.replace(base=self.base.update(**params))
+        # keep the wrapper's own noise_model (used by Physics.__call__) in
+        # sync with the base: without this, generator-driven sigma updates
+        # and explicit noise_model= replacements were silently ignored
+        if "noise_model" in params or getattr(new.base, "noise_model", None) is not getattr(self.base, "noise_model", None):
+            new = new.replace(noise_model=getattr(new.base, "noise_model", None))
+        return new
 
 
 class LinearPhysicsMultiScaler(PhysicsMultiScaler, LinearPhysics):
@@ -300,7 +306,13 @@ class PhysicsCropper(LinearPhysics):
         return self.pad(self.base.A_adjoint(y, **params))
 
     def update(self, **params):
-        return self.replace(base=self.base.update(**params))
+        new = self.replace(base=self.base.update(**params))
+        # keep the wrapper's own noise_model (used by Physics.__call__) in
+        # sync with the base: without this, generator-driven sigma updates
+        # and explicit noise_model= replacements were silently ignored
+        if "noise_model" in params or getattr(new.base, "noise_model", None) is not getattr(self.base, "noise_model", None):
+            new = new.replace(noise_model=getattr(new.base, "noise_model", None))
+        return new
 
 
 class VirtualLinearPhysics(LinearPhysics):

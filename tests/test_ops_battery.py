@@ -117,3 +117,20 @@ def test_gaussian_blur_psf_invariants(sigma, angle):
     com_y = (h[0, 0] * yy).sum()
     com_x = (h[0, 0] * xx).sum()
     assert abs(com_y - (H - 1) / 2) < 0.1 and abs(com_x - (W - 1) / 2) < 0.1
+
+
+def test_tv_prox_batched_gamma_matches_per_sample(key):
+    """r5 review: the Pallas TV prox collapsed a (B,1,1,1) gamma to
+    gamma[0]; batched gammas now dispatch to the XLA loop."""
+    from deepinv_tpu.ops.pallas.tv import chambolle_prox
+
+    x = jax.random.uniform(key, (2, 1, 16, 16))
+    g = jnp.array([0.05, 0.3]).reshape(2, 1, 1, 1)
+    out = chambolle_prox(x, g, 60)
+    a = chambolle_prox(x[0:1], jnp.asarray(0.05), 60)
+    b = chambolle_prox(x[1:2], jnp.asarray(0.3), 60)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(a[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(b[0]), atol=1e-4)
+    # gradient w.r.t. the per-sample gammas flows with matching shape
+    gr = jax.grad(lambda gg: float(0) + jnp.sum(chambolle_prox(x, gg, 20)))(g)
+    assert gr.shape == g.shape

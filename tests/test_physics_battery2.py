@@ -318,3 +318,93 @@ def test_update_respects_explicit_noise_model(key):
     p2 = p.update(noise_model=PoissonNoise(gain=2.0), sigma=0.3)
     assert type(p2.noise_model).__name__ == "PoissonNoise"
     assert float(p2.noise_model.gain) == pytest.approx(2.0)
+
+
+# ------------------------------------------------ r5 review regressions --
+def test_multiscaler_update_routes_noise(key):
+    """r5 review: wrapper update() must refresh the wrapper's own copied
+    noise model, not just the base's."""
+    from deepinv_tpu.physics import to_multiscale
+
+    p = Blur(filter=gaussian_blur(sigma=1.0),
+             noise_model=GaussianNoise(0.1))
+    ms = to_multiscale(p, img_size=(1, 32, 32))
+    ms2 = ms.update(sigma=0.5)
+    assert float(ms2.noise_model.sigma) == pytest.approx(0.5)
+    x = jnp.zeros((1, 1, 32, 32))
+    y = ms2(x, key=jax.random.key(0))
+    # measurement noise level reflects the updated sigma
+    assert float(jnp.std(y)) == pytest.approx(0.5, rel=0.15)
+
+
+def test_downsampling_factor_override(key):
+    """r5 review: A/A_adjoint honor a factor= param (the
+    DownsamplingGenerator protocol emits both filter and factor)."""
+    p = Downsampling(img_size=(1, 32, 32), filter="bilinear", factor=2)
+    x = jax.random.uniform(key, (1, 1, 32, 32))
+    y4 = p.A(x, factor=4)
+    assert y4.shape[-2:] == (8, 8)
+    # adjoint with the same override round-trips the shape
+    assert p.A_adjoint(y4, factor=4).shape == x.shape
+
+
+def test_fanbeam_fbp_normalize_parity():
+    """r5 review: fan-beam FBP must give the same reconstruction with
+    normalize=True and False (was off by img_width^2)."""
+    from deepinv_tpu.physics import Tomography
+    from deepinv_tpu.datasets import shepp_logan
+
+    x = jnp.asarray(shepp_logan(32))[None, None]
+    pn = Tomography(img_width=32, angles=30, fan_beam=True, normalize=True)
+    pu = Tomography(img_width=32, angles=30, fan_beam=True, normalize=False)
+    assert_close(pn.A_dagger(pn.A(x)), pu.A_dagger(pu.A(x)),
+                 rtol=1e-4, atol=1e-5)
+
+
+def test_structured_pr_oversampled(key):
+    """r5 review: output_size > img_size zero-pads (reference
+    oversampled-Fourier configuration) instead of negative-index
+    cropping."""
+    from deepinv_tpu.physics import StructuredRandomPhaseRetrieval
+
+    p = StructuredRandomPhaseRetrieval(img_size=(1, 12, 12),
+                                       output_size=(1, 20, 20),
+                                       key=jax.random.key(0))
+    x = jax.random.normal(key, (1, 1, 12, 12))
+    y = p.A(x)
+    assert y.shape[-2:] == (20, 20)
+    u = jax.random.normal(key, (1, 1, 12, 12)).astype(jnp.complex64)
+    Bu = p.B.A(u)
+    v = jax.random.normal(jax.random.key(3), Bu.shape).astype(jnp.complex64)
+    lhs = jnp.vdot(Bu, v)
+    rhs = jnp.vdot(u, p.B.A_adjoint(v))
+    assert abs(complex(lhs - rhs)) < 1e-3
+
+
+def test_tiled_svb_matches_untiled_on_asymmetric_psf(key):
+    """r5 review: TiledSpaceVaryingBlur applies true convolution (kernel
+    flip) like SpaceVaryingBlur — checked with an asymmetric PSF on a
+    single-tile configuration."""
+    from deepinv_tpu.physics import SpaceVaryingBlur, TiledSpaceVaryingBlur
+
+    h = jnp.zeros((1, 1, 1, 5, 5)).at[..., 1, 2].set(0.7).at[..., 3, 4].set(0.3)
+    x = jax.random.uniform(key, (1, 1, 33, 33))
+    t = TiledSpaceVaryingBlur(patch_size=(33, 33), stride=(33, 33))
+    yt = t.A(x, filters=h)
+    sv = SpaceVaryingBlur(filters=h, multipliers=jnp.ones((1, 1, 1, 33, 33)),
+                          padding="valid")
+    ysv = sv.A(x)
+    assert_close(yt, ysv[..., :yt.shape[-2], :yt.shape[-1]],
+                 rtol=1e-4, atol=1e-5)
+
+
+def test_gaussian_split_small_ratio_stays_binary(key):
+    """r5 review: top_k past the removable support produced -1 mask
+    entries; masks must stay in {0, 1}."""
+    from deepinv_tpu.physics.generator import GaussianSplittingMaskGenerator
+
+    gen = GaussianSplittingMaskGenerator(img_size=(1, 32, 32),
+                                         split_ratio=0.05,
+                                         center_block=(24, 24), seed=0)
+    m = np.asarray(gen.step(batch_size=2, key=key)["mask"])
+    assert set(np.unique(m)).issubset({0.0, 1.0})
